@@ -1,0 +1,825 @@
+"""Driver-facing query catalog: every SURVEY.md §2 operator as a named query.
+
+Each entry pairs an idiomatic DataFrame-API plan (the engine under test) with
+an ANSI-SQL oracle string DuckDB runs over the same parquet views. Column
+names are aliased identically on both sides — the driver sorts columns by
+name before value-hashing.
+
+Determinism rules applied throughout:
+  * the reference's `NOW()` is frozen to plans.deals.REF_TS;
+  * every LIMIT/top-k query orders by a unique tiebreaker;
+  * floating-point aggregates are ROUND()ed so both engines land on the
+    same representable double;
+  * integer aggregates are CAST to BIGINT (DuckDB SUM(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.epoch import EPOCH_SECONDS, GENESIS_UNIX, epoch_to_timestamp, timestamp_to_epoch
+from ..operators.merge import DEAL_KEY, dedup_insert, first_per_key, mark_submitted, merge_update
+from ..sources.tables import load_table, register_views
+from .deals import (
+    ELIGIBLE_DEALS_ORACLE_BODY,
+    REF_TS,
+    SEASONED_EPOCH,
+    deals_df,
+    eligible_deals,
+    oracle_with_deals,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: SparkQuery
+    oracle: str | None  # None → driver runs rows-only check
+
+
+REGISTRY: OrderedDict[str, QueryDef] = OrderedDict()
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chain_head",
+    "SELECT CAST(max(ts) AS TIMESTAMP) AS head_ts, CAST(count(*) AS BIGINT) AS n_events FROM events",
+)
+def q_chain_head(spark, sf_dir):
+    """S1: the source's latest offset — reference getChainHead (service.js:92-99)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("head_ts"), F.count("*").alias("n_events"))
+
+
+@register(
+    "events_scan",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+       FROM events WHERE event_type = 'purchase'""",
+)
+def q_events_scan(spark, sf_dir):
+    """S2: source scan with the `$type` predicate pushed into the parquet reader
+    (reference pushes a CBOR-encoded selector into GetActorEventsRaw,
+    service.js:51-86,105-116)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "user_id", "value")
+
+
+@register(
+    "dedup_insert",
+    oracle_with_deals(
+        f"""
+        SELECT i.id FROM deals i
+        WHERE i.activated_at_epoch < {SEASONED_EPOCH}
+          AND NOT EXISTS (
+            SELECT 1 FROM deals e
+            WHERE e.id % 5 = 0
+              AND e.activated_at_epoch = i.activated_at_epoch
+              AND e.miner_id = i.miner_id AND e.client_id = i.client_id
+              AND e.piece_cid = i.piece_cid AND e.piece_size = i.piece_size
+              AND e.term_start_epoch = i.term_start_epoch
+              AND e.term_min = i.term_min AND e.term_max = i.term_max
+              AND e.sector_id = i.sector_id)
+        """
+    ),
+)
+def q_dedup_insert(spark, sf_dir):
+    """S6/J5/A5: ON-CONFLICT-DO-NOTHING as in-batch dedup + anti-join
+    (deal-observer.js:67-122; unique key migration 008). `existing` simulates
+    the already-stored table (every 5th deal)."""
+    deals = deals_df(spark, sf_dir)
+    incoming = deals.where(F.col("activated_at_epoch") < SEASONED_EPOCH)
+    existing = deals.where(F.col("id") % 5 == 0)
+    return dedup_insert(incoming, existing, DEAL_KEY).select("id")
+
+
+@register(
+    "state_update_merge",
+    oracle_with_deals(
+        f"""
+        SELECT id,
+               CASE WHEN payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+                         AND payload_cid IS NOT NULL
+                    THEN 'PAYLOAD_CID_RESOLVED'
+                    ELSE payload_retrievability_state END AS payload_retrievability_state,
+               CASE WHEN payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+                         AND payload_cid IS NOT NULL
+                    THEN TIMESTAMP '{REF_TS}'
+                    ELSE last_payload_retrieval_attempt END AS last_payload_retrieval_attempt
+        FROM deals
+        """
+    ),
+)
+def q_state_update_merge(spark, sf_dir):
+    """S7: point-UPDATE state transition as a merge (anti-join + union) —
+    resolve-payload-cids.js:107-123. Updates side: unresolved deals whose
+    payload arrived; everything else passes through untouched."""
+    deals = deals_df(spark, sf_dir).select(
+        "id", "payload_retrievability_state", "last_payload_retrieval_attempt"
+    )
+    resolved = (
+        deals_df(spark, sf_dir)
+        .where(
+            (F.col("payload_retrievability_state") == "PAYLOAD_CID_UNRESOLVED")
+            & F.col("payload_cid").isNotNull()
+        )
+        .select(
+            "id",
+            F.lit("PAYLOAD_CID_RESOLVED").alias("payload_retrievability_state"),
+            F.lit(REF_TS).cast("timestamp_ntz").alias("last_payload_retrieval_attempt"),
+        )
+    )
+    return merge_update(deals, resolved, ["id"])
+
+
+@register(
+    "mark_submitted",
+    oracle_with_deals(
+        f"""
+        SELECT d.id,
+               CASE WHEN d.id IN (
+                      SELECT id FROM deals
+                      WHERE submitted_at IS NULL AND payload_cid IS NOT NULL
+                        AND activated_at_epoch < {SEASONED_EPOCH})
+                    THEN TIMESTAMP '{REF_TS}' ELSE d.submitted_at END AS submitted_at
+        FROM deals d
+        """
+    ),
+)
+def q_mark_submitted(spark, sf_dir):
+    """S8/J1: bulk flag UPDATE via broadcast id-list join
+    (spark-api-submit-deals.js:89-101)."""
+    deals = deals_df(spark, sf_dir)
+    ids = deals.where(
+        F.col("submitted_at").isNull()
+        & F.col("payload_cid").isNotNull()
+        & (F.col("activated_at_epoch") < SEASONED_EPOCH)
+    ).select("id")
+    return mark_submitted(
+        deals.select("id", "submitted_at"), ids, flag_value=F.lit(REF_TS).cast("timestamp_ntz")
+    )
+
+
+@register(
+    "submit_payload_projection",
+    oracle_with_deals(
+        """
+        SELECT id,
+               'f0' || CAST(miner_id AS STRING) AS miner_handle,
+               CAST(piece_size AS STRING) AS piece_size_str,
+               to_json(struct_pack(minerId := 'f0' || CAST(miner_id AS STRING),
+                                   pieceCid := piece_cid)) AS body
+        FROM deals WHERE payload_cid IS NOT NULL
+        """
+    ),
+)
+def q_submit_payload_projection(spark, sf_dir):
+    """S10/F9/F10/F11: egress body shaping — `f0${id}` prefix, bigint→string,
+    JSON serialize (spark-api-submit-deals.js:111-142)."""
+    deals = deals_df(spark, sf_dir)
+    miner_handle = F.concat(F.lit("f0"), F.col("miner_id").cast("string"))
+    return deals.where(F.col("payload_cid").isNotNull()).select(
+        "id",
+        miner_handle.alias("miner_handle"),
+        F.col("piece_size").cast("string").alias("piece_size_str"),
+        F.to_json(F.struct(miner_handle.alias("minerId"), F.col("piece_cid").alias("pieceCid"))).alias(
+            "body"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_isnull",
+    oracle_with_deals("SELECT id, piece_cid FROM deals WHERE payload_cid IS NULL"),
+)
+def q_filter_isnull(spark, sf_dir):
+    """P1 (resolve-payload-cids.js:73)."""
+    return deals_df(spark, sf_dir).where(F.col("payload_cid").isNull()).select("id", "piece_cid")
+
+
+@register("filter_bool", oracle_with_deals("SELECT id, miner_id FROM deals WHERE reverted"))
+def q_filter_bool(spark, sf_dir):
+    """P2 (resolve-payload-cids.js:83)."""
+    return deals_df(spark, sf_dir).where(F.col("reverted")).select("id", "miner_id")
+
+
+@register(
+    "filter_enum_eq",
+    oracle_with_deals(
+        "SELECT id FROM deals WHERE payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'"
+    ),
+)
+def q_filter_enum_eq(spark, sf_dir):
+    """P3 (resolve-payload-cids.js:94)."""
+    return (
+        deals_df(spark, sf_dir)
+        .where(F.col("payload_retrievability_state") == "PAYLOAD_CID_UNRESOLVED")
+        .select("id")
+    )
+
+
+@register(
+    "filter_compound",
+    oracle_with_deals(
+        f"""
+        SELECT id, payload_retrievability_state FROM deals
+        WHERE payload_cid IS NULL
+          AND (payload_retrievability_state = 'PAYLOAD_CID_NOT_QUERIED_YET'
+               OR payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED')
+          AND (last_payload_retrieval_attempt IS NULL
+               OR last_payload_retrieval_attempt < TIMESTAMP '{REF_TS}' - INTERVAL 3 DAYS)
+        """
+    ),
+)
+def q_filter_compound(spark, sf_dir):
+    """P4: the enrichment work-queue predicate with 3-valued-logic null
+    handling and the 3-day retry cutoff (resolve-payload-cids.js:64,20,34)."""
+    cutoff = F.lit(REF_TS).cast("timestamp_ntz") - F.expr("INTERVAL 3 DAYS")
+    state = F.col("payload_retrievability_state")
+    return (
+        deals_df(spark, sf_dir)
+        .where(
+            F.col("payload_cid").isNull()
+            & ((state == "PAYLOAD_CID_NOT_QUERIED_YET") | (state == "PAYLOAD_CID_UNRESOLVED"))
+            & (
+                F.col("last_payload_retrieval_attempt").isNull()
+                | (F.col("last_payload_retrieval_attempt") < cutoff)
+            )
+        )
+        .select("id", "payload_retrievability_state")
+    )
+
+
+@register("eligible_deals", oracle_with_deals(ELIGIBLE_DEALS_ORACLE_BODY))
+def q_eligible_deals(spark, sf_dir):
+    """P5/P6/J2/F1/F2: the flagship egress-eligibility query
+    (spark-api-submit-deals.js:51-81)."""
+    return eligible_deals(deals_df(spark, sf_dir))
+
+
+@register(
+    "project_computed",
+    oracle_with_deals(
+        f"""
+        SELECT id, miner_id, client_id, piece_cid, piece_size,
+               CAST(TIMESTAMP '1970-01-01 00:00:00'
+                    + INTERVAL ((term_start_epoch + term_min) * {EPOCH_SECONDS}
+                                + {GENESIS_UNIX}) SECOND AS TIMESTAMP) AS expires_at
+        FROM deals
+        """
+    ),
+)
+def q_project_computed(spark, sf_dir):
+    """P6: projection with computed+renamed column (spark-api-submit-deals.js:57-64)."""
+    return deals_df(spark, sf_dir).select(
+        "id",
+        "miner_id",
+        "client_id",
+        "piece_cid",
+        "piece_size",
+        epoch_to_timestamp(F.col("term_start_epoch") + F.col("term_min")).alias("expires_at"),
+    )
+
+
+@register(
+    "event_type_filter",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+       WHERE event_type IN ('purchase', 'click') GROUP BY event_type""",
+)
+def q_event_type_filter(spark, sf_dir):
+    """P8: event-type dispatch; unknown types rejected (service.js:66-83)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "range_filter",
+    oracle_with_deals(
+        "SELECT id, activated_at_epoch FROM deals WHERE activated_at_epoch BETWEEN 4622500 AND 4623500"
+    ),
+)
+def q_range_filter(spark, sf_dir):
+    """P9: height-range scan — the reference iterates epoch-by-epoch
+    (deal-observer.js:25-27); declaratively it's one BETWEEN the source prunes."""
+    return (
+        deals_df(spark, sf_dir)
+        .where(F.col("activated_at_epoch").between(4622500, 4623500))
+        .select("id", "activated_at_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_ids",
+    oracle_with_deals(
+        """
+        SELECT id, miner_id FROM deals
+        WHERE id IN (SELECT id FROM deals WHERE reverted)
+        """
+    ),
+)
+def q_semi_join_ids(spark, sf_dir):
+    """J1: semi-join of the state table against an id list
+    (spark-api-submit-deals.js:90-98); the id side is broadcast."""
+    deals = deals_df(spark, sf_dir)
+    ids = deals.where(F.col("reverted")).select("id")
+    return deals.join(F.broadcast(ids), on="id", how="left_semi").select("id", "miner_id")
+
+
+@register(
+    "scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """J2: scalar-subquery comparison (the reference's 1-row CTE,
+    spark-api-submit-deals.js:54-56)."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "dim_lookup_join",
+    oracle_with_deals(
+        """
+        SELECT d.id, d.miner_id, c.c_name AS peer_handle
+        FROM deals d LEFT JOIN customer c ON d.miner_id = c.c_custkey
+        """
+    ),
+)
+def q_dim_lookup_join(spark, sf_dir):
+    """J3: cached dimension lookup → broadcast hash join against the dim table
+    (the LRU cache of resolve-payload-cids.js:162-181 is, in Spark terms, a
+    broadcast table)."""
+    deals = deals_df(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        deals.join(F.broadcast(dim), deals.miner_id == dim.c_custkey, "left")
+        .select("id", "miner_id", F.col("c_name").alias("peer_handle"))
+    )
+
+
+@register(
+    "composite_key_join",
+    oracle_with_deals(
+        """
+        SELECT d.id, p.payload
+        FROM deals d
+        JOIN (SELECT DISTINCT miner_id, piece_cid,
+                     'bafk' || CAST(miner_id AS STRING) || piece_cid AS payload
+              FROM deals WHERE reverted) p
+          ON d.miner_id = p.miner_id AND d.piece_cid = p.piece_cid
+        """
+    ),
+)
+def q_composite_key_join(spark, sf_dir):
+    """J4: composite-key (peer_id, piece_cid) lookup
+    (resolve-payload-cids.js:39; tests :150-154)."""
+    deals = deals_df(spark, sf_dir)
+    dim = (
+        deals.where(F.col("reverted"))
+        .select(
+            "miner_id",
+            "piece_cid",
+            F.concat(F.lit("bafk"), F.col("miner_id").cast("string"), F.col("piece_cid")).alias(
+                "payload"
+            ),
+        )
+        .dropDuplicates(["miner_id", "piece_cid"])
+    )
+    return deals.join(F.broadcast(dim), on=["miner_id", "piece_cid"], how="inner").select(
+        "id", "payload"
+    )
+
+
+@register(
+    "anti_join_dedup",
+    """SELECT o.o_orderkey FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+)
+def q_anti_join_dedup(spark, sf_dir):
+    """J5: left-anti existence check (the ON CONFLICT key probe,
+    deal-observer.js:102)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / dedup
+# ---------------------------------------------------------------------------
+
+
+@register("count_all", oracle_with_deals("SELECT CAST(count(*) AS BIGINT) AS n FROM deals"))
+def q_count_all(spark, sf_dir):
+    """A1 (deal-observer.js:56-60)."""
+    return deals_df(spark, sf_dir).agg(F.count("*").alias("n"))
+
+
+@register(
+    "count_filtered",
+    oracle_with_deals(
+        """
+        SELECT CAST(count(*) FILTER (WHERE payload_cid IS NULL) AS BIGINT) AS unresolved_n,
+               CAST(count(*) FILTER (WHERE reverted) AS BIGINT) AS reverted_n,
+               CAST(count(*) FILTER (WHERE submitted_at IS NOT NULL) AS BIGINT) AS submitted_n
+        FROM deals
+        """
+    ),
+)
+def q_count_filtered(spark, sf_dir):
+    """A2: the reference runs 3 separate filtered COUNTs
+    (resolve-payload-cids.js:72-97); single-pass conditional aggregation here —
+    one scan instead of three."""
+    return deals_df(spark, sf_dir).agg(
+        F.count(F.when(F.col("payload_cid").isNull(), 1)).alias("unresolved_n"),
+        F.count(F.when(F.col("reverted"), 1)).alias("reverted_n"),
+        F.count(F.when(F.col("submitted_at").isNotNull(), 1)).alias("submitted_n"),
+    )
+
+
+@register(
+    "count_by_state",
+    oracle_with_deals(
+        """SELECT payload_retrievability_state, CAST(count(*) AS BIGINT) AS n
+           FROM deals GROUP BY payload_retrievability_state"""
+    ),
+)
+def q_count_by_state(spark, sf_dir):
+    """A2 (grouped form): per-state counts as one groupBy — map-side partial
+    aggregation makes this a single small shuffle."""
+    return deals_df(spark, sf_dir).groupBy("payload_retrievability_state").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "argmax_row",
+    oracle_with_deals(
+        """SELECT id, activated_at_epoch, miner_id FROM deals
+           ORDER BY activated_at_epoch DESC, id DESC LIMIT 1"""
+    ),
+)
+def q_argmax_row(spark, sf_dir):
+    """A3/O1: latest-deal watermark read (deal-observer.js:46-50); Spark plans
+    TakeOrderedAndProject — no full sort. id DESC tiebreak keeps it deterministic."""
+    return (
+        deals_df(spark, sf_dir)
+        .orderBy(F.col("activated_at_epoch").desc(), F.col("id").desc())
+        .limit(1)
+        .select("id", "activated_at_epoch", "miner_id")
+    )
+
+
+@register(
+    "count_distinct",
+    oracle_with_deals(
+        "SELECT CAST(count(DISTINCT activated_at_epoch) AS BIGINT) AS n_epochs FROM deals"
+    ),
+)
+def q_count_distinct(spark, sf_dir):
+    """A4 (deal-observer.test.js:282)."""
+    return deals_df(spark, sf_dir).agg(F.countDistinct("activated_at_epoch").alias("n_epochs"))
+
+
+@register(
+    "dedup_9col",
+    oracle_with_deals(
+        """SELECT DISTINCT activated_at_epoch, miner_id, client_id, piece_cid, piece_size,
+                  term_start_epoch, term_min, term_max, sector_id FROM deals"""
+    ),
+)
+def q_dedup_9col(spark, sf_dir):
+    """A5: the 9-column natural-key dedup (unique constraint, migration 008)."""
+    return deals_df(spark, sf_dir).select(*DEAL_KEY).dropDuplicates(list(DEAL_KEY))
+
+
+@register(
+    "dedup_first_per_key",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+         FROM events) t WHERE rn = 1""",
+)
+def q_dedup_first_per_key(spark, sf_dir):
+    """A5 (deterministic full-row form): first row per key — what the UNIQUE
+    constraint's first-writer-wins semantics look like as a window."""
+    ev = _t(spark, sf_dir, "events")
+    return first_per_key(ev, ["user_id", "event_type"], [F.col("event_id")]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top1_desc",
+    oracle_with_deals(
+        "SELECT id, activated_at_epoch FROM deals ORDER BY activated_at_epoch DESC, id DESC LIMIT 1"
+    ),
+)
+def q_top1_desc(spark, sf_dir):
+    """O1 (deal-observer.js:47)."""
+    return (
+        deals_df(spark, sf_dir)
+        .orderBy(F.col("activated_at_epoch").desc(), F.col("id").desc())
+        .limit(1)
+        .select("id", "activated_at_epoch")
+    )
+
+
+@register(
+    "topn_asc",
+    oracle_with_deals(
+        """SELECT id, activated_at_epoch FROM deals
+           WHERE payload_cid IS NULL ORDER BY activated_at_epoch ASC, id ASC LIMIT 100"""
+    ),
+)
+def q_topn_asc(spark, sf_dir):
+    """O2: oldest-first bounded work queue (resolve-payload-cids.js:64, limit
+    1000/iteration). TakeOrderedAndProject keeps it a per-partition top-k +
+    driver merge — no global sort."""
+    return (
+        deals_df(spark, sf_dir)
+        .where(F.col("payload_cid").isNull())
+        .orderBy(F.col("activated_at_epoch").asc(), F.col("id").asc())
+        .limit(100)
+        .select("id", "activated_at_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_to_ts",
+    oracle_with_deals(
+        f"""
+        SELECT id, CAST(TIMESTAMP '1970-01-01 00:00:00'
+               + INTERVAL (activated_at_epoch * {EPOCH_SECONDS} + {GENESIS_UNIX}) SECOND
+               AS TIMESTAMP) AS activated_ts
+        FROM deals
+        """
+    ),
+)
+def q_epoch_to_ts(spark, sf_dir):
+    """F1: epoch→timestamp as a pure column expression (no UDF; reference
+    needs a plpgsql function, migration 005)."""
+    return deals_df(spark, sf_dir).select(
+        "id", epoch_to_timestamp("activated_at_epoch").alias("activated_ts")
+    )
+
+
+@register(
+    "ts_to_epoch",
+    f"""SELECT event_id,
+         CAST(FLOOR((epoch(CAST(ts AS TIMESTAMP)) - {GENESIS_UNIX}) / {EPOCH_SECONDS}) AS BIGINT)
+           AS epoch_n
+       FROM events""",
+)
+def q_ts_to_epoch(spark, sf_dir):
+    """F2: timestamp→epoch (migration 006 / backend/lib/epoch.js:9-21)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", timestamp_to_epoch("ts").alias("epoch_n"))
+
+
+@register(
+    "b64_roundtrip",
+    """SELECT event_id, to_base64(encode(event_type)) AS b64,
+              decode(from_base64(to_base64(encode(event_type)))) AS decoded
+       FROM events""",
+)
+def q_b64_roundtrip(spark, sf_dir):
+    """F3: base64pad encode/decode (rpc-service/utils.js:9-11) — JVM built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    b64 = F.base64(F.encode(F.col("event_type"), "utf-8"))
+    return ev.select(
+        "event_id", b64.alias("b64"), F.unbase64(b64).cast("string").alias("decoded")
+    )
+
+
+@register(
+    "str_concat",
+    oracle_with_deals("SELECT id, 'f0' || CAST(miner_id AS STRING) AS miner_handle FROM deals"),
+)
+def q_str_concat(spark, sf_dir):
+    """F9 (spark-api-submit-deals.js:120-121)."""
+    return deals_df(spark, sf_dir).select(
+        "id", F.concat(F.lit("f0"), F.col("miner_id").cast("string")).alias("miner_handle")
+    )
+
+
+@register(
+    "cast_str",
+    oracle_with_deals("SELECT id, CAST(piece_size AS STRING) AS piece_size_str FROM deals"),
+)
+def q_cast_str(spark, sf_dir):
+    """F10: bigint→string for JSON egress (spark-api-submit-deals.js:123)."""
+    return deals_df(spark, sf_dir).select(
+        "id", F.col("piece_size").cast("string").alias("piece_size_str")
+    )
+
+
+@register(
+    "interval_arith",
+    f"""SELECT o_orderkey,
+         o_orderdate + INTERVAL 2 DAYS AS seasoned_at,
+         (o_orderdate < TIMESTAMP '{REF_TS}' - INTERVAL 2 DAYS) AS is_seasoned
+       FROM orders""",
+)
+def q_interval_arith(spark, sf_dir):
+    """F12: date/interval arithmetic (spark-api-submit-deals.js:55)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("seasoned_at"),
+        (F.col("o_orderdate") < F.lit(REF_TS).cast("timestamp_ntz") - F.expr("INTERVAL 2 DAYS")).alias(
+            "is_seasoned"
+        ),
+    )
+
+
+@register(
+    "from_json_validate",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+)
+def q_from_json_validate(spark, sf_dir):
+    """F15: schema-validated JSON parse (`Value.Parse` boundary,
+    service.js:36-39) — from_json + null filter is the Spark idiom for
+    reject-on-mismatch."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("k_val"))
+        .where(F.col("k_val").isNotNull())
+    )
+
+
+@register(
+    "entries_pivot",
+    """SELECT event_id,
+              CAST(user_id AS STRING) AS user_entry,
+              event_type AS type_entry
+       FROM events""",
+)
+def q_entries_pivot(spark, sf_dir):
+    """F7: entries-array → record pivot (rpc-service/utils.js:19-53). Builds
+    the Key/Value entry array, pivots it back through map_from_entries, and
+    extracts typed fields — all JVM-side, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    entries = F.array(
+        F.struct(F.lit("user").alias("Key"), F.col("user_id").cast("string").alias("Value")),
+        F.struct(F.lit("$type").alias("Key"), F.col("event_type").alias("Value")),
+    )
+    m = F.map_from_entries(entries)
+    return ev.select(
+        "event_id",
+        m.getItem("user").alias("user_entry"),
+        m.getItem("$type").alias("type_entry"),
+    )
+
+
+@register("event_to_deal", oracle_with_deals("SELECT * FROM deals"))
+def q_event_to_deal(spark, sf_dir):
+    """F8: the full event→deal reshape (backend/lib/utils.js:11-27) — the
+    shared deals derivation itself."""
+    return deals_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# headline analytics (bench workload; TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+              ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+              ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+              ROUND(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    """Headline agg (TPC-H Q1 shape): wide scan + grouped sums — the classic
+    map-side-partial-agg plan; one shuffle of a handful of groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_revenue_by_nation",
+    """SELECT n.n_name, ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+              AS revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def q_agg_revenue_by_nation(spark, sf_dir):
+    """Headline join pipeline: fact⋈fact shuffle join + two broadcast dims.
+    customer/nation are broadcast (no shuffle); lineitem⋈orders co-shuffles
+    on orderkey once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_top_order_per_cust",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t WHERE rn = 1""",
+)
+def q_window_top_order_per_cust(spark, sf_dir):
+    """Headline window: argmax-per-group via row_number — one shuffle on the
+    partition key, no self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

@@ -1,0 +1,60 @@
+"""Parquet table registry for the synthetic test corpus (TESTDATA.md).
+
+Each scale-factor directory holds one parquet file per table. Loading is a
+plain `spark.read.parquet` — columnar scan, predicate pushdown and column
+pruning come free from the parquet DataSource (the reference hand-rolls its
+columnar path via `unnest` arrays, deal-observer.js:88-101; here it's native).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
+    # spark.sql.legacy.parquet.nanosAsLong; normalize to micro-precision
+    # TIMESTAMP_NTZ (`ts div 1000` stays in integer space — double math would
+    # lose precision above 2^53 ns). NTZ matches how Spark's parquet reader
+    # infers the corpus's other (naive) timestamp columns and keeps collected
+    # values independent of the driver's host timezone; DuckDB truncates
+    # ns→us the same way.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (idempotent, lazy).
+
+    Also pins runtime confs (UTC session timezone) so queries behave the same
+    under an externally created SparkSession (the driver's).
+    """
+    apply_runtime_conf(spark)
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
