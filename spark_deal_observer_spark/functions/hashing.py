@@ -1,0 +1,114 @@
+"""Portable deterministic hashing — identical results in Spark SQL and DuckDB.
+
+The near-dup operator family (MinHash, SimHash, fingerprints) needs token
+hashes that the DuckDB oracle can reproduce bit-for-bit. Neither engine's
+native `hash()` matches the other, but both expose `md5()` over UTF-8 bytes
+with identical lowercase-hex output — so every hash here is a fixed-width
+prefix of md5 folded into a BIGINT via an explicit hex-digit polynomial
+(`instr`/`substr` behave identically in both dialects).
+
+Where the dialects genuinely diverge (array lambdas, bit shifts), the
+builders take a `dialect` argument and emit structurally identical
+expressions, so Spark plans stay whole-stage-codegen'd JVM expressions —
+no Python UDF anywhere in the dedup hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+HEX = "0123456789abcdef"
+
+# Fixed MinHash permutation parameters (seeded, stable across runs).
+_MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+_rng = random.Random(42)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, _MINHASH_PRIME) | 1, _rng.randrange(0, _MINHASH_PRIME)) for _ in range(16)
+]
+
+
+def hex_poly(md5_expr: str, n_digits: int) -> str:
+    """Fold the first `n_digits` hex chars of an md5 expression into a BIGINT."""
+    terms = [
+        # CAST the weight to BIGINT: ANSI Spark otherwise multiplies in int32
+        # and overflows for digits ≥ 2^28.
+        f"(instr('{HEX}', substr({md5_expr}, {k + 1}, 1)) - 1)"
+        f" * CAST({16 ** (n_digits - 1 - k)} AS BIGINT)"
+        for k in range(n_digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash32_sql(x: str) -> str:
+    """Portable 32-bit hash of a string expression (BIGINT in [0, 2^32))."""
+    return f"CAST({hex_poly(f'md5({x})', 8)} AS BIGINT)"
+
+
+def shingles_sql(dialect: str, text: str, k: int = 5) -> str:
+    """Distinct character k-shingles of `text` as an array expression."""
+    n = f"greatest(length({text}) - {k - 1}, 1)"
+    if dialect == "spark":
+        return f"array_distinct(transform(sequence(1, {n}), i -> substring({text}, i, {k})))"
+    return f"list_distinct(list_transform(generate_series(1, {n}), i -> substr({text}, i, {k})))"
+
+
+def tokens_sql(dialect: str, text: str) -> str:
+    """Non-empty whitespace-separated tokens of `text` as an array expression."""
+    if dialect == "spark":
+        return f"filter(split({text}, ' '), t -> length(t) > 0)"
+    return f"list_filter(string_split({text}, ' '), t -> length(t) > 0)"
+
+
+def minhash_sql(dialect: str, shingles: str, perm: int) -> str:
+    """One MinHash value: min over shingles of (a*h32(s) + b) mod p."""
+    a, b = MINHASH_PERMS[perm]
+    # Reduce the 32-bit hash mod p before multiplying: a < 2^31 and h%p < 2^31
+    # keep a*h < 2^62, inside signed-64 range (ANSI Spark throws on overflow).
+    inner = f"({a} * ({hash32_sql('s')} % {_MINHASH_PRIME}) + {b}) % {_MINHASH_PRIME}"
+    if dialect == "spark":
+        return f"array_min(transform({shingles}, s -> {inner}))"
+    return f"list_min(list_transform({shingles}, s -> {inner}))"
+
+
+def simhash_sql(dialect: str, hashed_tokens: str, n_tokens: str, bits: int = 32) -> str:
+    """SimHash over a pre-hashed token array (each element a 32-bit BIGINT).
+
+    Bit b of the result is set iff more than half the tokens have bit b set.
+    `hashed_tokens`/`n_tokens` are expression strings so the (expensive) md5
+    pass runs once, not once per bit.
+    """
+    if dialect == "spark":
+        size_f, filter_f = "size", "filter"
+
+        def bit(b: int) -> str:
+            return f"(shiftright(h, {b}) & 1) = 1"
+
+    else:
+        size_f, filter_f = "len", "list_filter"
+
+        def bit(b: int) -> str:
+            return f"((h >> {b}) & 1) = 1"
+
+    terms = [
+        f"(CASE WHEN 2 * {size_f}({filter_f}({hashed_tokens}, h -> {bit(b)})) > {n_tokens} "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hashed_tokens_sql(dialect: str, tokens: str) -> str:
+    """Map a token array to its 32-bit hashes (one md5 pass per token)."""
+    if dialect == "spark":
+        return f"transform({tokens}, t -> {hash32_sql('t')})"
+    return f"list_transform({tokens}, t -> {hash32_sql('t')})"
+
+
+def normalize_text_sql(dialect: str, text: str) -> str:
+    """Canonical form for fingerprinting: lowercase, non-alnum stripped to
+    single spaces, trimmed. DuckDB's regexp_replace replaces only the first
+    match unless given the 'g' flag; Spark always replaces globally."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text}), '[^a-z0-9 ]', ' '{g}), ' +', ' '{g}))"
+    )

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, fingerprinting.
+
+All pure generated-SQL column expressions (JVM-side in Spark) with DuckDB
+twins — at 100 TB these run inside the scan stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import normalize_text_sql, tokens_sql
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "de", "y"),
+    "it": ("il", "che", "di", "la", "per"),
+}
+_LANG_ORDER = tuple(STOPWORDS)  # deterministic tiebreak order
+
+
+def _stop_hits(dialect: str, toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> array_contains(array({lst}), t)))"
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+def token_count_sql(dialect: str, text: str) -> dict[str, str]:
+    """Whitespace token count + regex (BPE-ish) token count."""
+    toks = tokens_sql(dialect, text)
+    if dialect == "spark":
+        return {
+            "ws_tokens": f"size({toks})",
+            "bpe_tokens": f"size(regexp_extract_all({text}, '{_BPE_RE}', 0))",
+        }
+    return {
+        "ws_tokens": f"len({toks})",
+        "bpe_tokens": f"len(regexp_extract_all({text}, '{_BPE_RE}', 0))",
+    }
+
+
+def quality_sql(dialect: str, text: str) -> dict[str, str]:
+    """Length / punctuation / stopword quality signals + composite score.
+
+    Score = mean token length bounded + stopword ratio − punctuation ratio,
+    rounded; a deterministic stand-in for the usual Gopher-style filters.
+    """
+    toks = tokens_sql(dialect, text)
+    size_f = "size" if dialect == "spark" else "len"
+    n_toks = f"{size_f}({toks})"
+    g = ", 'g'" if dialect == "duckdb" else ""
+    n_punct = f"length(regexp_replace({text}, '[a-zA-Z0-9 ]', ''{g}))"
+    stop_hits = _stop_hits(dialect, toks, STOPWORDS["en"])
+    return {
+        "n_chars_calc": f"length({text})",
+        "n_tokens": n_toks,
+        "punct_ratio": f"ROUND(CAST({n_punct} AS DOUBLE) / length({text}), 6)",
+        "stopword_ratio": f"ROUND(CAST({stop_hits} AS DOUBLE) / {n_toks}, 6)",
+        "quality_score": (
+            f"ROUND(least(CAST(length({text}) AS DOUBLE) / {n_toks}, 10.0) / 10.0"
+            f" + CAST({stop_hits} AS DOUBLE) / {n_toks}"
+            f" - CAST({n_punct} AS DOUBLE) / length({text}), 6)"
+        ),
+    }
+
+
+def lang_id_sql(dialect: str, text: str) -> str:
+    """Stopword-vote language ID with deterministic first-wins tiebreak."""
+    toks = tokens_sql(dialect, text)
+    scores = {lang: _stop_hits(dialect, toks, STOPWORDS[lang]) for lang in _LANG_ORDER}
+    clauses = []
+    for i, lang in enumerate(_LANG_ORDER):
+        others = [scores[o] for o in _LANG_ORDER[i + 1 :]]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in others) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def fingerprint_sql(dialect: str, text: str) -> str:
+    """Content fingerprint: md5 of the normalized text."""
+    return f"md5({normalize_text_sql(dialect, text)})"
+
+
+# -- Spark DataFrame wrappers ----------------------------------------------
+
+
+def with_token_counts(docs: DataFrame) -> DataFrame:
+    exprs = token_count_sql("spark", "text")
+    return docs.select(
+        "doc_id", *[F.expr(e).cast("int").alias(k) for k, e in exprs.items()]
+    )
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    exprs = quality_sql("spark", "text")
+    casts = {"n_chars_calc": "int", "n_tokens": "int"}
+    return docs.select(
+        "doc_id",
+        *[F.expr(e).cast(casts.get(k, "double")).alias(k) for k, e in exprs.items()],
+    )
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang", F.expr(lang_id_sql("spark", "text")).alias("lang_pred")
+    )
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(fingerprint_sql("spark", "text")).alias("fingerprint"))

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas functions via mapInPandas.
+
+A 100 TB multimodal corpus stores media as `binary` columns next to a typed
+metadata struct; decode/resize/feature-extraction runs as mapInPandas so
+each Arrow batch crosses the JVM↔Python boundary once. The actual
+image/audio codecs are NOT available in this environment, so `decode_media`
+is stubbed: real codecs raise NotImplementedError; the `fake/*` codec used
+by the tests is a deterministic byte-level transform. Everything around the
+stub — schema, batch iteration, partition-preserving plumbing — is real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("num_bytes", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a media table: binary payload + typed metadata.
+
+    Payload is the UTF-8 encoding of `text` under the `fake/text` codec —
+    a deterministic stand-in for real image bytes."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("fake/text").alias("codec"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+    )
+
+
+def decode_media(payload: bytes, codec: str) -> bytes:
+    """Decode a media payload. Real codecs are unavailable in this
+    environment and raise; the fake codec is the identity transform."""
+    if codec.startswith("fake/"):
+        return payload
+    raise NotImplementedError(
+        f"codec {codec!r}: real decoders (PIL/ffmpeg) are not installed; "
+        "only fake/* codecs are supported here"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction through mapInPandas (Arrow batches).
+
+    Features are deterministic (length, first byte, md5) so the DuckDB
+    oracle can recompute them from the source text — which makes the whole
+    binary → pandas → features plumbing value-checkable."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [
+                decode_media(bytes(p), c) for p, c in zip(pdf["payload"], pdf["codec"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "num_bytes": [len(b) for b in decoded],
+                    "first_byte": [b[0] if len(b) else -1 for b in decoded],
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_features_oracle() -> str:
+    """DuckDB twin of attach_media ∘ extract_features (ASCII corpus: the
+    first byte is the first character's code point)."""
+    return """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS num_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+               md5(text) AS content_md5
+        FROM documents
+    """

@@ -1,0 +1,261 @@
+"""Document deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies over a `documents(doc_id, text, lang, source, n_chars)`
+table, each expressed so the hot path stays JVM-side (generated SQL column
+expressions — no Python UDFs) and each with a DuckDB-oracle SQL twin built
+from the same formula generators (functions/hashing.py):
+
+  * exact          — md5(normalized text) group-by; one shuffle of 16-byte keys
+  * minhash LSH    — shingle → 16 MinHashes → banded keys → bucket self-join;
+                     the scale path: candidate pairs are generated per band
+                     bucket, never all-pairs
+  * simhash        — 32-bit per-doc signature; hamming≤k pairs via xor+bit_count
+  * n-gram Jaccard — exact Jaccard on distinct 5-gram sets for candidate pairs
+  * embedding      — cosine near-dup over `embeddings(vec_id, embedding, label)`
+
+At 100 TB: exact dedup shuffles only (hash, doc_id) pairs; MinHash banding
+bounds the self-join to same-bucket groups (skew-salted by AQE); the pairwise
+verify steps only ever run on candidate pairs, which is the point of LSH.
+The all-pairs-within-group forms used for the small-SF oracle are explicitly
+candidate-generation stand-ins — the group key (source/label/band) is the
+blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_PERMS,
+    hash32_sql,
+    hashed_tokens_sql,
+    minhash_sql,
+    normalize_text_sql,
+    shingles_sql,
+    simhash_sql,
+    tokens_sql,
+)
+
+N_MINHASH = 8  # signature width used by the LSH queries
+N_BANDS = 4  # 4 bands × 2 rows: catches pairs with Jaccard ≳ 0.5
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fingerprint, n_docs, keep_doc_id): one row per content group;
+    `keep_doc_id` is the smallest doc_id (the canonical survivor). Shuffles
+    only (md5, doc_id) — at 100 TB this is the cheapest possible dedup pass.
+    """
+    fp = F.expr(normalize_text_sql("spark", "text"))
+    return (
+        docs.select(F.md5(fp).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def exact_dedup_groups_oracle() -> str:
+    fp = normalize_text_sql("duckdb", "text")
+    return f"""
+        SELECT md5({fp}) AS fingerprint,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5({fp})
+    """
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
+    """Per-document MinHash signature as columns mh0..mh{n-1}.
+
+    One generated-SQL pass: shingle set is materialized once per row, each
+    permutation is an array_min over it — all whole-stage codegen.
+    """
+    sh = shingles_sql("spark", "text")
+    cols = [F.expr(minhash_sql("spark", sh, j)).alias(f"mh{j}") for j in range(n)]
+    return docs.select("doc_id", *cols)
+
+
+def minhash_signatures_oracle(n: int = N_MINHASH) -> str:
+    sh = shingles_sql("duckdb", "text")
+    cols = ", ".join(f"{minhash_sql('duckdb', sh, j)} AS mh{j}" for j in range(n))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash (doc_a < doc_b).
+
+    Bands are exploded to (band_id, band_key, doc_id) and candidates come
+    from a self-join on the band bucket — the classic LSH shape that scales:
+    the join key is (band_id, band_key), so only same-bucket docs ever meet.
+    """
+    sigs = minhash_signatures(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.alias("x")
+    right = exploded.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_lsh_pairs_oracle() -> str:
+    sig = minhash_signatures_oracle()
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '-' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS STRING)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sigs AS ({sig}),
+        bands AS ({band_selects})
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    """
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per document (token-level)."""
+    tok = tokens_sql("spark", "text")
+    ht = hashed_tokens_sql("spark", tok)
+    expr = simhash_sql("spark", ht, f"size({tok})")
+    return docs.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_signatures_oracle() -> str:
+    tok = tokens_sql("duckdb", "text")
+    ht = hashed_tokens_sql("duckdb", tok)
+    expr = simhash_sql("duckdb", ht, f"len({tok})")
+    return f"SELECT doc_id, {expr} AS simhash FROM documents"
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked by `source`.
+
+    Hamming = bit_count(xor) — pure JVM. The `source` column is the blocking
+    key standing in for the band-prefix blocking a 100 TB run would use
+    (split the 32 bits into prefixes, self-join per prefix)."""
+    sigs = simhash_signatures(docs).join(docs.select("doc_id", "source"), "doc_id")
+    x, y = sigs.alias("x"), sigs.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+def simhash_near_pairs_oracle(max_hamming: int = 6) -> str:
+    sig = simhash_signatures_oracle()
+    return f"""
+        WITH sigs0 AS ({sig}),
+        sigs AS (SELECT s.doc_id, s.simhash, d.source
+                 FROM sigs0 s JOIN documents d ON s.doc_id = d.doc_id)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM sigs x JOIN sigs y
+          ON x.source = y.source AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+    """
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Exact Jaccard over distinct 5-gram sets for same-`source` candidate
+    pairs (doc_a < doc_b, jaccard rounded to 6 dp).
+
+    array_intersect/size are codegen'd; |A∪B| = |A|+|B|−|A∩B| avoids building
+    the union array."""
+    sh = F.expr(shingles_sql("spark", "text"))
+    with_sh = docs.select("doc_id", "source", sh.alias("sh"))
+    x, y = with_sh.alias("x"), with_sh.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    union = F.size(F.col("x.sh")) + F.size(F.col("y.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        x.join(
+            y,
+            (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.35) -> str:
+    sh = shingles_sql("duckdb", "text")
+    return f"""
+        WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 ROUND(CAST(len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS DOUBLE)
+                       / (len(x.sh) + len(y.sh)
+                          - len(list_filter(x.sh, e -> list_contains(y.sh, e)))), 6) AS jaccard
+          FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+        WHERE jaccard >= {threshold}
+    """
+
+
+__all__ = [
+    "N_MINHASH",
+    "N_BANDS",
+    "MINHASH_PERMS",
+    "hash32_sql",
+    "exact_dedup_groups",
+    "exact_dedup_groups_oracle",
+    "minhash_signatures",
+    "minhash_signatures_oracle",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_oracle",
+    "simhash_signatures",
+    "simhash_signatures_oracle",
+    "simhash_near_pairs",
+    "simhash_near_pairs_oracle",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_oracle",
+]

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (`embeddings(vec_id, embedding
+float[], label)`).
+
+Three tiers, mirroring how ANN actually scales:
+  * brute-force cosine top-k — exact baseline; a broadcast of the query
+    vector against a full scan (fine for one query over any corpus size —
+    it's one pass, no shuffle)
+  * IVF-style partition-restricted top-k — `label` stands in for a coarse
+    quantizer cell: search only the query's cell. At 100 TB the table is
+    written partitioned by cell id, so the scan prunes to one partition.
+  * sign-LSH bucketed top-k — deterministic hyperplane-free sketch (sign
+    pattern of coordinate differences) as the bucket key; bucket join then
+    exact re-rank inside the bucket.
+
+All cosine math is generated SQL over the array column (zip_with/aggregate
+in Spark, list_transform/list_sum in DuckDB) — JVM-side, no Python UDF.
+Floats are upcast to double before multiplying; results round to 6 dp so
+both engines land on the same representable value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64  # corpus embedding width
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine_spark(a: str, b: str) -> str:
+    return (
+        f"ROUND({_dot_spark(a, b)} / "
+        f"(sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)})), 6)"
+    )
+
+
+def cosine_duck(a: str, b: str) -> str:
+    return (
+        f"ROUND({_dot_duck(a, b)} / "
+        f"(sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)})), 6)"
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact cosine top-k against the embedding of `query_vec_id`.
+
+    The 1-row query side is broadcast; the scan side never shuffles — Spark
+    plans broadcast-nested-loop + TakeOrderedAndProject."""
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def brute_force_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
+    cos = cosine_duck("e.embedding", "q.embedding")
+    return f"""
+        SELECT e.vec_id, e.label, {cos} AS cosine
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) q
+        WHERE e.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """IVF-style ANN: restrict the scan to the query's coarse cell (label).
+
+    With the table partitioned by cell, the `label = q.label` predicate is
+    partition pruning — the 100 TB scan reads one cell."""
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
+    cos = cosine_duck("e.embedding", "q.embedding")
+    return f"""
+        SELECT e.vec_id, e.label, {cos} AS cosine
+        FROM embeddings e
+        JOIN (SELECT embedding, label FROM embeddings WHERE vec_id = {query_vec_id}) q
+          ON e.label = q.label
+        WHERE e.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+_SIGN_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8)]  # 1-based coordinate pairs
+
+
+def _bucket_spark(col: str) -> str:
+    bits = [
+        f"(CASE WHEN CAST({col}[{i - 1}] AS DOUBLE) >= CAST({col}[{j - 1}] AS DOUBLE) "
+        f"THEN {1 << n} ELSE 0 END)"
+        for n, (i, j) in enumerate(_SIGN_PAIRS)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_duck(col: str) -> str:
+    bits = [
+        f"(CASE WHEN CAST({col}[{i}] AS DOUBLE) >= CAST({col}[{j}] AS DOUBLE) "
+        f"THEN {1 << n} ELSE 0 END)"
+        for n, (i, j) in enumerate(_SIGN_PAIRS)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucket_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Sign-LSH ANN: bucket by the sign pattern of 4 coordinate comparisons,
+    search only the query's bucket, exact re-rank inside it.
+
+    The bucket key is computed in one codegen'd expression; at scale the
+    bucket id is the shuffle/partition key, so the candidate set per query
+    is ~1/16 of the corpus."""
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_spark("embedding")))
+    q = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        bucketed.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
+    cos = cosine_duck("e.embedding", "q.embedding")
+    return f"""
+        WITH b AS (SELECT vec_id, label, embedding, {_bucket_duck('embedding')} AS bucket
+                   FROM embeddings)
+        SELECT e.vec_id, e.label, {cos} AS cosine
+        FROM b e JOIN (SELECT embedding, bucket FROM b WHERE vec_id = {query_vec_id}) q
+          ON e.bucket = q.bucket
+        WHERE e.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label cell."""
+    x, y = emb.alias("x"), emb.alias("y")
+    cos = F.expr(cosine_spark("x.embedding", "y.embedding"))
+    return (
+        x.join(
+            y, (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") < F.col("y.vec_id"))
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_oracle(threshold: float = 0.4) -> str:
+    cos = cosine_duck("x.embedding", "y.embedding")
+    return f"""
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cosine
+          FROM embeddings x JOIN embeddings y
+            ON x.label = y.label AND x.vec_id < y.vec_id)
+        WHERE cosine >= {threshold}
+    """

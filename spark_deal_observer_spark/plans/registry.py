@@ -817,6 +817,153 @@ def q_window_top_order_per_cust(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup families (documents table)
+# ---------------------------------------------------------------------------
+
+from ..functions.text import (  # noqa: E402
+    fingerprint_sql,
+    lang_id_sql,
+    quality_sql,
+    token_count_sql,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+from ..multimodal.media import attach_media, extract_features, media_features_oracle  # noqa: E402
+from ..operators import dedup as dd  # noqa: E402
+from ..operators import similarity as sim  # noqa: E402
+
+
+@register("dedup_exact", dd.exact_dedup_groups_oracle())
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(normalized text) hash-groupBy."""
+    return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_sig", dd.minhash_signatures_oracle())
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (8 permutations over distinct 5-gram shingles)."""
+    return dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", dd.minhash_lsh_pairs_oracle())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Banded-MinHash LSH candidate pairs (4 bands × 2 rows)."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", dd.simhash_signatures_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures (token-level)."""
+    return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", dd.simhash_near_pairs_oracle())
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 6, source-blocked)."""
+    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", dd.ngram_jaccard_pairs_oracle())
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs (threshold 0.35, source-blocked)."""
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding", sim.embedding_near_pairs_oracle())
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4, label-blocked)."""
+    return sim.embedding_near_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+@register("ann_brute_force", sim.brute_force_topk_oracle())
+def q_ann_brute_force(spark, sf_dir):
+    """Exact cosine top-10 for the vec_id=0 query (broadcast + single scan)."""
+    return sim.brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_ivf_label", sim.ivf_topk_oracle())
+def q_ann_ivf_label(spark, sf_dir):
+    """IVF-style ANN: search restricted to the query's coarse cell."""
+    return sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh_bucket", sim.lsh_bucket_topk_oracle())
+def q_ann_lsh_bucket(spark, sf_dir):
+    """Sign-LSH bucketed ANN with exact re-rank inside the bucket."""
+    return sim.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def _text_oracle(exprs: dict[str, str], casts: dict[str, str] | None = None) -> str:
+    casts = casts or {}
+    cols = ", ".join(
+        f"CAST({e} AS {casts.get(k, 'DOUBLE')}) AS {k}" for k, e in exprs.items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@register(
+    "text_token_count",
+    _text_oracle(token_count_sql("duckdb", "text"), {"ws_tokens": "INT", "bpe_tokens": "INT"}),
+)
+def q_text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    return with_token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    _text_oracle(quality_sql("duckdb", "text"), {"n_chars_calc": "INT", "n_tokens": "INT"}),
+)
+def q_text_quality(spark, sf_dir):
+    """Length/punctuation/stopword quality signals + composite score."""
+    return with_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {lang_id_sql('duckdb', 'text')} AS lang_pred FROM documents",
+)
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-vote language identification heuristic."""
+    return with_lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {fingerprint_sql('duckdb', 'text')} AS fingerprint FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of normalized text."""
+    return with_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", media_features_oracle())
+def q_multimodal_features(spark, sf_dir):
+    """Binary media payloads → Arrow-batched mapInPandas feature extraction.
+
+    The only Python-side query in the catalog — deliberately, to exercise
+    the pandas/Arrow boundary the multimodal path needs."""
+    return extract_features(attach_media(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
