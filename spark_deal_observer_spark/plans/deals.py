@@ -31,32 +31,39 @@ SEASONED_EPOCH = (REF_UNIX - 2 * 86400 - GENESIS_UNIX) // EPOCH_SECONDS  # = 462
 REF_EPOCH = (REF_UNIX - GENESIS_UNIX) // EPOCH_SECONDS  # = 4628760
 
 # Dialect-portable (Spark SQL + DuckDB) derivation of the deal state table.
-# Column set mirrors FIXTURES.md §3 / db/migrations/002..011.
-DEALS_VIEW_SQL = """
-SELECT
-  CAST(event_id AS BIGINT)                      AS id,
-  CAST(4622000 + (event_id % 2000) AS INT)      AS activated_at_epoch,
-  CAST(user_id AS INT)                          AS miner_id,
-  CAST(event_id % 97 AS INT)                    AS client_id,
-  'baga' || CAST(event_id % 701 AS STRING)      AS piece_cid,
-  CAST(FLOOR(value * 1000000) AS BIGINT)        AS piece_size,
-  CAST(4622100 + (event_id % 2000) AS INT)      AS term_start_epoch,
-  CAST(5000 + (event_id % 13) * 200 AS INT)     AS term_min,
-  CAST(10000 + (event_id % 13) * 400 AS INT)    AS term_max,
-  CAST(event_id % 1024 AS BIGINT)               AS sector_id,
-  CASE WHEN value > 5.0
-       THEN 'bafy' || CAST(event_id % 389 AS STRING) END AS payload_cid,
-  CASE WHEN event_id % 3 = 0 THEN ts END        AS submitted_at,
-  CASE event_type
-    WHEN 'purchase' THEN 'PAYLOAD_CID_RESOLVED'
-    WHEN 'view'     THEN 'PAYLOAD_CID_UNRESOLVED'
-    WHEN 'error'    THEN 'PAYLOAD_CID_TERMINALLY_UNRETRIEVABLE'
-    ELSE 'PAYLOAD_CID_NOT_QUERIED_YET'
-  END                                           AS payload_retrievability_state,
-  CASE WHEN event_type = 'view' THEN ts END     AS last_payload_retrieval_attempt,
-  (event_type = 'error')                        AS reverted
-FROM events
-""".strip()
+# Column set mirrors FIXTURES.md §3 / db/migrations/002..011. Kept as
+# (expression, name) pairs so the streaming ingest can reuse the exact same
+# derivation via selectExpr on an unbounded events stream.
+DEAL_COLUMN_EXPRS: tuple[tuple[str, str], ...] = (
+    ("CAST(event_id AS BIGINT)", "id"),
+    ("CAST(4622000 + (event_id % 2000) AS INT)", "activated_at_epoch"),
+    ("CAST(user_id AS INT)", "miner_id"),
+    ("CAST(event_id % 97 AS INT)", "client_id"),
+    ("'baga' || CAST(event_id % 701 AS STRING)", "piece_cid"),
+    ("CAST(FLOOR(value * 1000000) AS BIGINT)", "piece_size"),
+    ("CAST(4622100 + (event_id % 2000) AS INT)", "term_start_epoch"),
+    ("CAST(5000 + (event_id % 13) * 200 AS INT)", "term_min"),
+    ("CAST(10000 + (event_id % 13) * 400 AS INT)", "term_max"),
+    ("CAST(event_id % 1024 AS BIGINT)", "sector_id"),
+    (
+        "CASE WHEN value > 5.0 THEN 'bafy' || CAST(event_id % 389 AS STRING) END",
+        "payload_cid",
+    ),
+    ("CASE WHEN event_id % 3 = 0 THEN ts END", "submitted_at"),
+    (
+        "CASE event_type WHEN 'purchase' THEN 'PAYLOAD_CID_RESOLVED' "
+        "WHEN 'view' THEN 'PAYLOAD_CID_UNRESOLVED' "
+        "WHEN 'error' THEN 'PAYLOAD_CID_TERMINALLY_UNRETRIEVABLE' "
+        "ELSE 'PAYLOAD_CID_NOT_QUERIED_YET' END",
+        "payload_retrievability_state",
+    ),
+    ("CASE WHEN event_type = 'view' THEN ts END", "last_payload_retrieval_attempt"),
+    ("(event_type = 'error')", "reverted"),
+)
+
+DEAL_SELECT_EXPRS: tuple[str, ...] = tuple(f"{e} AS {n}" for e, n in DEAL_COLUMN_EXPRS)
+
+DEALS_VIEW_SQL = "SELECT\n  " + ",\n  ".join(DEAL_SELECT_EXPRS) + "\nFROM events"
 
 
 def oracle_with_deals(body: str) -> str:

@@ -955,6 +955,103 @@ def q_text_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+from ..operators.state import resolve_tick  # noqa: E402
+from ..sources.events import decode_raw_events, synth_raw_events  # noqa: E402
+
+
+@register(
+    "resolve_state_tick",
+    oracle_with_deals(
+        f"""
+        , peers AS (
+            SELECT DISTINCT miner_id, 'peer' || CAST(miner_id AS STRING) AS peer_id
+            FROM deals WHERE miner_id % 3 != 0),
+        pay AS (
+            SELECT DISTINCT p.peer_id, d.piece_cid,
+                   'bafyres' || p.peer_id || d.piece_cid AS found_payload
+            FROM deals d JOIN peers p ON d.miner_id = p.miner_id
+            WHERE d.client_id % 2 = 0),
+        queue AS (
+            SELECT id FROM deals
+            WHERE payload_cid IS NULL
+              AND payload_retrievability_state IN
+                  ('PAYLOAD_CID_NOT_QUERIED_YET', 'PAYLOAD_CID_UNRESOLVED')
+              AND (last_payload_retrieval_attempt IS NULL
+                   OR last_payload_retrieval_attempt < TIMESTAMP '{REF_TS}' - INTERVAL 3 DAYS)
+            ORDER BY activated_at_epoch, id LIMIT 1000),
+        enr AS (
+            SELECT d.id, pc.found_payload
+            FROM deals d JOIN queue q ON d.id = q.id
+            LEFT JOIN peers pe ON d.miner_id = pe.miner_id
+            LEFT JOIN pay pc ON pe.peer_id = pc.peer_id AND d.piece_cid = pc.piece_cid)
+        SELECT d.id,
+          CASE WHEN e.id IS NULL THEN d.payload_cid ELSE e.found_payload END AS payload_cid,
+          CASE WHEN e.id IS NULL THEN d.payload_retrievability_state
+               WHEN e.found_payload IS NOT NULL THEN 'PAYLOAD_CID_RESOLVED'
+               WHEN d.payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+                    THEN 'PAYLOAD_CID_TERMINALLY_UNRETRIEVABLE'
+               ELSE 'PAYLOAD_CID_UNRESOLVED' END AS payload_retrievability_state,
+          CASE WHEN e.id IS NULL THEN d.last_payload_retrieval_attempt
+               ELSE TIMESTAMP '{REF_TS}' END AS last_payload_retrieval_attempt
+        FROM deals d LEFT JOIN enr e ON d.id = e.id
+        """
+    ),
+)
+def q_resolve_state_tick(spark, sf_dir):
+    """T5: one full enrichment tick of the retry state machine — work queue
+    (P4+O2), broadcast dimension joins (J3/J4), state transitions, merge
+    (resolve-payload-cids.js:32-55). Dimensions are derived deterministically
+    from the deals view (partial coverage, like the reference's fixtures)."""
+    deals = deals_df(spark, sf_dir)
+    peers = (
+        deals.where(F.col("miner_id") % 3 != 0)
+        .select("miner_id")
+        .dropDuplicates()
+        .withColumn("peer_id", F.concat(F.lit("peer"), F.col("miner_id").cast("string")))
+    )
+    pay = (
+        deals.join(peers, "miner_id")
+        .where(F.col("client_id") % 2 == 0)
+        .select("peer_id", "piece_cid")
+        .dropDuplicates()
+        .withColumn(
+            "payload_cid", F.concat(F.lit("bafyres"), F.col("peer_id"), F.col("piece_cid"))
+        )
+    )
+    out = resolve_tick(deals, peers, pay, F.lit(REF_TS).cast("timestamp_ntz"), 1000)
+    return out.select(
+        "id", "payload_cid", "payload_retrievability_state", "last_payload_retrieval_attempt"
+    )
+
+
+@register(
+    "cbor_decode_pipeline",
+    """
+    SELECT CAST(4622000 + event_id % 2000 AS INT) AS height,
+           'f06' AS emitter,
+           (event_type = 'error') AS reverted,
+           'claim' AS event_type,
+           CAST(event_id AS BIGINT) AS claim_id,
+           CAST(event_id % 97 AS BIGINT) AS client,
+           CAST(user_id AS BIGINT) AS provider,
+           CAST((event_id % 64 + 1) * 1073741824 AS BIGINT) AS piece_size,
+           CAST(518400 + (event_id % 5) * 2880 AS BIGINT) AS term_min,
+           CAST(1036800 AS BIGINT) AS term_max,
+           CAST(4622000 + event_id % 2000 AS BIGINT) AS term_start,
+           CAST(event_id % 1024 AS BIGINT) AS sector
+    FROM events WHERE event_type != 'signup'
+    """,
+)
+def q_cbor_decode_pipeline(spark, sf_dir):
+    """F3/F4/F7/F15/P8: the full ingest decode — base64pad + dag-CBOR entries
+    → pivoted claim records, unknown types rejected (service.js:51-86).
+    Encode and decode both run as Arrow-batched mapInPandas; the oracle is
+    the roundtrip identity on the integer fields (the CID string form is
+    pytest-golden-checked instead — base32 isn't SQL-expressible)."""
+    ev = _t(spark, sf_dir, "events")
+    return decode_raw_events(synth_raw_events(ev)).drop("piece_cid")
+
+
 @register("multimodal_features", media_features_oracle())
 def q_multimodal_features(spark, sf_dir):
     """Binary media payloads → Arrow-batched mapInPandas feature extraction.

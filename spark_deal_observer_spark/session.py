@@ -22,12 +22,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    mapInPandas/pandas-UDF closures reference this package by module name;
+    an externally launched driver (arbitrary cwd, package not installed)
+    would otherwise hit ModuleNotFoundError in the UDF worker processes.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sdo_pyfile_added", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_base = os.path.join(tempfile.gettempdir(), f"sdo_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=pkg_root, base_dir="spark_deal_observer_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._sdo_pyfile_added = True
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Set runtime-mutable confs on an externally provided session.
 
     The driver hands us its own SparkSession; timezone determinism and AQE
     must still hold there.
     """
+    ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),

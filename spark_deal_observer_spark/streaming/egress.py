@@ -1,0 +1,90 @@
+"""Egress loop: submit eligible deals to an external API in bounded batches.
+
+Reference (backend/lib/spark-api-submit-deals.js:15-101): cursor-read
+eligible deals 100 at a time, POST each batch, mark successes as submitted,
+skip (don't retry) failed batches this pass — at-least-once with partial
+failure tolerance (T7).
+
+Spark-first: the eligibility query is the declarative plan; batches come
+from `toLocalIterator` (a true cursor — one partition in flight at a time,
+no full collect); the POST is an injected callable so tests (and air-gapped
+runs) stub it; mark-submitted is the broadcast-id merge. At scale, swap
+`toLocalIterator` for `foreachPartition` posting executor-side — the
+batching/marking logic is unchanged, which is why it lives here driver-side
+in the readable form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.deals import eligible_deals
+from .sink import DealTableSink
+
+Poster = Callable[[list[dict[str, Any]]], dict[str, int]]
+DEFAULT_BATCH_SIZE = 100  # SPARK_API_SUBMIT_DEALS_BATCH_SIZE default
+
+
+def _batches(rows, size: int):
+    buf: list = []
+    for r in rows:
+        buf.append(r)
+        if len(buf) == size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def submit_eligible(
+    sink: DealTableSink,
+    poster: Poster,
+    *,
+    now: Column | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    eligible: Callable[[DataFrame], DataFrame] = eligible_deals,
+) -> dict[str, int]:
+    """One egress tick. Returns {'submitted': n, 'ingested': n, 'skipped': n}.
+
+    Failed POSTs skip the batch (logged by the caller via the returned
+    counts) and leave submitted_at NULL, so the next tick retries them —
+    the reference's semantics (spark-api-submit-deals.js:17-29).
+    """
+    deals = sink.read()
+    todo = eligible(deals)
+
+    result = {"submitted": 0, "ingested": 0, "skipped": 0}
+    ok_ids: list[int] = []
+    for batch in _batches(todo.toLocalIterator(), batch_size):
+        payload = [
+            {
+                "minerId": f"f0{r['miner_id']}",
+                "clientId": f"f0{r['client_id']}",
+                "pieceCid": r["piece_cid"],
+                "pieceSize": str(r["piece_size"]),  # bigint→string (F10)
+                "expiresAt": r["expires_at"].isoformat(),
+            }
+            for r in batch
+        ]
+        try:
+            resp = poster(payload)
+        except Exception:
+            continue  # batch skipped, not retried this pass (T7)
+        result["submitted"] += len(batch)
+        result["ingested"] += int(resp.get("ingested", len(batch)))
+        result["skipped"] += int(resp.get("skipped", 0))
+        ok_ids.extend(int(r["id"]) for r in batch)
+
+    if ok_ids:
+        ids_df = sink.spark.createDataFrame([(i,) for i in ok_ids], "id LONG")
+        flag = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
+        updates = (
+            deals.join(F.broadcast(ids_df), "id", "left_semi")
+            .withColumn("submitted_at", flag)
+        )
+        sink.merge_overwrite(updates.select(*deals.columns), ["id"])
+    return result
