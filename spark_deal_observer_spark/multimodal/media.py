@@ -75,6 +75,86 @@ def decode_media(payload: bytes, codec: str) -> bytes:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("num_bytes", IntegerType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int) -> DataFrame:
+    """Resize pass: decode → byte-level downscale → re-encode, per Arrow batch.
+
+    With real codecs this is PIL `Image.resize`; the fake codec's "resize" is
+    a deterministic truncation to `target_bytes` so the oracle can recompute
+    it. The plumbing (binary in, binary out, 1:1 rows, mapInPandas batch
+    shape) is exactly what the real kernel needs."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            resized = [
+                decode_media(bytes(p), c)[:target_bytes]
+                for p, c in zip(pdf["payload"], pdf["codec"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "num_bytes": pd.Series([len(b) for b in resized], dtype="int32"),
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into fixed-size frames, keep every
+    k-th — the video-keyframe pattern as a row-expanding (1:N) mapInPandas.
+
+    With real codecs the frames come from ffmpeg; here a frame is a
+    `frame_bytes` slice of the decoded payload (last frame may be short)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            md5s: list[str] = []
+            for d, p, c in zip(pdf["doc_id"], pdf["payload"], pdf["codec"]):
+                b = decode_media(bytes(p), c)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    ids.append(d)
+                    idxs.append(i)
+                    md5s.append(
+                        hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Byte-level feature extraction through mapInPandas (Arrow batches).
 

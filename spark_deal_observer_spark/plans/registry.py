@@ -831,7 +831,13 @@ from ..functions.text import (  # noqa: E402
     with_quality,
     with_token_counts,
 )
-from ..multimodal.media import attach_media, extract_features, media_features_oracle  # noqa: E402
+from ..multimodal.media import (  # noqa: E402
+    attach_media,
+    extract_features,
+    media_features_oracle,
+    resize_media,
+    sample_frames,
+)
 from ..operators import dedup as dd  # noqa: E402
 from ..operators import similarity as sim  # noqa: E402
 
@@ -1059,6 +1065,42 @@ def q_multimodal_features(spark, sf_dir):
     The only Python-side query in the catalog — deliberately, to exercise
     the pandas/Arrow boundary the multimodal path needs."""
     return extract_features(attach_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(LEAST(octet_length(encode(text)), 256) AS INT) AS num_bytes,
+           md5(substr(text, 1, 256)) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal resize pass: binary payload → decode → downscale → binary,
+    1:1 rows through mapInPandas. Fake codec resize = byte truncation, so the
+    oracle recomputes it with substr (ASCII corpus: chars == bytes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return resize_media(attach_media(docs), 256).select("doc_id", "num_bytes", "content_md5")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS fi
+      FROM documents)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           md5(substr(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: payload → fixed-size frames → every 4th,
+    a row-expanding (1:N) mapInPandas — the video-keyframe extraction shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_media(docs), frame_bytes=64, every_k=4)
 
 
 def queries() -> dict[str, SparkQuery]:
