@@ -27,7 +27,14 @@ HEADLINE = [
     "window_top_order_per_cust",
     "count_by_state",
     "topn_asc",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
 ]
+
+# Each query runs RUNS times; the minimum is reported. First execution pays
+# one-time costs (file-index listing, codegen compile of this exact plan)
+# that a long-lived cluster amortizes away; min-of-N is the steady state.
+RUNS = 2
 
 
 def main() -> None:
@@ -48,9 +55,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

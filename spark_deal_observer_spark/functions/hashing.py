@@ -39,9 +39,16 @@ def hex_poly(md5_expr: str, n_digits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def hash32_sql(x: str) -> str:
-    """Portable 32-bit hash of a string expression (BIGINT in [0, 2^32))."""
-    return f"CAST({hex_poly(f'md5({x})', 8)} AS BIGINT)"
+def hash32_sql(x: str, dialect: str = "spark") -> str:
+    """Portable 32-bit hash of a string expression (BIGINT in [0, 2^32)).
+
+    Both engines parse the md5 hex prefix natively — Spark via conv(_,16,10),
+    DuckDB via the 0x-literal cast — and produce the identical integer. The
+    native parse replaces an 8-term instr/substr polynomial (hex_poly) that
+    dominated MinHash signature cost."""
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def shingles_sql(dialect: str, text: str, k: int = 5) -> str:
@@ -64,10 +71,30 @@ def minhash_sql(dialect: str, shingles: str, perm: int) -> str:
     a, b = MINHASH_PERMS[perm]
     # Reduce the 32-bit hash mod p before multiplying: a < 2^31 and h%p < 2^31
     # keep a*h < 2^62, inside signed-64 range (ANSI Spark throws on overflow).
-    inner = f"({a} * ({hash32_sql('s')} % {_MINHASH_PRIME}) + {b}) % {_MINHASH_PRIME}"
+    inner = f"({a} * ({hash32_sql('s', dialect)} % {_MINHASH_PRIME}) + {b}) % {_MINHASH_PRIME}"
     if dialect == "spark":
         return f"array_min(transform({shingles}, s -> {inner}))"
     return f"list_min(list_transform({shingles}, s -> {inner}))"
+
+
+def hashed_shingles_sql(dialect: str, text: str, k: int = 5) -> str:
+    """Shingle set mapped to 31-bit hashes — the md5 pass runs ONCE per
+    shingle here; every MinHash permutation is then pure arithmetic over the
+    pre-hashed array (`minhash_from_hashed_sql`). Computing md5 inside each
+    permutation instead multiplies the dominant cost by the signature width."""
+    sh = shingles_sql(dialect, text, k)
+    tf = "transform" if dialect == "spark" else "list_transform"
+    return f"{tf}({sh}, s -> {hash32_sql('s', dialect)} % {_MINHASH_PRIME})"
+
+
+def minhash_from_hashed_sql(dialect: str, hashed: str, perm: int) -> str:
+    """One MinHash value over a pre-hashed shingle array (see
+    hashed_shingles_sql): min of (a*h + b) mod p — no md5 in sight."""
+    a, b = MINHASH_PERMS[perm]
+    inner = f"({a} * h + {b}) % {_MINHASH_PRIME}"
+    if dialect == "spark":
+        return f"array_min(transform({hashed}, h -> {inner}))"
+    return f"list_min(list_transform({hashed}, h -> {inner}))"
 
 
 def simhash_sql(dialect: str, hashed_tokens: str, n_tokens: str, bits: int = 32) -> str:
@@ -100,8 +127,8 @@ def simhash_sql(dialect: str, hashed_tokens: str, n_tokens: str, bits: int = 32)
 def hashed_tokens_sql(dialect: str, tokens: str) -> str:
     """Map a token array to its 32-bit hashes (one md5 pass per token)."""
     if dialect == "spark":
-        return f"transform({tokens}, t -> {hash32_sql('t')})"
-    return f"list_transform({tokens}, t -> {hash32_sql('t')})"
+        return f"transform({tokens}, t -> {hash32_sql('t', dialect)})"
+    return f"list_transform({tokens}, t -> {hash32_sql('t', dialect)})"
 
 
 def normalize_text_sql(dialect: str, text: str) -> str:

@@ -29,13 +29,27 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MINHASH_PERMS,
     hash32_sql,
+    hashed_shingles_sql,
     hashed_tokens_sql,
+    minhash_from_hashed_sql,
     minhash_sql,
     normalize_text_sql,
     shingles_sql,
     simhash_sql,
     tokens_sql,
 )
+
+
+def spread_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's full parallelism.
+
+    Signature computation is CPU-bound and orders of magnitude heavier than
+    the narrow (doc_id, text) rows it reads; a small parquet file arrives as
+    ONE input split, serializing the whole pass onto one core. The repartition
+    shuffle moves only the narrow text rows and buys every core. On a real
+    100 TB corpus the scan already has thousands of splits and this is a
+    cheap rebalance (AQE folds it away when splits ≥ parallelism)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 N_MINHASH = 8  # signature width used by the LSH queries
 N_BANDS = 4  # 4 bands × 2 rows: catches pairs with Jaccard ≳ 0.5
@@ -76,18 +90,23 @@ def exact_dedup_groups_oracle() -> str:
 def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
     """Per-document MinHash signature as columns mh0..mh{n-1}.
 
-    One generated-SQL pass: shingle set is materialized once per row, each
-    permutation is an array_min over it — all whole-stage codegen.
+    Two codegen'd passes: shingles are md5-hashed ONCE into a 31-bit array,
+    then each permutation is an array_min of pure arithmetic over it — the
+    md5 cost is paid once regardless of signature width.
     """
-    sh = shingles_sql("spark", "text")
-    cols = [F.expr(minhash_sql("spark", sh, j)).alias(f"mh{j}") for j in range(n)]
-    return docs.select("doc_id", *cols)
+    hs = hashed_shingles_sql("spark", "text")
+    cols = [
+        F.expr(minhash_from_hashed_sql("spark", "hs", j)).alias(f"mh{j}") for j in range(n)
+    ]
+    return spread_cpu(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(hs).alias("hs")
+    ).select("doc_id", *cols)
 
 
 def minhash_signatures_oracle(n: int = N_MINHASH) -> str:
-    sh = shingles_sql("duckdb", "text")
-    cols = ", ".join(f"{minhash_sql('duckdb', sh, j)} AS mh{j}" for j in range(n))
-    return f"SELECT doc_id, {cols} FROM documents"
+    hs = hashed_shingles_sql("duckdb", "text")
+    cols = ", ".join(f"{minhash_from_hashed_sql('duckdb', 'hs', j)} AS mh{j}" for j in range(n))
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {hs} AS hs FROM documents)"
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -110,16 +129,21 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = exploded.alias("x")
-    right = exploded.alias("y")
+    # One shuffle on the bucket key, signatures computed once. A self-join
+    # formulation would evaluate the signature subtree twice and shuffle two
+    # full copies; grouping collects each bucket's ids and emits the a<b
+    # pairs in-place. LSH buckets are small by construction — a pathological
+    # hot bucket degrades either formulation identically (m² pairs on one
+    # key), so this loses nothing on skew.
+    buckets = exploded.groupBy("band", "key").agg(F.collect_set("doc_id").alias("ids"))
+    pairs = (
+        "flatten(transform(ids, "
+        "a -> transform(filter(ids, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     return (
-        left.join(
-            right,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.where(F.size("ids") > 1)
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -151,7 +175,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     tok = tokens_sql("spark", "text")
     ht = hashed_tokens_sql("spark", tok)
     expr = simhash_sql("spark", ht, f"size({tok})")
-    return docs.select("doc_id", F.expr(expr).alias("simhash"))
+    return spread_cpu(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(expr).alias("simhash")
+    )
 
 
 def simhash_signatures_oracle() -> str:
@@ -208,7 +234,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
     array_intersect/size are codegen'd; |A∪B| = |A|+|B|−|A∩B| avoids building
     the union array."""
     sh = F.expr(shingles_sql("spark", "text"))
-    with_sh = docs.select("doc_id", "source", sh.alias("sh"))
+    with_sh = spread_cpu(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", sh.alias("sh")
+    )
     x, y = with_sh.alias("x"), with_sh.alias("y")
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
     union = F.size(F.col("x.sh")) + F.size(F.col("y.sh")) - inter

@@ -168,9 +168,23 @@ def lsh_bucket_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
 
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label cell."""
-    x, y = emb.alias("x"), emb.alias("y")
-    cos = F.expr(cosine_spark("x.embedding", "y.embedding"))
+    """Embedding-cosine near-duplicate pairs, blocked by label cell.
+
+    Norms are computed once per VECTOR in a narrow pre-pass, not once per
+    pair — the pairwise stage then does a single dot product. Same doubles
+    as the inline form (identical op order: sqrt of the self-dot), so oracle
+    parity is preserved while the O(n²) stage sheds 2/3 of its flops."""
+    from .dedup import spread_cpu
+
+    norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
+    base = spread_cpu(emb.select("vec_id", "label", "embedding")).select(
+        "vec_id", "label", "embedding", norm.alias("nrm")
+    )
+    x, y = base.alias("x"), base.alias("y")
+    cos = F.round(
+        F.expr(_dot_spark("x.embedding", "y.embedding")) / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
     return (
         x.join(
             y, (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") < F.col("y.vec_id"))

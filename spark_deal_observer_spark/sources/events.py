@@ -107,6 +107,8 @@ def synth_raw_events(events: DataFrame) -> DataFrame:
     except 'signup' which becomes an unknown type ('allocation') so the
     reject-unknown path has data to reject."""
 
+    from ..operators.dedup import spread_cpu
+
     def encode(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -143,7 +145,10 @@ def synth_raw_events(events: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RAW_EVENT_SCHEMA.fields])
 
-    return events.mapInPandas(encode, RAW_EVENT_SCHEMA)
+    # The pure-Python CBOR encode is ~1000× heavier per row than the scan;
+    # a small parquet file arrives as one split, which would serialize the
+    # whole pass onto a single Python worker. Spread first.
+    return spread_cpu(events).mapInPandas(encode, RAW_EVENT_SCHEMA)
 
 
 def decode_raw_events(raw: DataFrame, strict: bool = False) -> DataFrame:
