@@ -54,7 +54,12 @@ def attach_media(docs: DataFrame) -> DataFrame:
     """Wrap documents as a media table: binary payload + typed metadata.
 
     Payload is the UTF-8 encoding of `text` under the `fake/text` codec —
-    a deterministic stand-in for real image bytes."""
+    a deterministic stand-in for real image bytes. The scan is spread to
+    full parallelism first: every downstream media kernel is CPU-bound
+    Python, and a small file would otherwise feed a single worker."""
+    from ..operators.dedup import spread_cpu
+
+    docs = spread_cpu(docs)
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),

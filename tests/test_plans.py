@@ -1,0 +1,112 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, locked in as tests so a refactor can't silently regress them.
+
+Each assertion is a property that matters at 100 TB:
+  * filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+  * dimension joins broadcast instead of shuffling the fact side
+  * single-pass pipelines stay in one WholeStageCodegen span (no Exchange)
+  * aggregations are two-phase (map-side partial combine before the shuffle)
+  * top-k plans as TakeOrderedAndProject, never a global sort
+  * the JVM-only operator families really contain no Python evaluation
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_ORACLE
+
+from spark_deal_observer_spark.plans.registry import REGISTRY
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF_ORACLE)
+
+
+def test_scan_filter_pushdown(spark):
+    p = plan(q(spark, "events_scan"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p
+
+
+def test_scan_column_pruning(spark):
+    # events has more columns than the query touches; the scan must not read them
+    p = plan(q(spark, "events_scan"))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" in read_schema
+    assert "props" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name", ["dim_lookup_join", "composite_key_join", "semi_join_ids", "dedup_insert"]
+)
+def test_dimension_joins_broadcast(spark, name):
+    """No shuffle of the big side for any dimension-shaped join."""
+    p = plan(q(spark, name))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_eligible_deals_single_codegen_pass(spark):
+    """The flagship filter+project chain is one codegen'd scan pipeline:
+    zero exchanges, zero sorts — it would scale linearly with input splits."""
+    p = plan(q(spark, "eligible_deals"))
+    assert "Exchange" not in p, p
+    assert "WholeStageCodegen" in p or "*(1)" in p, p
+
+
+def test_aggregation_is_two_phase(spark):
+    """groupBy must partial-aggregate map-side before the shuffle."""
+    p = plan(q(spark, "count_by_state"))
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_count" in p, p
+
+
+@pytest.mark.parametrize("name", ["topn_asc", "top1_desc"])
+def test_topk_avoids_global_sort(spark, name):
+    p = plan(q(spark, name))
+    assert "TakeOrderedAndProject" in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_minhash_sig",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding",
+        "ann_brute_force",
+        "text_token_count",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
+    ],
+)
+def test_hot_paths_have_no_python(spark, name):
+    """The dedup/ANN/text families are generated SQL — any Python evaluator
+    appearing in their plans is a regression to the slow path."""
+    p = plan(q(spark, name))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in p, f"{marker} in {name} plan:\n{p}"
+
+
+@pytest.mark.parametrize(
+    "name", ["cbor_decode_pipeline", "multimodal_features", "multimodal_frame_sample"]
+)
+def test_python_stages_are_parallel(spark, name):
+    """The declared-Python pipelines must not funnel through one partition:
+    the mapInPandas input must carry the full-parallelism repartition."""
+    p = plan(q(spark, name))
+    assert "MapInPandas" in p, p
+    assert "REPARTITION_BY_NUM" in p or "RoundRobinPartitioning" in p, p
+
+
+def test_minhash_lsh_single_signature_pass(spark):
+    """The LSH bucket formulation computes signatures once: exactly one scan
+    of documents in the plan (a self-join shape would show two)."""
+    p = plan(q(spark, "dedup_minhash_lsh"))
+    assert p.count("FileScan parquet") == 1, p
