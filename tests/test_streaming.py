@@ -109,3 +109,70 @@ def test_egress_marks_submitted_at(spark, dirs):
     )
     assert marked.count() == res["submitted"]
     assert res["ingested"] == res["submitted"]
+
+
+def test_streaming_state_machine_transitions(spark, tmp_path):
+    """T5 as keyed streaming state: NOT_QUERIED→UNRESOLVED→(backoff gate)
+    →TERMINAL, NOT_QUERIED→RESOLVED, absorbing states — across restarts of
+    the query (state survives via checkpoint)."""
+    import pandas as pd
+
+    from spark_deal_observer_spark.operators.state import RESOLVED, TERMINAL, UNRESOLVED
+    from spark_deal_observer_spark.streaming.state_machine import (
+        ATTEMPT_SCHEMA,
+        resolution_state_stream,
+    )
+
+    src = tmp_path / "attempts"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2026, 8, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["id", "attempt_ts", "found_payload"])
+        spark.createDataFrame(pdf, schema=ATTEMPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    collected = []
+
+    def run_and_collect(name):
+        collected.clear()
+        stream = spark.readStream.schema(ATTEMPT_SCHEMA).parquet(str(src / "*"))
+        q = (
+            resolution_state_stream(stream)
+            .writeStream.foreachBatch(
+                lambda batch, _id: collected.extend(r.asDict() for r in batch.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return {r["id"]: r for r in collected}
+
+    # batch 1: deal 1 misses (→UNRESOLVED), deal 2 resolves (→RESOLVED)
+    write_batch("b1", [(1, t0, None), (2, t0, "bafyFOUND")])
+    out = run_and_collect("sm1")
+    assert out[1]["payload_retrievability_state"] == UNRESOLVED
+    assert out[2]["payload_retrievability_state"] == RESOLVED
+    assert out[2]["payload_cid"] == "bafyFOUND"
+
+    # batch 2 (new query run, same checkpoint — state survives):
+    #   deal 1 retried after 1 day → inside backoff, ignored (no output row)
+    #   deal 2 gets another attempt → absorbing, ignored
+    write_batch("b2", [(1, t0 + dt.timedelta(days=1), None), (2, t0, None)])
+    out = run_and_collect("sm2")
+    assert out == {}
+
+    # batch 3: deal 1 retried after 4 days and still missing → TERMINAL
+    write_batch("b3", [(1, t0 + dt.timedelta(days=4), None)])
+    out = run_and_collect("sm3")
+    assert out[1]["payload_retrievability_state"] == TERMINAL
+    assert out[1]["payload_cid"] is None
+
+    # batch 4: even a successful attempt cannot leave TERMINAL
+    write_batch("b4", [(1, t0 + dt.timedelta(days=8), "bafyLATE")])
+    out = run_and_collect("sm4")
+    assert out == {}
