@@ -1,0 +1,48 @@
+"""Event-time windowed aggregation with watermark-bounded lateness.
+
+The reference's telemetry loop emits per-tick counters (telemetry.js:10-39)
+and guards ingestion with a finality lag — "only process data old enough to
+be immutable" (deal-observer-backend.js:29-34). In Spark terms those are one
+construct: an event-time window aggregation behind a watermark. The
+watermark is the finality lag (940 epochs × 30 s for the chain source);
+windows finalize exactly when they pass it, and later-arriving rows for a
+finalized window are dropped — the streaming-native version of "reorgs
+can't touch data past finality".
+
+State size is O(open windows × group cardinality), independent of history —
+the property that lets this run forever on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 940 epochs × 30 s (deal-observer-backend.js:29-34) — callers may pass a
+# shorter lag for tests.
+FINALITY_WATERMARK = "28200 seconds"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = FINALITY_WATERMARK,
+) -> DataFrame:
+    """Per-window, per-type event counts; append-mode (finalized windows only).
+
+    Two-phase aggregation under the hood: map-side partial counts per
+    (window, type), one shuffle of counters. The window column derives from
+    the event time, so partition pruning on ingest date still applies to any
+    batch replay of the same query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -176,3 +176,73 @@ def test_streaming_state_machine_transitions(spark, tmp_path):
     write_batch("b4", [(1, t0 + dt.timedelta(days=8), "bafyLATE")])
     out = run_and_collect("sm4")
     assert out == {}
+
+
+def test_windowed_counts_finalize_and_drop_late(spark, tmp_path):
+    """T2-as-watermark: windows finalize once the watermark passes them and
+    late rows for finalized windows are dropped, across query restarts."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_deal_observer_spark.streaming.windows import windowed_event_counts
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t = dt.datetime(2026, 8, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    collected = []
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            windowed_event_counts(stream, window="10 minutes", watermark="5 minutes")
+            .writeStream.foreachBatch(
+                lambda b, _id: collected.extend(r.asDict() for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    # batch 1: three purchases in [10:00, 10:10); nothing finalizes yet
+    write_batch("b1", [(1, t, "purchase"), (2, t + dt.timedelta(minutes=2), "purchase"),
+                       (3, t + dt.timedelta(minutes=9), "purchase")])
+    run("w1")
+    assert collected == []
+
+    # batch 2: an event at 10:40 pushes the watermark to 10:35 → the
+    # [10:00,10:10) window finalizes with its count of 3
+    write_batch("b2", [(4, t + dt.timedelta(minutes=40), "view")])
+    run("w2")
+    finalized = {(r["window_start"], r["event_type"]): r["n_events"] for r in collected}
+    assert finalized[(t, "purchase")] == 3
+
+    # batch 3: a late purchase at 10:05 — behind the watermark, dropped;
+    # no finalized window changes
+    n_before = len(collected)
+    write_batch("b3", [(5, t + dt.timedelta(minutes=5), "purchase")])
+    run("w3")
+    assert len(collected) == n_before
