@@ -1068,6 +1068,43 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_counts(spark, sf_dir):
+    """T2/S11 batch form: tumbling event-time windows — the same groupBy
+    the streaming query runs behind its watermark (streaming/windows.py),
+    checked here against DuckDB's time_bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "distinct_salted",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_salted(spark, sf_dir):
+    """Skew-spread exact distinct count (operators/skew.py): salt by a hash
+    of the distinct column so per-salt sets are disjoint; two hash
+    aggregates replace one skewed shuffle of full value sets."""
+    from ..operators.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", "n_users")
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,
