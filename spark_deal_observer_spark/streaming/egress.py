@@ -8,10 +8,15 @@ failure tolerance (T7).
 Spark-first: the eligibility query is the declarative plan; batches come
 from `toLocalIterator` (a true cursor — one partition in flight at a time,
 no full collect); the POST is an injected callable so tests (and air-gapped
-runs) stub it; mark-submitted is the broadcast-id merge. At scale, swap
-`toLocalIterator` for `foreachPartition` posting executor-side — the
-batching/marking logic is unchanged, which is why it lives here driver-side
-in the readable form.
+runs) stub it; mark-submitted is the broadcast-id merge.
+
+Two variants of the same tick:
+  * `submit_eligible` — driver-side cursor, the reference's literal shape
+    (one process talks to the API; ordering and counters exactly match).
+  * `submit_eligible_distributed` — the 100 TB shape: each executor
+    partition posts its own batches through `mapInPandas` and emits the ids
+    that succeeded; the merge then flags exactly those. N partitions post
+    concurrently, nothing but ids ever returns to the driver.
 """
 
 from __future__ import annotations
@@ -85,6 +90,70 @@ def submit_eligible(
         updates = (
             deals.join(F.broadcast(ids_df), "id", "left_semi")
             .withColumn("submitted_at", flag)
+        )
+        sink.merge_overwrite(updates.select(*deals.columns), ["id"])
+    return result
+
+
+def submit_eligible_distributed(
+    sink: DealTableSink,
+    poster: Poster,
+    *,
+    now: Column | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    eligible: Callable[[DataFrame], DataFrame] = eligible_deals,
+) -> dict[str, int]:
+    """One egress tick with executor-side POSTs (the scale path).
+
+    `poster` is serialized to the workers (it must be picklable and safe to
+    call concurrently from N partitions). Partial failure keeps the
+    reference's semantics: a failed batch yields no ids, its deals stay
+    unflagged, and the next tick retries them."""
+
+    def post_partition(it):
+        import pandas as pd
+
+        for pdf in it:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                payload = [
+                    {
+                        "minerId": f"f0{r.miner_id}",
+                        "clientId": f"f0{r.client_id}",
+                        "pieceCid": r.piece_cid,
+                        "pieceSize": str(r.piece_size),
+                        "expiresAt": r.expires_at.isoformat(),
+                    }
+                    for r in chunk.itertuples()
+                ]
+                try:
+                    resp = poster(payload)
+                except Exception:
+                    continue  # batch skipped, not retried this pass (T7)
+                n = len(chunk)
+                # batch-level counters ride on the first row only, so a plain
+                # column sum downstream counts each batch once
+                ingested = [int(resp.get("ingested", n))] + [0] * (n - 1)
+                skipped = [int(resp.get("skipped", 0))] + [0] * (n - 1)
+                yield pd.DataFrame(
+                    {"id": chunk["id"], "ingested": ingested, "skipped": skipped}
+                )
+
+    deals = sink.read()
+    todo = eligible(deals)
+    ok = todo.mapInPandas(post_partition, "id long, ingested int, skipped int")
+    # one small action: ids + response counters come back, nothing else
+    ok_rows = ok.collect()
+    result = {
+        "submitted": len(ok_rows),
+        "ingested": sum(r["ingested"] for r in ok_rows),
+        "skipped": sum(r["skipped"] for r in ok_rows),
+    }
+    if ok_rows:
+        ids_df = sink.spark.createDataFrame([(int(r["id"]),) for r in ok_rows], "id LONG")
+        flag = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
+        updates = deals.join(F.broadcast(ids_df), "id", "left_semi").withColumn(
+            "submitted_at", flag
         )
         sink.merge_overwrite(updates.select(*deals.columns), ["id"])
     return result

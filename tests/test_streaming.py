@@ -246,3 +246,48 @@ def test_windowed_counts_finalize_and_drop_late(spark, tmp_path):
     write_batch("b3", [(5, t + dt.timedelta(minutes=5), "purchase")])
     run("w3")
     assert len(collected) == n_before
+
+
+def test_egress_distributed_partial_failure(spark, dirs):
+    """Executor-side egress: batches post from worker partitions; a
+    deterministically failing batch stays unflagged and retries next tick."""
+    from spark_deal_observer_spark.streaming.egress import (
+        submit_eligible,
+        submit_eligible_distributed,
+    )
+
+    deals = deals_df(spark, SF_SMALL)
+    sink = DealTableSink(spark, dirs["table"])
+    sink.append_dedup(deals)
+    now = F.lit(REF_TS).cast("timestamp_ntz")
+
+    # poster pickled to workers: fails any batch containing a minerId
+    # divisible by 5 (content-determined — no driver-side call counters)
+    def poster(payload):
+        if any(int(p["minerId"][2:]) % 5 == 0 for p in payload):
+            raise ConnectionError("spark-api 500")
+        return {"ingested": len(payload), "skipped": 0}
+
+    # reference totals from the driver-side variant on a parallel sink
+    ref_sink = DealTableSink(spark, dirs["table"] + "_ref")
+    ref_sink.append_dedup(deals)
+    res_ref = submit_eligible(ref_sink, poster, now=now, batch_size=7)
+
+    res1 = submit_eligible_distributed(sink, poster, now=now, batch_size=7)
+    assert res1["submitted"] > 0
+    flagged = sink.read().where(F.col("submitted_at") == now).count()
+    assert flagged == res1["submitted"] == res1["ingested"]
+
+    # batch composition differs between the two variants (partitioning), but
+    # both must leave the failing deals unflagged and retry-able
+    res2 = submit_eligible_distributed(
+        sink, lambda p: {"ingested": len(p)}, now=now, batch_size=7
+    )
+    total = res1["submitted"] + res2["submitted"]
+    ref_total = res_ref["submitted"] + submit_eligible(
+        ref_sink, lambda p: {"ingested": len(p)}, now=now, batch_size=7
+    )["submitted"]
+    assert total == ref_total  # every eligible deal submitted exactly once
+    assert submit_eligible_distributed(sink, lambda p: {"ingested": len(p)}, now=now)[
+        "submitted"
+    ] == 0
