@@ -388,9 +388,10 @@ def q_scalar_subquery(spark, sf_dir):
     ),
 )
 def q_dim_lookup_join(spark, sf_dir):
-    """J3: cached dimension lookup → broadcast hash join against the dim table
-    (the LRU cache of resolve-payload-cids.js:162-181 is, in Spark terms, a
-    broadcast table)."""
+    """J3/S5: cached dimension lookup (the minerId→peerId source) →
+    broadcast hash join against the dim table (the LRU cache of
+    resolve-payload-cids.js:162-181 is, in Spark terms, a broadcast
+    table; the smart-contract source of :145-154 is the table itself)."""
     deals = deals_df(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
@@ -413,8 +414,10 @@ def q_dim_lookup_join(spark, sf_dir):
     ),
 )
 def q_composite_key_join(spark, sf_dir):
-    """J4: composite-key (peer_id, piece_cid) lookup
-    (resolve-payload-cids.js:39; tests :150-154)."""
+    """J4/S4: composite-key (peer_id, piece_cid) lookup — the piece-indexer
+    enrichment source as an equi-join, the way the reference's own tests
+    stub it (resolve-payload-cids.js:39; piece-indexer-service.js:19-46;
+    tests :150-154)."""
     deals = deals_df(spark, sf_dir)
     dim = (
         deals.where(F.col("reverted"))
@@ -1049,7 +1052,7 @@ def q_resolve_state_tick(spark, sf_dir):
     """,
 )
 def q_cbor_decode_pipeline(spark, sf_dir):
-    """F3/F4/F7/F15/P8: the full ingest decode — base64pad + dag-CBOR entries
+    """F3/F4/F6/F7/F13/F15/P8: the full ingest decode — base64pad + dag-CBOR entries
     → pivoted claim records, unknown types rejected (service.js:51-86).
     Encode and decode both run as Arrow-batched mapInPandas; the oracle is
     the roundtrip identity on the integer fields (the CID string form is
