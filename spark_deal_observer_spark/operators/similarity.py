@@ -112,6 +112,69 @@ def ivf_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+def ivf_centroid_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_cells: int = 8
+) -> DataFrame:
+    """True IVF: coarse-quantize against real centroid vectors, then search
+    only the query's cell with exact re-rank.
+
+    Centroids are the first `n_cells` corpus vectors (deterministic sampled
+    init — the seeding step k-means would start from). Assignment is one
+    pass: broadcast the C centroids, score n×C affinities, keep the argmax
+    per vector via a window. At 100 TB that pass is the IVF *build* (run
+    once, result written partitioned by cell); the *query* side then prunes
+    to one cell — the same broadcast + TakeOrdered plan as `ivf_topk`.
+    """
+    from pyspark.sql.window import Window
+
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    aff = F.expr(cosine_spark("embedding", "cvec"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "cell", aff.alias("aff")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+    q = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        assigned.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "label", F.col("cell").cast("int").alias("cell"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_centroid_topk_oracle(query_vec_id: int = 0, k: int = 10, n_cells: int = 8) -> str:
+    aff = cosine_duck("e.embedding", "c.cvec")
+    cos = cosine_duck("a.embedding", "q.embedding")
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < {n_cells}),
+        scored AS (
+          SELECT e.vec_id, e.label, e.embedding, c.cell, {aff} AS aff
+          FROM embeddings e, cents c),
+        assigned AS (
+          SELECT vec_id, label, embedding, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT a.vec_id, a.label, CAST(a.cell AS INT) AS cell, {cos} AS cosine
+        FROM assigned a
+        JOIN (SELECT embedding, cell FROM assigned WHERE vec_id = {query_vec_id}) q
+          ON a.cell = q.cell
+        WHERE a.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, a.vec_id LIMIT {k}
+    """
+
+
 _SIGN_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8)]  # 1-based coordinate pairs
 
 

@@ -904,6 +904,13 @@ def q_ann_ivf_label(spark, sf_dir):
     return sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf_centroid", sim.ivf_centroid_topk_oracle())
+def q_ann_ivf_centroid(spark, sf_dir):
+    """True IVF ANN: centroid coarse-quantization (broadcast C centroids,
+    one n×C assignment pass) then cell-restricted exact re-rank."""
+    return sim.ivf_centroid_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ann_lsh_bucket", sim.lsh_bucket_topk_oracle())
 def q_ann_lsh_bucket(spark, sf_dir):
     """Sign-LSH bucketed ANN with exact re-rank inside the bucket."""
