@@ -78,7 +78,7 @@ def start_ingest(
     # surface in StreamingQueryProgress without a second pass.
     stream = stream.observe("ingest", F.count(F.lit(1)).alias("rows"))
 
-    writer = stream.writeStream.outputMode("append").foreachBatch(
+    writer = stream.writeStream.queryName("ingest").outputMode("append").foreachBatch(
         lambda batch, _id: sink.append_dedup(batch)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -291,3 +291,37 @@ def test_egress_distributed_partial_failure(spark, dirs):
     assert submit_eligible_distributed(sink, lambda p: {"ingested": len(p)}, now=now)[
         "submitted"
     ] == 0
+
+
+def test_telemetry_listener_records_observed_metrics(spark, dirs):
+    """S11: the observe() hook + StreamingQueryListener pair records per-batch
+    ingest counters without a second pass over the data."""
+    import time
+
+    from spark_deal_observer_spark.streaming.telemetry import MetricsRecorder
+
+    events = load_table(spark, SF_SMALL, "events")
+    events.write.mode("overwrite").parquet(dirs["source"])
+    n_events = events.count()
+
+    emitted = []
+    rec = MetricsRecorder(emit=emitted.append)
+    spark.streams.addListener(rec)
+    try:
+        q = start_ingest(
+            spark, dirs["source"], dirs["table"], dirs["ckpt"],
+            available_now=True, max_files_per_trigger=1,
+        )
+        _drain(q)
+        # listener callbacks are async to the query thread
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if rec.observed_total("ingest", "ingest", "rows") >= n_events:
+                break
+            time.sleep(0.5)
+        assert rec.observed_total("ingest", "ingest", "rows") == n_events
+        batches = [p for p in rec.points if p["query"] == "ingest" and p["observed"]]
+        assert all(p["duration_ms"] is not None for p in batches)
+        assert emitted  # the fire-and-forget emit seam saw the same points
+    finally:
+        spark.streams.removeListener(rec)
