@@ -34,22 +34,28 @@ TERMINAL = "PAYLOAD_CID_TERMINALLY_UNRETRIEVABLE"
 RETRY_BACKOFF_DAYS = 3  # resolve-payload-cids.js:20,34
 
 
-def work_queue(deals: DataFrame, now: Column, max_deals: int = 1000) -> DataFrame:
+def work_queue(deals: DataFrame, now: Column, max_deals: int | None = 1000) -> DataFrame:
     """Deals eligible for a resolution attempt this tick (predicate P4 +
-    oldest-first bound, resolve-payload-cids.js:63-66)."""
+    oldest-first bound, resolve-payload-cids.js:63-66).
+
+    `max_deals=None` means "attempt everything eligible" and skips the
+    sort+limit entirely — important, because the top-k plan keeps an O(k)
+    priority queue per task, so passing a huge sentinel limit (instead of
+    None) allocates that queue for real and can OOM the executors."""
     cutoff = now - F.expr(f"INTERVAL {RETRY_BACKOFF_DAYS} DAYS")
     state = F.col("payload_retrievability_state")
-    return (
-        deals.where(
-            F.col("payload_cid").isNull()
-            & ((state == NOT_QUERIED) | (state == UNRESOLVED))
-            & (
-                F.col("last_payload_retrieval_attempt").isNull()
-                | (F.col("last_payload_retrieval_attempt") < cutoff)
-            )
+    filtered = deals.where(
+        F.col("payload_cid").isNull()
+        & ((state == NOT_QUERIED) | (state == UNRESOLVED))
+        & (
+            F.col("last_payload_retrieval_attempt").isNull()
+            | (F.col("last_payload_retrieval_attempt") < cutoff)
         )
-        .orderBy(F.col("activated_at_epoch").asc(), F.col("id").asc())
-        .limit(max_deals)
+    )
+    if max_deals is None:
+        return filtered
+    return filtered.orderBy(F.col("activated_at_epoch").asc(), F.col("id").asc()).limit(
+        max_deals
     )
 
 
@@ -58,7 +64,7 @@ def resolve_tick(
     miner_peers: DataFrame,  # (miner_id, peer_id)
     payload_cids: DataFrame,  # (peer_id, piece_cid, payload_cid)
     now: Column,
-    max_deals: int = 1000,
+    max_deals: int | None = 1000,
 ) -> DataFrame:
     """One enrichment tick: returns the post-merge state table.
 

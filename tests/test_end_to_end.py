@@ -71,7 +71,7 @@ def test_three_loops_end_to_end(spark, tmp_path):
     ).count()
     states0 = state_counts(deals)
 
-    after1 = resolve_tick(deals, peers, pays, now1, max_deals=stored)
+    after1 = resolve_tick(deals, peers, pays, now1, max_deals=None)
     sink.merge_overwrite(after1, ["id"])
     t1 = sink.read()
     assert t1.count() == stored  # enrichment never adds or drops rows
@@ -82,14 +82,14 @@ def test_three_loops_end_to_end(spark, tmp_path):
     assert t1.where(F.col("last_payload_retrieval_attempt") == now1).count() == queue1
 
     # second tick inside the 3-day backoff: a strict no-op
-    after2 = resolve_tick(t1, peers, pays, now1, max_deals=stored)
+    after2 = resolve_tick(t1, peers, pays, now1, max_deals=None)
     sink.merge_overwrite(after2, ["id"])
     assert state_counts(sink.read()) == states1
 
     # third tick after the backoff: every retried UNRESOLVED miss absorbs to
     # TERMINAL (hits resolve) — no queue-eligible UNRESOLVED survives it
     now2 = F.expr(f"TIMESTAMP_NTZ '{REF_TS}' + INTERVAL 4 DAYS")
-    after3 = resolve_tick(sink.read(), peers, pays, now2, max_deals=stored)
+    after3 = resolve_tick(sink.read(), peers, pays, now2, max_deals=None)
     sink.merge_overwrite(after3, ["id"])
     t3 = sink.read()
     states3 = state_counts(t3)
