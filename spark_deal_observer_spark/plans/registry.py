@@ -1114,6 +1114,19 @@ def q_distinct_salted(spark, sf_dir):
     return salted_distinct_count(ev, "event_type", "user_id", "n_users")
 
 
+@register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct estimate per event_type — the sketch that
+    replaces exact distinct counting when even the salted two-stage form
+    (distinct_salted) is too heavy: fixed-size state per group, map-side
+    mergeable, one tiny shuffle of sketches instead of value sets. Accuracy
+    is tolerance-checked against the exact count in tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 @register(
     "multimodal_resize",
     """

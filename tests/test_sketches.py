@@ -1,0 +1,30 @@
+"""Sketch accuracy: HLL++ distinct estimates stay inside their configured
+relative error against the exact counts (the check the DuckDB value-hash
+oracle cannot express)."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE
+
+from pyspark.sql import functions as F
+
+from spark_deal_observer_spark.plans.registry import REGISTRY
+from spark_deal_observer_spark.sources.tables import load_table
+
+
+def test_hll_within_tolerance(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        # rsd=0.02 → allow 5 sigma-ish headroom
+        assert abs(approx[etype] - n) <= max(2, 0.1 * n), (etype, approx[etype], n)
