@@ -89,6 +89,42 @@ def fingerprint_sql(dialect: str, text: str) -> str:
     return f"md5({normalize_text_sql(dialect, text)})"
 
 
+def positional_hashes_sql(dialect: str, text: str, k: int = 5) -> str:
+    """Hash of every positional k-gram (NOT distinct — winnowing needs
+    positions). The portable md5-based hash32 stands in for a Rabin rolling
+    hash — incremental rolling is an evaluation trick SQL can't express,
+    and winnowing's guarantees depend only on the positional hash values."""
+    from .hashing import hash32_sql
+
+    n_grams = f"greatest(length({text}) - {k - 1}, 1)"
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, {n_grams}), "
+            f"i -> {hash32_sql(f'substring({text}, i, {k})', dialect)})"
+        )
+    return (
+        f"list_transform(generate_series(1, {n_grams}), "
+        f"i -> {hash32_sql(f'substr({text}, i, {k})', dialect)})"
+    )
+
+
+def winnow_sql(dialect: str, hs: str, w: int = 4) -> str:
+    """Winnowing (the MOSS scheme) over a PRE-COMPUTED positional-hash array
+    column: keep the minimum of each w-wide window, distinct. Two-stage on
+    purpose — inlining the hash array here would re-hash every k-gram once
+    per window (O(n·w) hashing instead of O(n)). Selected fingerprints are
+    guaranteed to overlap for any shared substring of length ≥ w+k−1."""
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size({hs}) - {w - 1}, 1)), "
+            f"j -> array_min(slice({hs}, j, {w}))))"
+        )
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({hs}) - {w - 1}, 1)), "
+        f"j -> list_min(list_slice({hs}, j, j + {w - 1}))))"
+    )
+
+
 # -- Spark DataFrame wrappers ----------------------------------------------
 
 

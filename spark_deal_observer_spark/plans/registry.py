@@ -1114,6 +1114,32 @@ def q_distinct_salted(spark, sf_dir):
     return salted_distinct_count(ev, "event_type", "user_id", "n_users")
 
 
+from ..functions.text import positional_hashes_sql, winnow_sql  # noqa: E402
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH h AS (SELECT doc_id, {positional_hashes_sql('duckdb', 'text')} AS hs
+               FROM documents)
+    SELECT doc_id, unnest({winnow_sql('duckdb', 'hs')}) AS fp FROM h
+    """,
+)
+def q_text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: positional k-gram
+    hashes → per-window minima → distinct selected prints, one row per
+    (doc, fingerprint). Two codegen'd passes, hashes computed once."""
+    from ..operators.dedup import spread_cpu
+
+    docs = _t(spark, sf_dir, "documents")
+    hs = positional_hashes_sql("spark", "text")
+    return (
+        spread_cpu(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.expr(winnow_sql("spark", "hs"))).alias("fp"))
+    )
+
+
 @register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event_type — the sketch that
