@@ -4,8 +4,9 @@ The near-dup operator family (MinHash, SimHash, fingerprints) needs token
 hashes that the DuckDB oracle can reproduce bit-for-bit. Neither engine's
 native `hash()` matches the other, but both expose `md5()` over UTF-8 bytes
 with identical lowercase-hex output — so every hash here is a fixed-width
-prefix of md5 folded into a BIGINT via an explicit hex-digit polynomial
-(`instr`/`substr` behave identically in both dialects).
+md5 hex prefix parsed to a BIGINT with each engine's native hex parse
+(Spark `conv(_, 16, 10)`, DuckDB's `0x`-literal cast), which produce the
+same integer.
 
 Where the dialects genuinely diverge (array lambdas, bit shifts), the
 builders take a `dialect` argument and emit structurally identical
@@ -25,18 +26,6 @@ _rng = random.Random(42)
 MINHASH_PERMS: list[tuple[int, int]] = [
     (_rng.randrange(1, _MINHASH_PRIME) | 1, _rng.randrange(0, _MINHASH_PRIME)) for _ in range(16)
 ]
-
-
-def hex_poly(md5_expr: str, n_digits: int) -> str:
-    """Fold the first `n_digits` hex chars of an md5 expression into a BIGINT."""
-    terms = [
-        # CAST the weight to BIGINT: ANSI Spark otherwise multiplies in int32
-        # and overflows for digits ≥ 2^28.
-        f"(instr('{HEX}', substr({md5_expr}, {k + 1}, 1)) - 1)"
-        f" * CAST({16 ** (n_digits - 1 - k)} AS BIGINT)"
-        for k in range(n_digits)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 def hash32_sql(x: str, dialect: str = "spark") -> str:
@@ -64,17 +53,6 @@ def tokens_sql(dialect: str, text: str) -> str:
     if dialect == "spark":
         return f"filter(split({text}, ' '), t -> length(t) > 0)"
     return f"list_filter(string_split({text}, ' '), t -> length(t) > 0)"
-
-
-def minhash_sql(dialect: str, shingles: str, perm: int) -> str:
-    """One MinHash value: min over shingles of (a*h32(s) + b) mod p."""
-    a, b = MINHASH_PERMS[perm]
-    # Reduce the 32-bit hash mod p before multiplying: a < 2^31 and h%p < 2^31
-    # keep a*h < 2^62, inside signed-64 range (ANSI Spark throws on overflow).
-    inner = f"({a} * ({hash32_sql('s', dialect)} % {_MINHASH_PRIME}) + {b}) % {_MINHASH_PRIME}"
-    if dialect == "spark":
-        return f"array_min(transform({shingles}, s -> {inner}))"
-    return f"list_min(list_transform({shingles}, s -> {inner}))"
 
 
 def hashed_shingles_sql(dialect: str, text: str, k: int = 5) -> str:

@@ -27,12 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    MINHASH_PERMS,
-    hash32_sql,
     hashed_shingles_sql,
     hashed_tokens_sql,
     minhash_from_hashed_sql,
-    minhash_sql,
     normalize_text_sql,
     shingles_sql,
     simhash_sql,
@@ -272,8 +269,6 @@ def ngram_jaccard_pairs_oracle(threshold: float = 0.35) -> str:
 __all__ = [
     "N_MINHASH",
     "N_BANDS",
-    "MINHASH_PERMS",
-    "hash32_sql",
     "exact_dedup_groups",
     "exact_dedup_groups_oracle",
     "minhash_signatures",
