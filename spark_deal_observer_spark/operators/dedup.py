@@ -266,6 +266,73 @@ def ngram_jaccard_pairs_oracle(threshold: float = 0.35) -> str:
     """
 
 
+# -- connected components (dedup clusters) ----------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, cluster) where
+    `cluster` is the component's minimum doc_id (the canonical survivor).
+
+    Iterative min-label propagation — the Spark-shaped form of union-find:
+    every node repeatedly takes the min of its own label and its neighbors',
+    converging in O(component diameter) rounds. Each round is one join +
+    one aggregate; `localCheckpoint` truncates the plan each round, without
+    which iterative algorithms compound their lineage into an
+    exponentially-replanned DAG (the classic Spark-iteration trap). Driver
+    involvement per round is a single "did anything change" count — the
+    data never leaves the executors.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def connected_components_oracle(pairs_sql: str) -> str:
+    """DuckDB twin via recursive CTE: min reachable id == component min."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        sym AS (SELECT doc_a, doc_b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, reach) AS (
+          SELECT DISTINCT doc_a, doc_a FROM sym
+          UNION
+          SELECT w.node, s.doc_b FROM walk w JOIN sym s ON s.doc_a = w.reach
+        )
+        SELECT node AS doc_id, min(reach) AS cluster FROM walk GROUP BY node
+    """
+
+
 __all__ = [
     "N_MINHASH",
     "N_BANDS",

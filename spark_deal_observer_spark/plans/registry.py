@@ -863,6 +863,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_clusters",
+    dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle()),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH candidate graph: (doc_id, cluster)
+    with cluster = component-min doc_id — the survivor-selection step of a
+    dedup pipeline. Iterative min-label propagation (checkpointed per
+    round) vs the oracle's recursive CTE."""
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dd.connected_components(pairs)
+
+
 @register("dedup_simhash", dd.simhash_signatures_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash signatures (token-level)."""
