@@ -1153,6 +1153,78 @@ def q_text_winnow_fingerprints(spark, sf_dir):
     )
 
 
+@register(
+    "agg_rollup",
+    """
+    SELECT event_type,
+           CAST(date_part('hour', ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY ROLLUP (event_type, hr)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical totals (type → type+hour → grand total) in one pass —
+    grouping-sets machinery the reference's N-queries-per-level pattern
+    (A2) gets for free from Catalyst."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .rollup("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-28 00:00:00'
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT (distinct set semantics): purchasers who also
+    viewed but had no *recent* error — set algebra the reference would
+    hand-roll as joins. The error set is time-bounded so the result is
+    non-degenerate on the dense synthetic corpus."""
+    ev = _t(spark, sf_dir, "events")
+    t = lambda et: ev.where(F.col("event_type") == et).select("user_id")  # noqa: E731
+    errors = (
+        ev.where(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return t("purchase").intersect(t("view")).exceptAll(errors).distinct()
+
+
+@register(
+    "pivot_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list (explicit = one pass,
+    no value-discovery scan) — long→wide reshape as a single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["purchase", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["purchase", "view", "error"])
+    )
+
+
 @register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event_type — the sketch that
