@@ -1225,6 +1225,31 @@ def q_pivot_counts(spark, sf_dir):
     )
 
 
+@register(
+    "quantiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles_by_flag(spark, sf_dir):
+    """Exact interpolated percentiles per group via `percentile` (a sort-
+    based built-in UDAF: partial state is per-partition, merged on the
+    driver-free reduce side — no collect). Both engines use the (n-1)*p
+    continuous definition, so values are bit-identical. At 100 TB you'd
+    swap in approx_percentile (t-digest sketch, fixed state) — this is the
+    exact baseline it's checked against."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
 @register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event_type — the sketch that
