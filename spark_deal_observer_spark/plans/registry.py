@@ -1250,6 +1250,50 @@ def q_quantiles_by_flag(spark, sf_dir):
     )
 
 
+@register(
+    "asof_join_last_view",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q_asof_join_last_view(spark, sf_dir):
+    """Left as-of join (last view at-or-before each purchase, per user) —
+    an operator Spark lacks as a primitive. Implemented as union + running
+    `last(ignorenulls)` window instead of an inequality join: one shuffle
+    on user_id and a per-partition sort, O(n log n), where the naive
+    theta-join is O(n^2) per key and explodes at scale. Ties (view and
+    purchase at the same ts) order view-first to match the <= bound."""
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_p"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").cast("int").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pv.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .where("is_p")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_view_ts",
+        )
+    )
+
+
 @register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event_type — the sketch that
