@@ -28,16 +28,23 @@ _BASE32 = "abcdefghijklmnopqrstuvwxyz234567"
 
 
 class CID:
-    """A decoded CID: rendered in canonical CIDv1 base32 ('b…') string form,
-    matching multiformats' CID.toString() used by the reference
-    (rpc-service/utils.js:37-38)."""
+    """A decoded CID, rendered exactly as multiformats' CID.toString() does
+    (used by the reference, rpc-service/utils.js:37-38): CIDv1 in canonical
+    base32 ('b…'); CIDv0 (a bare 0x12 0x20 sha2-256 multihash with no
+    version byte) in base58btc with no multibase prefix ('Qm…')."""
 
     __slots__ = ("bytes",)
 
     def __init__(self, raw: bytes):
         self.bytes = raw
 
+    @property
+    def version(self) -> int:
+        return 0 if self.bytes[:2] == b"\x12\x20" and len(self.bytes) == 34 else self.bytes[0]
+
     def __str__(self) -> str:
+        if self.version == 0:
+            return _b58btc(self.bytes)
         return "b" + _b32_nopad(self.bytes)
 
     def __eq__(self, other: object) -> bool:
@@ -49,6 +56,19 @@ class CID:
 
 def _b32_nopad(raw: bytes) -> str:
     return base64.b32encode(raw).decode("ascii").lower().rstrip("=")
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58btc(raw: bytes) -> str:
+    n = int.from_bytes(raw, "big")
+    out = ""
+    while n:
+        n, r = divmod(n, 58)
+        out = _B58_ALPHABET[r] + out
+    pad = len(raw) - len(raw.lstrip(b"\x00"))
+    return _B58_ALPHABET[0] * pad + out
 
 
 # -- decoder ----------------------------------------------------------------

@@ -24,7 +24,8 @@ HEX = "0123456789abcdef"
 _MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 _rng = random.Random(42)
 MINHASH_PERMS: list[tuple[int, int]] = [
-    (_rng.randrange(1, _MINHASH_PRIME) | 1, _rng.randrange(0, _MINHASH_PRIME)) for _ in range(16)
+    (_rng.randrange(1, _MINHASH_PRIME) | 1, _rng.randrange(0, _MINHASH_PRIME))
+    for _ in range(8)  # matches operators.dedup.N_MINHASH (4 bands × 2 rows)
 ]
 
 

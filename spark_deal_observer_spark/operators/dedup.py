@@ -6,19 +6,23 @@ expressions — no Python UDFs) and each with a DuckDB-oracle SQL twin built
 from the same formula generators (functions/hashing.py):
 
   * exact          — md5(normalized text) group-by; one shuffle of 16-byte keys
-  * minhash LSH    — shingle → 16 MinHashes → banded keys → bucket self-join;
-                     the scale path: candidate pairs are generated per band
-                     bucket, never all-pairs
-  * simhash        — 32-bit per-doc signature; hamming≤k pairs via xor+bit_count
-  * n-gram Jaccard — exact Jaccard on distinct 5-gram sets for candidate pairs
-  * embedding      — cosine near-dup over `embeddings(vec_id, embedding, label)`
+  * minhash LSH    — shingle → 8 MinHashes (4 bands × 2 rows) → banded keys →
+                     bucket self-join; the scale path: candidate pairs are
+                     generated per band bucket, never all-pairs
+  * simhash        — 32-bit per-doc signature; hamming≤k pairs via xor+bit_count,
+                     blocked LOSSLESSLY on 8-bit band prefixes (pigeonhole:
+                     k < n_bands ⇒ a qualifying pair agrees on ≥1 band)
+  * n-gram Jaccard — exact Jaccard on distinct 5-gram sets, as a verify stage
+                     over the MinHash-LSH candidate pairs
+  * embedding      — cosine near-dup over `embeddings(vec_id, embedding, label)`,
+                     blocked by the sign-LSH bucket (operators/similarity.py)
 
 At 100 TB: exact dedup shuffles only (hash, doc_id) pairs; MinHash banding
 bounds the self-join to same-bucket groups (skew-salted by AQE); the pairwise
 verify steps only ever run on candidate pairs, which is the point of LSH.
-The all-pairs-within-group forms used for the small-SF oracle are explicitly
-candidate-generation stand-ins — the group key (source/label/band) is the
-blocking key.
+Every blocking key here is bounded — band buckets for minhash/simhash, the
+LSH candidate set for jaccard — so no stage degenerates to O(m²) per block
+as the corpus grows.
 """
 
 from __future__ import annotations
@@ -184,39 +188,61 @@ def simhash_signatures_oracle() -> str:
     return f"SELECT doc_id, {expr} AS simhash FROM documents"
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked by `source`.
+N_SIM_BANDS = 4  # 4 disjoint 8-bit bands over the 32-bit signature
+SIM_BAND_BITS = 8
 
-    Hamming = bit_count(xor) — pure JVM. The `source` column is the blocking
-    key standing in for the band-prefix blocking a 100 TB run would use
-    (split the 32 bits into prefixes, self-join per prefix)."""
-    sigs = simhash_signatures(docs).join(docs.select("doc_id", "source"), "doc_id")
-    x, y = sigs.alias("x"), sigs.alias("y")
-    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked LOSSLESSLY on
+    8-bit band prefixes of the signature itself.
+
+    A pair with hamming ≤ 3 differs in at most 3 of the 4 disjoint bands, so
+    by pigeonhole it agrees EXACTLY on at least one — blocking on (band_id,
+    band_value) loses nothing for max_hamming < N_SIM_BANDS. That is why the
+    oracle below is the plain all-pairs form: band blocking is provably
+    result-identical, and the driver's hash check re-proves it every round.
+
+    Scale shape: one shuffle on the 10-bit bounded key (band, value); pairs
+    are generated inside each bucket (expected size m/256 per band) and a
+    pair found in several shared bands dedups on (doc_a, doc_b). Hamming =
+    bit_count(xor) — pure JVM throughout."""
+    sigs = simhash_signatures(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {b * SIM_BAND_BITS}) & 255").alias("key"),
+        )
+        for b in range(N_SIM_BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = exploded.groupBy("band", "key").agg(
+        F.collect_set(F.struct("doc_id", "simhash")).alias("xs")
+    )
+    pairs = (
+        "flatten(transform(xs, a -> transform(filter(xs, b -> b.doc_id > a.doc_id), "
+        "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.simhash AS sig_a, b.simhash AS sig_b))))"
+    )
+    ham = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (
-        x.join(
-            y,
-            (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        buckets.where(F.size("xs") > 1)
+        .select(F.explode(F.expr(pairs)).alias("p"))
         .where(ham <= max_hamming)
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", ham.cast("int").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
-def simhash_near_pairs_oracle(max_hamming: int = 6) -> str:
+def simhash_near_pairs_oracle(max_hamming: int = 3) -> str:
+    # Deliberately unblocked all-pairs: proves the band blocking is lossless.
     sig = simhash_signatures_oracle()
     return f"""
-        WITH sigs0 AS ({sig}),
-        sigs AS (SELECT s.doc_id, s.simhash, d.source
-                 FROM sigs0 s JOIN documents d ON s.doc_id = d.doc_id)
+        WITH sigs AS ({sig})
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-        FROM sigs x JOIN sigs y
-          ON x.source = y.source AND x.doc_id < y.doc_id
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
     """
 
@@ -225,29 +251,26 @@ def simhash_near_pairs_oracle(max_hamming: int = 6) -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Exact Jaccard over distinct 5-gram sets for same-`source` candidate
-    pairs (doc_a < doc_b, jaccard rounded to 6 dp).
+    """Exact Jaccard over distinct 5-gram sets as a VERIFY stage over the
+    MinHash-LSH candidate pairs (doc_a < doc_b, jaccard rounded to 6 dp).
 
-    array_intersect/size are codegen'd; |A∪B| = |A|+|B|−|A∩B| avoids building
-    the union array."""
+    This is the production dedup pipeline shape: LSH proposes (bounded per
+    band bucket), exact Jaccard disposes. Pairwise work is |candidates|, not
+    any block², and each side re-joins its shingle set by doc_id — two
+    shuffles on the primary key. array_intersect/size are codegen'd;
+    |A∪B| = |A|+|B|−|A∩B| avoids building the union array."""
+    cands = minhash_lsh_pairs(docs)
     sh = F.expr(shingles_sql("spark", "text"))
-    with_sh = spread_cpu(docs.select("doc_id", "source", "text")).select(
-        "doc_id", "source", sh.alias("sh")
-    )
-    x, y = with_sh.alias("x"), with_sh.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
-    union = F.size(F.col("x.sh")) + F.size(F.col("y.sh")) - inter
+    with_sh = spread_cpu(docs.select("doc_id", "text")).select("doc_id", sh.alias("sh"))
+    a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
     return (
-        x.join(
-            y,
-            (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -255,13 +278,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
 def ngram_jaccard_pairs_oracle(threshold: float = 0.35) -> str:
     sh = shingles_sql("duckdb", "text")
     return f"""
-        WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents)
+        WITH cands AS ({minhash_lsh_pairs_oracle()}),
+        s AS (SELECT doc_id, {sh} AS sh FROM documents)
         SELECT doc_a, doc_b, jaccard FROM (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                 ROUND(CAST(len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS DOUBLE)
-                       / (len(x.sh) + len(y.sh)
-                          - len(list_filter(x.sh, e -> list_contains(y.sh, e)))), 6) AS jaccard
-          FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(CAST(len(list_filter(a.sh, e -> list_contains(b.sh, e))) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh)
+                          - len(list_filter(a.sh, e -> list_contains(b.sh, e)))), 6) AS jaccard
+          FROM cands c
+          JOIN s a ON a.doc_id = c.doc_a
+          JOIN s b ON b.doc_id = c.doc_b)
         WHERE jaccard >= {threshold}
     """
 
@@ -315,6 +341,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iter with labels still moving: the result is a
+        # partial clustering (components wider than max_iter hops keep stale
+        # labels). Surface it — silent wrong answers are worse than noise.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); increase max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -336,6 +374,7 @@ def connected_components_oracle(pairs_sql: str) -> str:
 __all__ = [
     "N_MINHASH",
     "N_BANDS",
+    "N_SIM_BANDS",
     "exact_dedup_groups",
     "exact_dedup_groups_oracle",
     "minhash_signatures",

@@ -175,23 +175,30 @@ def ivf_centroid_topk_oracle(query_vec_id: int = 0, k: int = 10, n_cells: int = 
     """
 
 
-_SIGN_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8)]  # 1-based coordinate pairs
+# Sign-LSH bucket: bit n compares coordinates (2n+1, 2n+2) (1-based). The
+# key width is tunable — more bits ⇒ exponentially smaller buckets, lower
+# recall; 4 bits for single-query top-k, 8 bits for the all-pairs stage.
+_N_SIGN_BITS = 4
 
 
-def _bucket_spark(col: str) -> str:
+def _sign_pairs(n_bits: int) -> list[tuple[int, int]]:
+    return [(2 * n + 1, 2 * n + 2) for n in range(n_bits)]
+
+
+def _bucket_spark(col: str, n_bits: int = _N_SIGN_BITS) -> str:
     bits = [
         f"(CASE WHEN CAST({col}[{i - 1}] AS DOUBLE) >= CAST({col}[{j - 1}] AS DOUBLE) "
         f"THEN {1 << n} ELSE 0 END)"
-        for n, (i, j) in enumerate(_SIGN_PAIRS)
+        for n, (i, j) in enumerate(_sign_pairs(n_bits))
     ]
     return "(" + " + ".join(bits) + ")"
 
 
-def _bucket_duck(col: str) -> str:
+def _bucket_duck(col: str, n_bits: int = _N_SIGN_BITS) -> str:
     bits = [
         f"(CASE WHEN CAST({col}[{i}] AS DOUBLE) >= CAST({col}[{j}] AS DOUBLE) "
         f"THEN {1 << n} ELSE 0 END)"
-        for n, (i, j) in enumerate(_SIGN_PAIRS)
+        for n, (i, j) in enumerate(_sign_pairs(n_bits))
     ]
     return "(" + " + ".join(bits) + ")"
 
@@ -230,18 +237,29 @@ def lsh_bucket_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
-def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label cell.
+_PAIR_SIGN_BITS = 8  # 256 buckets for the all-pairs stage
 
-    Norms are computed once per VECTOR in a narrow pre-pass, not once per
-    pair — the pairwise stage then does a single dot product. Same doubles
-    as the inline form (identical op order: sqrt of the self-dot), so oracle
-    parity is preserved while the O(n²) stage sheds 2/3 of its flops."""
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the 8-bit sign-LSH
+    bucket — the same family of key `lsh_bucket_topk` shuffles on, two bits
+    wider so the blocks stay bounded for an all-pairs stage (~n/256, and the
+    key widens with the corpus; near-identical vectors agree on coordinate
+    orderings, which is exactly what the sign bits encode).
+
+    The oracle replicates the identical bucket join, so parity is exact; the
+    recall tradeoff vs unblocked all-pairs is the standard LSH one and is the
+    price of not being O(n²) at 100 TB. Norms are computed once per VECTOR in
+    a narrow pre-pass, not once per pair — the pairwise stage then does a
+    single dot product. Same doubles as the inline form (identical op order:
+    sqrt of the self-dot), so both engines land on the same representable
+    value."""
     from .dedup import spread_cpu
 
     norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
-    base = spread_cpu(emb.select("vec_id", "label", "embedding")).select(
-        "vec_id", "label", "embedding", norm.alias("nrm")
+    bucket = F.expr(_bucket_spark("embedding", _PAIR_SIGN_BITS))
+    base = spread_cpu(emb.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", norm.alias("nrm"), bucket.alias("bucket")
     )
     x, y = base.alias("x"), base.alias("y")
     cos = F.round(
@@ -250,7 +268,7 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
     return (
         x.join(
-            y, (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") < F.col("y.vec_id"))
+            y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id"))
         )
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -263,10 +281,12 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 def embedding_near_pairs_oracle(threshold: float = 0.4) -> str:
     cos = cosine_duck("x.embedding", "y.embedding")
+    bucket = _bucket_duck("embedding", _PAIR_SIGN_BITS)
     return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
         SELECT vec_a, vec_b, cosine FROM (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cosine
-          FROM embeddings x JOIN embeddings y
-            ON x.label = y.label AND x.vec_id < y.vec_id)
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         WHERE cosine >= {threshold}
     """

@@ -86,7 +86,9 @@ def eligible_deals(deals: DataFrame) -> DataFrame:
       AND payload_cid IS NOT NULL
       AND activated_at_epoch < timestamp_to_epoch(now - 2 days)
       AND epoch_to_timestamp(term_start_epoch + term_min) > now
-    projecting (id, miner_id, client_id, piece_cid, piece_size, expires_at).
+    projecting (id, miner_id, client_id, piece_cid, piece_size, payload_cid,
+    expires_at) — payload_cid is part of SubmittableDeal
+    (spark-api-submit-deals.js:62) and rides to the egress wire format.
 
     All conjuncts are codegen'd column expressions; the epoch math never
     leaves the JVM (SURVEY.md F1/F2). Parquet scan receives the IS NULL /
@@ -105,6 +107,7 @@ def eligible_deals(deals: DataFrame) -> DataFrame:
             "client_id",
             "piece_cid",
             "piece_size",
+            "payload_cid",
             expires_at.alias("expires_at"),
         )
     )
@@ -112,7 +115,7 @@ def eligible_deals(deals: DataFrame) -> DataFrame:
 
 ELIGIBLE_DEALS_ORACLE_BODY = f"""
 SELECT
-  id, miner_id, client_id, piece_cid, piece_size,
+  id, miner_id, client_id, piece_cid, piece_size, payload_cid,
   CAST(TIMESTAMP '1970-01-01 00:00:00'
        + INTERVAL ((term_start_epoch + term_min) * {EPOCH_SECONDS}
                    + {GENESIS_UNIX}) SECOND AS TIMESTAMP) AS expires_at

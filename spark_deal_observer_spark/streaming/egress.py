@@ -71,6 +71,7 @@ def submit_eligible(
                 "clientId": f"f0{r['client_id']}",
                 "pieceCid": r["piece_cid"],
                 "pieceSize": str(r["piece_size"]),  # bigint→string (F10)
+                "payloadCid": r["payload_cid"],
                 "expiresAt": r["expires_at"].isoformat(),
             }
             for r in batch
@@ -122,6 +123,7 @@ def submit_eligible_distributed(
                         "clientId": f"f0{r.client_id}",
                         "pieceCid": r.piece_cid,
                         "pieceSize": str(r.piece_size),
+                        "payloadCid": r.payload_cid,
                         "expiresAt": r.expires_at.isoformat(),
                     }
                     for r in chunk.itertuples()

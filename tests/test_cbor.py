@@ -60,6 +60,18 @@ def test_cid_string_form():
     assert str(decoded) == expected
 
 
+def test_cidv0_renders_base58btc():
+    """A v0 CID (bare 0x12 0x20 multihash) must stringify like multiformats:
+    base58btc, no multibase prefix, 'Qm…'. Golden digest: sha2-256 of b''."""
+    import hashlib
+
+    raw = b"\x12\x20" + hashlib.sha256(b"").digest()
+    s = str(CID(raw))
+    # Known base58btc of the empty-string sha2-256 multihash.
+    assert s == "QmdfTbBqBPQ7VNxZEYEj14VmRuZBkqFbiwReogJgS1zR1n"
+    assert cbor_decode(cbor_encode(CID(raw))) == CID(raw)
+
+
 def test_trailing_bytes_rejected():
     with pytest.raises(ValueError):
         cbor_decode(cbor_encode(1) + b"\x00")

@@ -105,6 +105,35 @@ def test_python_stages_are_parallel(spark, name):
     assert "REPARTITION_BY_NUM" in p or "RoundRobinPartitioning" in p, p
 
 
+def test_simhash_pairs_block_on_band_prefix(spark):
+    """The simhash pair stage must shuffle on the bounded (band, key) bucket
+    — never an all-pairs or unbounded-block join. The groupBy formulation
+    means the only wide op is the hash partitioning on the band key."""
+    p = plan(q(spark, "dedup_simhash_pairs"))
+    assert "hashpartitioning(band" in p, p
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert marker not in p, f"{marker} in plan:\n{p}"
+
+
+def test_jaccard_is_candidate_verify(spark):
+    """n-gram Jaccard runs over LSH candidates joined back by primary key:
+    equality joins only, no product-shaped join anywhere in the plan."""
+    p = plan(q(spark, "dedup_ngram_jaccard"))
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in p, f"{marker} in plan:\n{p}"
+    assert "hashpartitioning(band" in p, p  # the LSH bucket stage is inside
+
+
+def test_embedding_pairs_block_on_lsh_bucket(spark):
+    """Embedding near-dup pairs join on the sign-LSH bucket equality (the
+    bounded block), with the vec_id ordering as a post-filter — an equality
+    join, not a product."""
+    p = plan(q(spark, "dedup_embedding"))
+    assert "bucket" in p, p
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in p, f"{marker} in plan:\n{p}"
+
+
 def test_minhash_lsh_single_signature_pass(spark):
     """The LSH bucket formulation computes signatures once: exactly one scan
     of documents in the plan (a self-join shape would show two)."""
