@@ -12,10 +12,19 @@ read-modify-write — the tradeoff SURVEY.md §7 Phase 4 documents):
   * `merge_overwrite` — the UPDATE shapes (S7/S8): rewrite the table with
     merge_update applied, staged to a temp dir then swapped.
 
-At 100 TB the same interface maps onto partition-scoped rewrites: partition
-the table by an epoch bucket, and both shapes touch only the partitions a
-batch intersects (micro-batches are epoch-contiguous, so that's O(batch),
-not O(table)). With a Delta/Iceberg catalog both become native MERGE.
+`PartitionedDealTableSink` is the 100 TB shape of the same interface: the
+table is partitioned by an epoch bucket (`activated_at_epoch DIV width`),
+and both write shapes first compute the batch's bucket set (micro-batches
+are epoch-contiguous, so it's a handful of values), prune the stored-table
+read to those partitions, and rewrite/append ONLY the touched partition
+directories — O(batch), not O(table), per tick. With a Delta/Iceberg
+catalog both become native MERGE.
+
+Durability note: the staged-swap uses `os.rename`, which is atomic on a
+local POSIX filesystem but NOT on object storage (S3/GCS "rename" is
+copy+delete). At deployment scale, point the sink at an HDFS-compatible
+path or replace the swap with a table-format commit (Delta/Iceberg); the
+partition-scoped read/merge plans are unchanged by that substitution.
 """
 
 from __future__ import annotations
@@ -53,14 +62,122 @@ class DealTableSink:
         new_rows.write.mode("append").parquet(self.path)
 
     def merge_overwrite(self, updates: DataFrame, on: Sequence[str]) -> None:
-        """MERGE WHEN MATCHED THEN UPDATE via staged rewrite."""
+        """MERGE WHEN MATCHED THEN UPDATE via staged rewrite.
+
+        Swap ordering is restore-on-failure: the live dir is moved aside and
+        put back if the staged rename fails, so the only window without a
+        live table is a process kill between the two renames (documented
+        local-FS assumption — see module docstring)."""
         merged = merge_update(self.read(), updates, list(on))
         tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
+        _swap_dir(tmp, self.path)
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
+
+
+def _swap_dir(staged: str, live: str) -> None:
+    """Replace `live` with `staged`, restoring `live` if the swap fails."""
+    old = f"{live}__old_{uuid.uuid4().hex[:8]}"
+    had_live = os.path.exists(live)
+    if had_live:
+        os.rename(live, old)
+    try:
+        os.rename(staged, live)
+    except BaseException:
+        if had_live and not os.path.exists(live):
+            os.rename(old, live)
+        raise
+    if had_live:
+        shutil.rmtree(old)
+
+
+class PartitionedDealTableSink(DealTableSink):
+    """Epoch-bucket-partitioned deal table: merges touch only the partitions
+    a batch intersects (reference write shapes S6/S7/S8,
+    deal-observer.js:67-122, against a table indexed on the hot keys).
+
+    Layout: `path/epoch_bucket=N/…parquet` with
+    `epoch_bucket = activated_at_epoch DIV bucket_width`. Assumes
+    `activated_at_epoch` (like the reference's) is immutable under updates —
+    a merge never moves a row across partitions, so update merges are
+    closed over the updates' bucket set.
+    """
+
+    PCOL = "epoch_bucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: Sequence[str] = DEAL_KEY,
+        bucket_width: int = 100,
+    ):
+        super().__init__(spark, path, key)
+        self.bucket_width = bucket_width
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            self.PCOL,
+            F.expr(f"CAST(activated_at_epoch DIV {self.bucket_width} AS INT)"),
+        )
+
+    def _read_raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self._read_raw().drop(self.PCOL)
+
+    def _buckets_of(self, df: DataFrame) -> list[int]:
+        # Micro-batches are epoch-contiguous: this is a handful of ints.
+        return [r[0] for r in df.select(self.PCOL).distinct().collect()]
+
+    def append_dedup(self, batch: DataFrame) -> None:
+        """Dedup-insert that anti-joins against ONLY the batch's partitions.
+
+        The stored-table side is pruned by the partition column before the
+        anti-join, so a tick reads O(batch-epoch-range) rows no matter how
+        large the table has grown."""
+        from pyspark.sql import functions as F
+
+        batch = self._with_bucket(batch)
+        if not self.exists():
+            batch.dropDuplicates(self.key).write.mode("overwrite").partitionBy(
+                self.PCOL
+            ).parquet(self.path)
+            return
+        buckets = self._buckets_of(batch)
+        stored = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+        new_rows = dedup_insert(batch, stored, self.key)
+        new_rows.write.mode("append").partitionBy(self.PCOL).parquet(self.path)
+
+    def merge_overwrite(self, updates: DataFrame, on: Sequence[str]) -> None:
+        """Partition-scoped MERGE: stage the merged version of ONLY the
+        partitions the updates intersect, then swap those directories."""
+        from pyspark.sql import functions as F
+
+        updates = self._with_bucket(updates)
+        buckets = self._buckets_of(updates)
+        base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+        merged = merge_update(base, updates, list(on))
+        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
+        try:
+            for b in buckets:
+                part = f"{self.PCOL}={b}"
+                staged_part = os.path.join(tmp, part)
+                if os.path.exists(staged_part):
+                    _swap_dir(staged_part, os.path.join(self.path, part))
+                else:
+                    # merged away entirely (possible only under key deletes)
+                    live = os.path.join(self.path, part)
+                    if os.path.exists(live):
+                        shutil.rmtree(live)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
