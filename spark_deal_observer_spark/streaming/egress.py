@@ -17,6 +17,13 @@ Two variants of the same tick:
     partition posts its own batches through `mapInPandas` and emits the ids
     that succeeded; the merge then flags exactly those. N partitions post
     concurrently, nothing but ids ever returns to the driver.
+
+Per-call retry (reference S3, pRetry×5 in rpc-service/service.js:19-44)
+composes by wrapping the poster: `submit_eligible(sink,
+with_retries(poster), ...)` — `streaming.transport.with_retries` is
+picklable, so the same wrapper rides into the distributed variant's
+executor closures. Retry-inside, batch-skip-outside, exactly the
+reference's layering.
 """
 
 from __future__ import annotations
