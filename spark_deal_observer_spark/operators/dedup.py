@@ -304,9 +304,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     converging in O(component diameter) rounds. Each round is one join +
     one aggregate; `localCheckpoint` truncates the plan each round, without
     which iterative algorithms compound their lineage into an
-    exponentially-replanned DAG (the classic Spark-iteration trap). Driver
-    involvement per round is a single "did anything change" count — the
-    data never leaves the executors.
+    exponentially-replanned DAG (the classic Spark-iteration trap).
+
+    ONE Spark job per round: the new labels carry a `__chg` flag computed
+    in-plan, the checkpoint is lazy, and the driver's "did anything change"
+    count is the action that materializes it — convergence detection rides
+    the materialization job instead of paying a second join+count job
+    (round time at small SF is dominated by per-job scheduling overhead).
     """
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
@@ -324,21 +328,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("neigh_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh_min, labels.node == neigh_min.doc_a, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias("label"),
+                (F.col("neigh_label") < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("__chg")).count()  # materializes too
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     else:
