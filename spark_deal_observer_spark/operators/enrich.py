@@ -30,6 +30,13 @@ DEFAULT_MAXSIZE = 10_000  # reference LRU size
 DEFAULT_TTL = 3600.0  # reference maxAge: 1 hour
 
 
+def stub_peer_service(miner_id) -> str:
+    """Deterministic stand-in for the reference's StateMinerInfo RPC
+    (resolve-payload-cids.js:145-154). Module-level so executor tasks can
+    unpickle it by reference."""
+    return f"peer-{miner_id}"
+
+
 class TTLCache:
     """LRU with per-entry TTL (insertion-time based, like the reference's
     lru-cache `maxAge`). O(1) get/put via OrderedDict."""

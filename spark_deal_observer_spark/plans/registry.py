@@ -1343,6 +1343,71 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return sample_frames(attach_media(docs), frame_bytes=64, every_k=4)
 
 
+@register(
+    "dim_lookup_fallback",
+    oracle_with_deals(
+        """
+        SELECT d.id, d.miner_id,
+               COALESCE(s.s_name, c.c_name, 'f0' || CAST(d.miner_id AS STRING)) AS peer_id,
+               CASE WHEN s.s_name IS NOT NULL THEN 'contract'
+                    WHEN c.c_name IS NOT NULL THEN 'state_miner_info'
+                    ELSE 'synthesized' END AS source
+        FROM deals d
+        LEFT JOIN supplier s ON d.miner_id = s.s_suppkey
+        LEFT JOIN customer c ON d.miner_id = c.c_custkey
+        """
+    ),
+)
+def q_dim_lookup_fallback(spark, sf_dir):
+    """S5: the peer-ID dimension source's fallback chain — eth contract
+    `getPeerData` first, `Filecoin.StateMinerInfo` when the contract has no
+    entry (resolve-payload-cids.js:145-154), synthesized default last.
+    Spark-first: both sources are broadcast dims; the chain is one COALESCE
+    over two left joins — a single scan of the fact side, zero shuffles,
+    and the `source` column reports which tier answered (the reference
+    returns {peerId, source} for exactly this observability)."""
+    deals = deals_df(spark, sf_dir)
+    primary = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    fallback = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        deals.join(F.broadcast(primary), deals.miner_id == primary.s_suppkey, "left")
+        .join(F.broadcast(fallback), deals.miner_id == fallback.c_custkey, "left")
+        .select(
+            "id",
+            "miner_id",
+            F.coalesce(
+                "s_name", "c_name", F.concat(F.lit("f0"), F.col("miner_id").cast("string"))
+            ).alias("peer_id"),
+            F.when(F.col("s_name").isNotNull(), "contract")
+            .when(F.col("c_name").isNotNull(), "state_miner_info")
+            .otherwise("synthesized")
+            .alias("source"),
+        )
+    )
+
+
+@register(
+    "enrich_cached_peer",
+    oracle_with_deals(
+        "SELECT id, miner_id, 'peer-' || CAST(miner_id AS STRING) AS peer_id FROM deals"
+    ),
+)
+def q_enrich_cached_peer(spark, sf_dir):
+    """J3 cold-dimension path: per-executor TTL-LRU(10k, 1h) around an
+    external lookup service (resolve-payload-cids.js:162-181), as
+    Arrow-batched mapInPandas — the variant for dimensions too cold/remote
+    to broadcast. The deterministic stub stands in for the RPC; the
+    nondeterministic `cache_hit` column is projected away so the oracle
+    compares the enrichment values themselves."""
+    from ..operators.dedup import spread_cpu
+    from ..operators.enrich import cached_enrich, stub_peer_service
+
+    deals = spread_cpu(deals_df(spark, sf_dir).select("id", "miner_id"))
+    return cached_enrich(
+        deals, "miner_id", stub_peer_service, value_col="peer_id", cache_name="peer"
+    ).select("id", "miner_id", "peer_id")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
