@@ -1,0 +1,232 @@
+"""Corpus-preparation operators for LLM training-data pipelines: splits,
+quality gating, benchmark decontamination, vocabulary stats, and sequence
+packing.
+
+Everything here is generated SQL (JVM-side, no Python) with a DuckDB twin
+built from the same formula generators — the same dual-dialect discipline
+as the dedup/text families. Scale posture per operator:
+
+  * train/val split     — pure scan-stage expression, zero shuffles; the
+                          split is a deterministic hash of the PRIMARY KEY,
+                          so it is stable across runs, machines, and
+                          repartitioning (never `rand()`, which is neither).
+  * quality gate        — scan-stage filter; composes the text.py signals.
+  * decontamination     — the benchmark probe set's shingle hashes are tiny
+                          (benchmarks are KBs against a TB corpus) →
+                          broadcast semi-join on the shingle hash; the
+                          corpus side explodes shingles in the scan stage.
+  * doc-frequency vocab — explode + two-phase count + TakeOrdered.
+  * sequence packing    — the GPT-style concat-and-chunk manifest: one
+                          window (cumulative token sum) per source
+                          partition; emitting a manifest instead of packed
+                          blobs keeps the operator columnar — the trainer's
+                          reader materializes bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32_sql, hashed_shingles_sql, tokens_sql
+from ..functions.text import lang_id_sql, quality_sql
+
+DEFAULT_VAL_PCT = 5
+DEFAULT_CAPACITY = 2048
+
+
+# -- deterministic train/val split ------------------------------------------
+
+
+def _split_bucket(dialect: str) -> str:
+    return f"{hash32_sql('CAST(doc_id AS STRING)', dialect)} % 100"
+
+
+def train_val_split(docs: DataFrame, val_pct: int = DEFAULT_VAL_PCT) -> DataFrame:
+    """Assign each document to train/val by hashing its primary key.
+
+    hash(doc_id) % 100 < val_pct → val. Content-independent (editing a
+    document never moves it across the split) and reproducible everywhere —
+    the two properties `rand()`-based splits lack."""
+    bucket = F.expr(_split_bucket("spark"))
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("split_bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )
+
+
+def train_val_split_oracle(val_pct: int = DEFAULT_VAL_PCT) -> str:
+    bucket = _split_bucket("duckdb")
+    return f"""
+        SELECT doc_id,
+               CAST({bucket} AS INT) AS split_bucket,
+               CASE WHEN {bucket} < {val_pct} THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    """
+
+
+# -- quality gate (C4/Gopher-style keep decision) ---------------------------
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_score: float = 0.4,
+    min_tokens: int = 5,
+    lang: str = "en",
+) -> DataFrame:
+    """Documents that pass the combined quality + language + length gates,
+    with the signals that justified the decision (auditability is the point
+    of keeping them — a filtered corpus without per-doc evidence can't be
+    debugged)."""
+    q = quality_sql("spark", "text")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(q["n_tokens"]).cast("int").alias("n_tokens"),
+            F.expr(q["quality_score"]).alias("quality_score"),
+            F.expr(lang_id_sql("spark", "text")).alias("lang_pred"),
+        )
+        .where(
+            (F.col("quality_score") >= min_score)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("lang_pred") == lang)
+        )
+    )
+
+
+def quality_gate_oracle(min_score: float = 0.4, min_tokens: int = 5, lang: str = "en") -> str:
+    q = quality_sql("duckdb", "text")
+    return f"""
+        SELECT doc_id, source, n_tokens, quality_score, lang_pred FROM (
+          SELECT doc_id, source,
+                 CAST({q["n_tokens"]} AS INT) AS n_tokens,
+                 {q["quality_score"]} AS quality_score,
+                 {lang_id_sql("duckdb", "text")} AS lang_pred
+          FROM documents)
+        WHERE quality_score >= {min_score} AND n_tokens >= {min_tokens}
+          AND lang_pred = '{lang}'
+    """
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+N_PROBE_DOCS = 5  # the first documents stand in for a benchmark's items
+
+
+def contaminated_docs(docs: DataFrame, n_probes: int = N_PROBE_DOCS) -> DataFrame:
+    """Corpus documents sharing ≥1 distinct 5-gram with the probe set.
+
+    The decontamination shape: benchmark items (here: the first `n_probes`
+    docs) are shingled once into a small distinct-hash set, broadcast, and
+    the corpus side is an exploded scan joined semi-style on the hash. At
+    100 TB the probe set is still KBs, so the join never shuffles the
+    corpus; returns (doc_id, n_shared) for auditability."""
+    hs = F.expr(hashed_shingles_sql("spark", "text"))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(hs)).alias("h"))
+    probes = (
+        sh.where(F.col("doc_id") < n_probes).select("h").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= n_probes)
+        .join(F.broadcast(probes), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+    )
+
+
+def contaminated_docs_oracle(n_probes: int = N_PROBE_DOCS) -> str:
+    hs = hashed_shingles_sql("duckdb", "text")
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct({hs})) AS h FROM documents),
+        probes AS (SELECT DISTINCT h FROM sh WHERE doc_id < {n_probes})
+        SELECT s.doc_id, CAST(count(*) AS INT) AS n_shared
+        FROM sh s JOIN probes p ON s.h = p.h
+        WHERE s.doc_id >= {n_probes}
+        GROUP BY s.doc_id
+    """
+
+
+# -- document-frequency vocabulary ------------------------------------------
+
+
+def token_doc_freq(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Top tokens by document frequency (distinct docs containing them).
+
+    Explode(distinct tokens per doc) → two-phase count → TakeOrdered. The
+    shuffle moves (token, partial count) pairs; ties break on the token for
+    a deterministic top-k."""
+    toks = F.expr(tokens_sql("spark", "text"))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("int").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(top_n)
+    )
+
+
+def token_doc_freq_oracle(top_n: int = 20) -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        SELECT token, CAST(count(*) AS INT) AS doc_freq FROM (
+          SELECT doc_id, unnest(list_distinct({toks})) AS token FROM documents)
+        GROUP BY token
+        ORDER BY doc_freq DESC, token
+        LIMIT {top_n}
+    """
+
+
+# -- sequence packing manifest ----------------------------------------------
+
+
+def pack_manifest(docs: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
+    """Concat-and-chunk packing manifest: documents are laid end-to-end per
+    `source` in doc_id order; each doc's first token position determines its
+    pack (context window) and offset.
+
+    pack_id = (running token total before the doc) DIV capacity — one
+    cumulative-sum window per source partition, no Python, no driver state.
+    Docs crossing a boundary simply span packs (GPT-style pretraining
+    concatenation). The manifest is what a trainer's data loader consumes;
+    the engine never materializes the packed blobs."""
+    toks = tokens_sql("spark", "text")
+    w = (
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    base = docs.select(
+        "doc_id", "source", F.expr(f"size({toks})").cast("long").alias("n_tokens")
+    )
+    return (
+        base.withColumn("cum_tokens", F.expr(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / capacity)
+            .cast("int")
+            .alias("pack_id"),
+            ((F.col("cum_tokens") - F.col("n_tokens")) % capacity)
+            .cast("int")
+            .alias("pack_offset"),
+        )
+    )
+
+
+def pack_manifest_oracle(capacity: int = DEFAULT_CAPACITY) -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        SELECT doc_id, source,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / {capacity}) AS INT) AS pack_id,
+               CAST((cum_tokens - n_tokens) % {capacity} AS INT) AS pack_offset
+        FROM (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM (SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+                FROM documents))
+    """

@@ -1408,6 +1408,49 @@ def q_enrich_cached_peer(spark, sf_dir):
     ).select("id", "miner_id", "peer_id")
 
 
+from ..operators import corpus as cp  # noqa: E402
+
+
+@register("corpus_train_val_split", cp.train_val_split_oracle())
+def q_corpus_train_val_split(spark, sf_dir):
+    """Deterministic train/val split: hash(primary key) % 100 buckets —
+    content-independent and reproducible across runs/machines/partitioning
+    (never rand()). Pure scan-stage expression, zero shuffles."""
+    return cp.train_val_split(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_quality_gate", cp.quality_gate_oracle())
+def q_corpus_quality_gate(spark, sf_dir):
+    """C4/Gopher-style keep decision: quality score + language-ID + length
+    gates composed into one scan-stage filter, keeping the per-doc evidence
+    columns for auditability."""
+    return cp.quality_gate(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_decontaminate", cp.contaminated_docs_oracle())
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any distinct 5-gram
+    hash with the probe set (first docs as stand-in benchmark items). Probe
+    shingles are broadcast — the corpus side never shuffles."""
+    return cp.contaminated_docs(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_token_doc_freq", cp.token_doc_freq_oracle())
+def q_corpus_token_doc_freq(spark, sf_dir):
+    """Vocabulary by document frequency: explode(distinct tokens) →
+    two-phase count → deterministic top-20 (ties break on token)."""
+    return cp.token_doc_freq(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_pack_manifest", cp.pack_manifest_oracle())
+def q_corpus_pack_manifest(spark, sf_dir):
+    """Sequence-packing manifest (GPT-style concat-and-chunk): one
+    cumulative-token-sum window per source assigns every doc its context
+    window (pack_id) and offset; the trainer materializes bytes, the engine
+    stays columnar."""
+    return cp.pack_manifest(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

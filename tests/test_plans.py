@@ -84,6 +84,11 @@ def test_topk_avoids_global_sort(spark, name):
         "text_quality",
         "text_lang_id",
         "text_fingerprint",
+        "corpus_train_val_split",
+        "corpus_quality_gate",
+        "corpus_decontaminate",
+        "corpus_token_doc_freq",
+        "corpus_pack_manifest",
     ],
 )
 def test_hot_paths_have_no_python(spark, name):
@@ -132,6 +137,19 @@ def test_embedding_pairs_block_on_lsh_bucket(spark):
     assert "bucket" in p, p
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in p, f"{marker} in plan:\n{p}"
+
+
+def test_decontamination_broadcasts_probe_set(spark):
+    """The benchmark probe shingles must broadcast — the TB corpus side
+    never shuffles for the join."""
+    p = plan(q(spark, "corpus_decontaminate"))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_split_is_scan_stage_only(spark):
+    """The train/val split plan must be exchange-free: a pure projection."""
+    p = plan(q(spark, "corpus_train_val_split"))
+    assert "Exchange" not in p, p
 
 
 def test_minhash_lsh_single_signature_pass(spark):
