@@ -168,6 +168,42 @@ def minhash_lsh_pairs_oracle() -> str:
     """
 
 
+def minhash_lsh_star_edges(docs: DataFrame) -> DataFrame:
+    """Connectivity-equivalent edge set for clustering: per LSH bucket, a
+    STAR (every member → the bucket's min doc_id) instead of all a<b pairs.
+
+    Within one bucket, the star and the clique have identical connected
+    components (every member reaches every other through the hub), and the
+    union over buckets preserves that — so connected_components over these
+    edges yields byte-identical cluster labels while carrying O(k) edges
+    per bucket instead of O(k²). This is the right input for the clustering
+    stage; `minhash_lsh_pairs` remains the right output when the pairs
+    themselves are the product (e.g. feeding a verify stage)."""
+    sigs = minhash_signatures(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = exploded.groupBy("band", "key").agg(
+        F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
+    )
+    return (
+        buckets.where(F.size("ids") > 1)
+        .select("hub", F.explode("ids").alias("doc_id"))
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -871,9 +871,12 @@ def q_dedup_clusters(spark, sf_dir):
     """Connected components over the LSH candidate graph: (doc_id, cluster)
     with cluster = component-min doc_id — the survivor-selection step of a
     dedup pipeline. Iterative min-label propagation (checkpointed per
-    round) vs the oracle's recursive CTE."""
-    pairs = dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
-    return dd.connected_components(pairs)
+    round) over per-bucket STAR edges (connectivity-equivalent to the
+    all-pairs candidate graph, O(k) edges per bucket instead of O(k²)) vs
+    the oracle's recursive CTE over the full pair graph — the label match
+    is the proof of equivalence."""
+    edges = dd.minhash_lsh_star_edges(_t(spark, sf_dir, "documents"))
+    return dd.connected_components(edges)
 
 
 @register("dedup_simhash", dd.simhash_signatures_oracle())
@@ -884,13 +887,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register("dedup_simhash_pairs", dd.simhash_near_pairs_oracle())
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 6, source-blocked)."""
+    """SimHash near-dup pairs (hamming ≤ 3), blocked losslessly on 8-bit
+    band prefixes of the signature (pigeonhole: ≤3 differing bits can't
+    touch all 4 bands) — the oracle is unblocked all-pairs, proving it."""
     return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 @register("dedup_ngram_jaccard", dd.ngram_jaccard_pairs_oracle())
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 5-gram Jaccard near-dup pairs (threshold 0.35, source-blocked)."""
+    """Exact 5-gram Jaccard (threshold 0.35) as a verify stage over the
+    MinHash-LSH candidate pairs — LSH proposes, exact Jaccard disposes."""
     return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
