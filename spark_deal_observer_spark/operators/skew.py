@@ -23,6 +23,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the BIG side's key is skewed and the small side is
+    too large to broadcast: replicate each small-side row across `n_salts`
+    salt values, salt the big side deterministically by a hash of a
+    row-identity expression, and join on (key, salt) — a hot key's rows
+    spread over `n_salts` reducers instead of one.
+
+    The salt on the big side is a hash of the whole row (xxhash64 of all
+    columns), NOT rand(): deterministic under retries/speculative tasks,
+    which rand() is not (a retried task re-drawing salts under AQE is a
+    correctness bug, not just noise). Result set is provably identical to
+    the plain join: every big row meets every matching small row exactly
+    once (the small side carries each salt value exactly once).
+
+    AQE's skew-join split solves the same problem adaptively when stats
+    surface the skew; this is the explicit form for when you know the key
+    distribution ahead of time (or the engine's stats don't)."""
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt_col)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    small_s = small.select("*", salts)
+    joined = big_s.join(small_s, on=[key, "_salt"], how=how)
+    return joined.drop("_salt")
+
+
 def salted_distinct_count(
     df: DataFrame,
     group_col: str,

@@ -1457,6 +1457,38 @@ def q_corpus_pack_manifest(spark, sf_dir):
     return cp.pack_manifest(_t(spark, sf_dir, "documents"))
 
 
+from ..operators.sessions import sessionize, sessionize_oracle  # noqa: E402
+from ..operators.skew import salted_equi_join  # noqa: E402
+
+
+@register("sessionize_events", sessionize_oracle())
+def q_sessionize_events(spark, sf_dir):
+    """Per-user inactivity-gap sessions (30 min) via gaps-and-islands: flag
+    + running sum + aggregate in ONE shuffle on user_id (both windows and
+    the groupBy share the partitioning). The streaming twin is Spark's
+    native session_window aggregation (tests/test_streaming_sessions.py)."""
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "salted_join_dim",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_salted_join_dim(spark, sf_dir):
+    """Skew-spread equi-join: the big side salts on a deterministic row
+    hash, the small side replicates across the salt domain, the join runs
+    on (key, salt) so a hot key spreads over N reducers. Result provably
+    identical to the plain join — the oracle IS the plain join."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return salted_equi_join(events, dim, "user_id").select("event_id", "user_id", "segment")
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

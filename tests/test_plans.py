@@ -152,6 +152,21 @@ def test_split_is_scan_stage_only(spark):
     assert "Exchange" not in p, p
 
 
+def test_salted_join_spreads_on_salt(spark):
+    """The skew-spread join must carry the salt in its join keys."""
+    p = plan(q(spark, "salted_join_dim"))
+    assert "_salt" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_sessionize_single_shuffle(spark):
+    """Gaps-and-islands sessionization: lag window, running sum, and the
+    final aggregate all share the user_id partitioning — exactly one
+    exchange on user_id in the plan."""
+    p = plan(q(spark, "sessionize_events"))
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
 def test_minhash_lsh_single_signature_pass(spark):
     """The LSH bucket formulation computes signatures once: exactly one scan
     of documents in the plan (a self-join shape would show two)."""
