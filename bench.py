@@ -34,6 +34,11 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "multimodal_frame_sample",
     "asof_join_last_view",
+    # r2 additions: corpus prep + sessionization + skew-spread join
+    "corpus_decontaminate",
+    "corpus_pack_manifest",
+    "sessionize_events",
+    "salted_join_dim",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -123,8 +123,12 @@ def contaminated_docs(docs: DataFrame, n_probes: int = N_PROBE_DOCS) -> DataFram
     the corpus side is an exploded scan joined semi-style on the hash. At
     100 TB the probe set is still KBs, so the join never shuffles the
     corpus; returns (doc_id, n_shared) for auditability."""
+    from .dedup import spread_cpu
+
     hs = F.expr(hashed_shingles_sql("spark", "text"))
-    sh = docs.select("doc_id", F.explode(F.array_distinct(hs)).alias("h"))
+    sh = spread_cpu(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.array_distinct(hs)).alias("h")
+    )
     probes = (
         sh.where(F.col("doc_id") < n_probes).select("h").distinct()
     )

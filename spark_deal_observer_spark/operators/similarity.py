@@ -237,6 +237,51 @@ def lsh_bucket_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+def lsh_multiprobe_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_bits: int = _N_SIGN_BITS
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: search the query's bucket AND every
+    1-bit-flip neighbor bucket (the standard multi-probe recall fix — a
+    vector whose sign pattern differs by one comparison lands one flip
+    away). Probes = n_bits + 1 buckets of ~n/2^n_bits each; the probe set
+    is a handful of ints riding on the broadcast query row, so the plan is
+    the same broadcast + TakeOrdered as single-probe, scanning
+    (n_bits+1)/2^n_bits of the corpus instead of 1/2^n_bits."""
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_spark("embedding", n_bits)))
+    probe_arr = "array(" + ", ".join(
+        ["bucket"] + [f"bucket ^ {1 << i}" for i in range(n_bits)]
+    ) + ")"
+    q = (
+        bucketed.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qvec"), F.explode(F.expr(probe_arr)).alias("pbucket"))
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        bucketed.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("pbucket"))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_multiprobe_topk_oracle(
+    query_vec_id: int = 0, k: int = 10, n_bits: int = _N_SIGN_BITS
+) -> str:
+    cos = cosine_duck("e.embedding", "q.embedding")
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_bits)])
+    return f"""
+        WITH b AS (SELECT vec_id, label, embedding, {_bucket_duck('embedding', n_bits)} AS bucket
+                   FROM embeddings),
+        q AS (SELECT embedding, unnest([{probes}]) AS pbucket
+              FROM b WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, e.label, {cos} AS cosine
+        FROM b e JOIN q ON e.bucket = q.pbucket
+        WHERE e.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
 _PAIR_SIGN_BITS = 8  # 256 buckets for the all-pairs stage
 
 

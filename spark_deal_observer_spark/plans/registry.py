@@ -936,6 +936,14 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return sim.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_lsh_multiprobe", sim.lsh_multiprobe_topk_oracle())
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: the query's bucket plus every 1-bit-flip
+    neighbor — the standard recall fix, same broadcast + TakeOrdered plan,
+    (n_bits+1)/2^n_bits of the corpus scanned."""
+    return sim.lsh_multiprobe_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: text analysis (documents table)
 # ---------------------------------------------------------------------------
