@@ -107,3 +107,43 @@ def test_spark_and_duckdb_hash32_agree_on_fuzz_corpus(spark):
     ]
     py_vals = [_hash32_py(s) for s in corpus]
     assert spark_vals == duck_vals == py_vals
+
+
+# -- connected components vs a reference union-find -------------------------
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min always roots ⇒ label = component min
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Random small graphs: the iterative min-label propagation must land on
+    exactly the union-find components with component-min labels."""
+    from spark_deal_observer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a LONG, doc_b LONG"
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(pairs).collect()}
+    want = _uf_components([(int(a), int(b)) for a, b in edges])
+    assert got == want
