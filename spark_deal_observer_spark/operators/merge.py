@@ -95,6 +95,47 @@ def merge_update(
     return untouched.unionByName(updates.select(*target.columns))
 
 
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: Sequence[str],
+    effective_ts: Column,
+    epoch_ts: Column,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge over immutable frames: apply
+    `updates` while KEEPING history, instead of `merge_update`'s overwrite.
+
+    Result rows carry (valid_from, valid_to, is_current):
+      * matched current rows close (valid_to = effective_ts, not current)
+      * update rows open (valid_from = effective_ts, current)
+      * unmatched current rows pass through (still current)
+
+    The reference's active_deals table overwrites state transitions
+    (resolve-payload-cids.js:107-123); this is the audit-holding variant a
+    warehouse keeps next to it. Three scans of two inputs, one broadcast
+    anti/semi join pair on the key — the same shuffle budget as
+    merge_update."""
+    key = list(key)
+    closed = (
+        current.join(updates.select(*key), on=key, how="left_semi")
+        .withColumn("valid_from", epoch_ts)
+        .withColumn("valid_to", effective_ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    opened = (
+        updates.withColumn("valid_from", effective_ts)
+        .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("is_current", F.lit(True))
+    )
+    untouched = (
+        current.join(updates.select(*key), on=key, how="left_anti")
+        .withColumn("valid_from", epoch_ts)
+        .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return closed.unionByName(opened.select(*closed.columns)).unionByName(untouched)
+
+
 def mark_submitted(
     target: DataFrame,
     ids: DataFrame,

@@ -1497,6 +1497,58 @@ def q_salted_join_dim(spark, sf_dir):
     return salted_equi_join(events, dim, "user_id").select("event_id", "user_id", "segment")
 
 
+@register(
+    "scd2_deal_history",
+    oracle_with_deals(
+        # leading comma: chains onto oracle_with_deals' WITH clause
+        f"""
+        , cur AS (SELECT id, payload_retrievability_state AS state FROM deals),
+        upd AS (SELECT id, 'PAYLOAD_CID_UNRESOLVED' AS state FROM deals
+                WHERE payload_cid IS NULL)
+        SELECT id, state, CAST(TIMESTAMP '2020-01-01 00:00:00' AS TIMESTAMP) AS valid_from,
+               CAST(TIMESTAMP '{REF_TS}' AS TIMESTAMP) AS valid_to, FALSE AS is_current
+        FROM cur WHERE id IN (SELECT id FROM upd)
+        UNION ALL
+        SELECT id, state, CAST(TIMESTAMP '{REF_TS}' AS TIMESTAMP),
+               CAST(NULL AS TIMESTAMP), TRUE FROM upd
+        UNION ALL
+        SELECT id, state, CAST(TIMESTAMP '2020-01-01 00:00:00' AS TIMESTAMP),
+               CAST(NULL AS TIMESTAMP), TRUE
+        FROM cur WHERE id NOT IN (SELECT id FROM upd)
+        """
+    ),
+)
+def q_scd2_deal_history(spark, sf_dir):
+    """Type-2 SCD merge: state transitions append history rows with
+    (valid_from, valid_to, is_current) instead of overwriting — the
+    audit-holding companion of S7's point UPDATE. Same broadcast
+    anti/semi-join shuffle budget as merge_update."""
+    from ..operators.merge import scd2_merge
+
+    deals = deals_df(spark, sf_dir).select("id", F.col("payload_retrievability_state").alias("state"))
+    updates = (
+        deals_df(spark, sf_dir)
+        .where(F.col("payload_cid").isNull())
+        .select("id", F.lit("PAYLOAD_CID_UNRESOLVED").alias("state"))
+    )
+    eff = F.lit(REF_TS).cast("timestamp_ntz")
+    epoch0 = F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")
+    return scd2_merge(deals, updates, ["id"], eff, epoch0)
+
+
+@register("approx_quantiles_by_type", None)  # rows-only: sketches aren't oracle-exact
+def q_approx_quantiles_by_type(spark, sf_dir):
+    """Approximate quantile sketch (Greenwald-Khanna) per event_type — the
+    second core sketch next to HLL (approx_distinct_users): fixed-size
+    mergeable state per group, map-side combinable, one tiny shuffle of
+    sketches. Accuracy is tolerance-checked against the exact interpolated
+    percentiles in tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("q50_90_99")
+    )
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

@@ -28,3 +28,23 @@ def test_hll_within_tolerance(spark):
     for etype, n in exact.items():
         # rsd=0.02 → allow 5 sigma-ish headroom
         assert abs(approx[etype] - n) <= max(2, 0.1 * n), (etype, approx[etype], n)
+
+
+def test_quantile_sketch_within_tolerance(spark):
+    approx = {
+        r["event_type"]: r["q50_90_99"]
+        for r in REGISTRY["approx_quantiles_by_type"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("qs"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype in exact:
+        for a, e in zip(approx[etype], exact[etype]):
+            # GK with accuracy 10k: rank error <= n/10k; values are ~uniform
+            # so a generous relative band suffices
+            assert abs(a - e) <= max(0.5, 0.05 * abs(e)), (etype, a, e)
