@@ -136,13 +136,37 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # pairs in-place. LSH buckets are small by construction — a pathological
     # hot bucket degrades either formulation identically (m² pairs on one
     # key), so this loses nothing on skew.
-    buckets = exploded.groupBy("band", "key").agg(F.collect_set("doc_id").alias("ids"))
+    buckets = exploded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    # Pair generation is the fan-out stage: a bucket of m ids emits m²/2
+    # pair rows. Two skew hazards hide here at scale:
+    #   1. AQE sizes the post-groupBy stage by its INPUT bytes (bucket rows
+    #      are tiny) and coalesces it to ~1 partition — serializing exactly
+    #      the stage that multiplies. The explicit-count repartition defeats
+    #      that (a count-less repartition(cols) is advisory and AQE folds it
+    #      right back).
+    #   2. A single hot bucket's m²/2 pairs would still land on ONE task if
+    #      generated in one row's transform. So each bucket is first split
+    #      into CHUNK-sized anchor slices — chunk i pairs its ≤CHUNK anchors
+    #      against the tail of the sorted id array — and the repartition key
+    #      includes the chunk index, spreading a hot bucket over m/CHUNK
+    #      tasks. Work and output are identical (ids sorted ⇒ slice i ×
+    #      suffix = exactly the a<b pairs, no dedup needed within a bucket).
+    chunk = 64
+    chunked = buckets.where(F.size("ids") > 1).select(
+        "band",
+        "key",
+        "ids",
+        F.explode(F.expr(f"sequence(1, size(ids), {chunk})")).alias("chunk_start"),
+    )
     pairs = (
-        "flatten(transform(ids, "
+        f"flatten(transform(slice(ids, chunk_start, {chunk}), "
         "a -> transform(filter(ids, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
     )
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        buckets.where(F.size("ids") > 1)
+        chunked.repartition(n_part, "band", "key", "chunk_start")
         .select(F.explode(F.expr(pairs)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -358,34 +382,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Each round: (1) fused neighbor-min — one join + one union-groupBy
+    # (instead of join→groupBy→second join: the union folds "own label" into
+    # the same aggregate, saving a shuffle); (2) pointer jump — label ←
+    # label's label, the path-compression step that turns O(diameter) rounds
+    # into O(log diameter): a chain of hub-linked buckets halves each round.
+    # Convergence detection is a label-set checksum that rides the same
+    # materialization job (labels only ever decrease, so checksum-unchanged
+    # ⇔ fixpoint, up to a 2^-64 hash collision); the old per-round
+    # changed-count needed the dropped second join to see the prior label.
+    prev_chk = None
+    converged = False
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym.doc_b == labels.node)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("neigh_label"))
+        cand = sym.join(labels, sym.doc_b == labels.node).select(
+            F.col("doc_a").alias("node"), "label"
         )
         stepped = (
-            labels.join(neigh_min, labels.node == neigh_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias("label"),
-                (F.col("neigh_label") < F.col("label")).alias("__chg"),
-            )
+            labels.union(cand).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        hop = stepped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        labels = (
+            stepped.join(hop, stepped.label == hop.pnode, "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = stepped.where(F.col("__chg")).count()  # materializes too
-        labels = stepped.drop("__chg")
-        if changed == 0:
+        chk = labels.agg(  # decimal sum: ANSI mode would overflow a BIGINT sum
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("chk")
+        ).collect()[0][0]
+        if chk == prev_chk:
+            converged = True
             break
-    else:
+        prev_chk = chk
+    if not converged:
         # Loop exhausted max_iter with labels still moving: the result is a
-        # partial clustering (components wider than max_iter hops keep stale
-        # labels). Surface it — silent wrong answers are worse than noise.
+        # partial clustering (components wider than 2^max_iter hops keep
+        # stale labels). Surface it — silent wrong answers are worse than
+        # noise.
         import warnings
 
         warnings.warn(
-            f"connected_components did not converge within {max_iter} rounds "
-            f"({changed} labels still changing); increase max_iter",
+            f"connected_components did not converge within {max_iter} rounds; "
+            "increase max_iter",
             RuntimeWarning,
             stacklevel=2,
         )
