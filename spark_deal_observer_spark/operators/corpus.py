@@ -183,6 +183,47 @@ def token_doc_freq_oracle(top_n: int = 20) -> str:
     """
 
 
+# -- stratified sampling ----------------------------------------------------
+
+# Per-language keep rates (percent) for the registered query: downsample the
+# dominant language, keep the tail. The CASE ladder is the "sampling policy
+# as data" pattern — at real scale the rates come from a broadcast-joined
+# policy table; a literal CASE keeps the registered query self-contained.
+STRATA_RATES: tuple[tuple[str, int], ...] = (("en", 20), ("de", 50), ("fr", 50))
+DEFAULT_RATE = 80
+
+
+def _strata_case(dialect: str) -> str:
+    arms = " ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in STRATA_RATES)
+    return f"CASE lang {arms} ELSE {DEFAULT_RATE} END"
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep doc iff
+    hash(doc_id) % 100 < rate(lang).
+
+    The LLM-corpus rebalancing primitive (e.g. downweighting English before
+    pretraining). Same hash-the-primary-key discipline as train_val_split:
+    content-independent, reproducible across runs/machines/partitionings,
+    and — unlike `rand()` or `df.sample()` — expressible to the oracle.
+    Zero shuffles: the whole operator is a scan-stage filter."""
+    bucket = F.expr(_split_bucket("spark"))
+    rate = F.expr(_strata_case("spark"))
+    return (
+        docs.where(bucket < rate)
+        .select("doc_id", "lang", bucket.cast("int").alias("sample_bucket"))
+    )
+
+
+def stratified_sample_oracle() -> str:
+    bucket = _split_bucket("duckdb")
+    rate = _strata_case("duckdb")
+    return f"""
+        SELECT doc_id, lang, CAST({bucket} AS INT) AS sample_bucket
+        FROM documents WHERE {bucket} < {rate}
+    """
+
+
 # -- sequence packing manifest ----------------------------------------------
 
 

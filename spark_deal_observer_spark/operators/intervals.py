@@ -1,0 +1,143 @@
+"""Time-interval operators: bucketed range join and multi-granularity rollup.
+
+Two operators relational engines bolt on for time-series workloads
+(TimescaleDB's hypertables, Flink's interval joins) re-expressed in the
+shapes Spark executes well:
+
+  * interval_range_join — "probe events inside incident windows". The naive
+    plan is a BETWEEN theta-join: a BroadcastNestedLoopJoin that compares
+    every probe row against every window (O(n·m) — dead at scale). The
+    scalable form decomposes each interval into fixed-width time buckets,
+    equi-joins on (key, bucket) — a plain shuffled hash join — and applies
+    the exact BETWEEN as a residual filter. Cost becomes
+    O(windows · buckets_per_window + matches).
+  * hypertable_rollup — the continuous-aggregate ladder: the fine grain
+    (hour) is aggregated once from raw data, and every coarser grain (day)
+    is computed FROM THE HOURLY PARTIALS, not by rescanning the corpus —
+    sum/count re-aggregate losslessly. One corpus-sized shuffle total; the
+    day pass shuffles only the hourly rows (24× smaller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Incident-window parameters for the registered query: error events open a
+# 30-minute window on the same user; bucket width equals window width so
+# each window spans at most 2 buckets.
+WINDOW_MIN = 30
+BUCKET_SECONDS = WINDOW_MIN * 60
+
+
+def interval_range_join(events: DataFrame) -> DataFrame:
+    """Probe events falling inside same-user error windows.
+
+    Every 'error' event opens a [ts, ts + 30 min] window for its user; the
+    result pairs each window with the same user's later 'purchase' events
+    inside it: (error_event_id, event_id, user_id).
+
+    The window side explodes into its covered time buckets (≤ 2 per window
+    since bucket width = window width); the probe side computes its single
+    bucket; the join is an equi-join on (user_id, bucket) with the exact
+    BETWEEN as a residual predicate — no nested-loop join anywhere in the
+    plan. A probe row matching a window through both its buckets would
+    duplicate, so the pair is deduplicated on the two event ids.
+    """
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("w_user_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {WINDOW_MIN} MINUTES")).alias("w_end"),
+    )
+    # Bucket index = wall-clock seconds since the unix origin div width.
+    # timestamp_diff over TIMESTAMP_NTZ is timezone-independent (the same
+    # discipline as functions/epoch.py); unix_timestamp would re-interpret
+    # NTZ values in the session timezone.
+    def bucket_of(col: str):
+        secs = F.timestamp_diff("SECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), F.col(col))
+        return F.floor(secs / F.lit(BUCKET_SECONDS)).cast("bigint")
+
+    win_buckets = errors.select(
+        "*",
+        F.explode(F.sequence(bucket_of("w_start"), bucket_of("w_end"))).alias("bucket"),
+    )
+    probes = events.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        bucket_of("ts").alias("bucket"),
+    )
+    return (
+        probes.join(
+            win_buckets,
+            (probes.user_id == win_buckets.w_user_id)
+            & (probes.bucket == win_buckets.bucket),
+        )
+        .where((F.col("p_ts") > F.col("w_start")) & (F.col("p_ts") <= F.col("w_end")))
+        .select("error_event_id", "event_id", "user_id")
+        .dropDuplicates(["error_event_id", "event_id"])
+    )
+
+
+def interval_range_join_oracle() -> str:
+    # The oracle states the SEMANTICS (plain BETWEEN theta-join); the Spark
+    # plan proves the bucketed decomposition computes the same relation.
+    return f"""
+        SELECT w.error_event_id, p.event_id, p.user_id
+        FROM (SELECT event_id AS error_event_id, user_id, ts AS w_start,
+                     ts + INTERVAL {WINDOW_MIN} MINUTE AS w_end
+              FROM events WHERE event_type = 'error') w
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+          ON p.user_id = w.user_id AND p.ts > w.w_start AND p.ts <= w.w_end
+    """
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Hour + day continuous aggregates per event_type in one result.
+
+    (grain, event_type, bucket_ts, n_events, sum_value): the hourly grain
+    aggregates the raw stream once; the daily grain re-aggregates the
+    HOURLY rows (count→sum, sum→sum are lossless partial merges), touching
+    24× less data than a second raw scan. ROUND pins the double sum to a
+    representable value on both engines.
+    """
+    hourly_raw = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
+    )
+    hourly = hourly_raw.select(
+        F.lit("hour").alias("grain"),
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.round("sum_value_raw", 4).alias("sum_value"),
+    )
+    daily = (
+        hourly_raw.groupBy(
+            "event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_raw"), 4).alias("sum_value"),
+        )
+        .select(F.lit("day").alias("grain"), "event_type", "bucket_ts", "n_events", "sum_value")
+    )
+    return hourly.unionByName(daily)
+
+
+def hypertable_rollup_oracle() -> str:
+    return """
+        WITH hourly_raw AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value_raw
+          FROM events GROUP BY event_type, date_trunc('hour', ts))
+        SELECT 'hour' AS grain, event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+               n_events, ROUND(sum_value_raw, 4) AS sum_value
+        FROM hourly_raw
+        UNION ALL
+        SELECT 'day' AS grain, event_type, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP),
+               CAST(sum(n_events) AS BIGINT), ROUND(sum(sum_value_raw), 4)
+        FROM hourly_raw GROUP BY event_type, date_trunc('day', bucket_ts)
+    """

@@ -1,0 +1,206 @@
+"""Relevance ranking for training-data pipelines: TF-IDF term extraction,
+BM25 document scoring, and grouped top-k selection.
+
+These are the retrieval-side primitives of a data pipeline: TF-IDF keywords
+feed quality/topic filters, BM25 ranks documents against a probe query
+(e.g. dataset targeting or contamination triage), grouped top-k picks the
+best documents per stratum for curriculum or subset building.
+
+Scale posture (the shapes that survive 100 TB):
+  * tokenize/explode runs in the scan stage; tf is ONE shuffle on
+    (doc_id, token) with map-side partial aggregation;
+  * the document-frequency table is tokens-sized (vocabulary ≪ corpus) and
+    joins back broadcast;
+  * corpus scalars (N, avg doc length) are one-row broadcast cross joins,
+    never driver-side collects inside the operator;
+  * top-k per group is a window row_number over the group partition — one
+    shuffle on the group key, no global sort.
+
+All generated SQL (JVM codegen in Spark) with DuckDB twins from the same
+formula builders — the dual-dialect discipline of the dedup/text families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import tokens_sql
+from ..functions.text import quality_sql
+
+# BM25 free parameters (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Probe query for the registered bm25_scores query: frequent corpus terms so
+# the score distribution is non-degenerate at every scale factor.
+DEFAULT_QUERY_TERMS = ("join", "hash", "scan")
+
+
+# -- TF-IDF top terms -------------------------------------------------------
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, token, score, rank).
+
+    score = tf · ln(N / df). Plan shape: explode in the scan stage, one
+    (doc_id, token) shuffle for tf, a vocabulary-sized df aggregate joined
+    back (broadcast at real scale — vocabulary ≪ corpus), the corpus size N
+    as a one-row cross join, and a per-document window for the top-k.
+    Deterministic: ties broken by token ascending.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_raw", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_raw").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "token", F.round("score_raw", 6).alias("score"), "rank")
+    )
+
+
+def tfidf_top_terms_oracle(top_k: int = 3) -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score_raw
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, score_raw,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_raw DESC, token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, token, ROUND(score_raw, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {top_k}
+    """
+
+
+# -- BM25 -------------------------------------------------------------------
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    top_k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed term set: (doc_id, score).
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); the length normalization
+    uses whitespace token count against the corpus mean. The query side is
+    a literal handful of terms — tf for them is a scan-stage filtered
+    aggregate, the two corpus scalars (N, avgdl) are one-row broadcast
+    joins, and the final top-k is TakeOrdered on the ROUNDED score with
+    doc_id tiebreak (rounding first keeps the sort identical across
+    engines' last-ulp differences).
+    """
+    toks_e = tokens_sql("spark", "text")
+    lens = docs.select("doc_id", F.expr(f"size({toks_e})").cast("double").alias("dl"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(toks_e)).alias("token")
+    ).where(F.col("token").isin(*terms))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scal = docs.agg(F.count("*").alias("n")).crossJoin(
+        lens.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", (idf * tf_part).alias("term_score"))
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+        .select("doc_id", "score")
+    )
+
+
+def bm25_scores_oracle(
+    terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    top_k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    toks = tokens_sql("duckdb", "text")
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH lens AS (SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl FROM documents),
+        toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+               WHERE token IN ({term_list}) GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        scal AS (SELECT (SELECT count(*) FROM documents) AS n,
+                        (SELECT avg(dl) FROM lens) AS avgdl),
+        per_term AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + (scal.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * ({k1} + 1))
+                 / (tf.tf + {k1} * (1 - {b} + {b} * lens.dl / scal.avgdl)) AS term_score
+          FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id) CROSS JOIN scal)
+        SELECT doc_id, ROUND(sum(term_score), 6) AS score
+        FROM per_term GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+    """
+
+
+# -- grouped top-k ----------------------------------------------------------
+
+
+def grouped_topk(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k documents per language stratum by composite quality score.
+
+    The curriculum/subset-building primitive: one shuffle on the group key,
+    a window row_number inside each group — never a global sort. Ties
+    broken by doc_id ascending.
+    """
+    score = F.expr(quality_sql("spark", "text")["quality_score"])
+    w = Window.partitionBy("lang").orderBy(F.col("qscore").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", score.cast("double").alias("qscore"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("lang", "doc_id", F.col("qscore").alias("quality_score"), "rank")
+    )
+
+
+def grouped_topk_oracle(top_k: int = 3) -> str:
+    score = quality_sql("duckdb", "text")["quality_score"]
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, CAST({score} AS DOUBLE) AS quality_score FROM documents),
+        ranked AS (
+          SELECT lang, doc_id, quality_score,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY quality_score DESC, doc_id ASC) AS rank
+          FROM scored)
+        SELECT lang, doc_id, quality_score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {top_k}
+    """

@@ -1550,6 +1550,62 @@ def q_approx_quantiles_by_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: ranking / sampling / time-interval operators
+# ---------------------------------------------------------------------------
+
+from ..operators import intervals as iv  # noqa: E402
+from ..operators import ranking as rk  # noqa: E402
+
+
+@register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: explode in the scan stage, one
+    (doc_id, token) shuffle for tf, broadcast vocabulary-sized df join,
+    per-document window for the top-k."""
+    return rk.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("bm25_scores", rk.bm25_scores_oracle())
+def q_bm25_scores(spark, sf_dir):
+    """Top-20 documents by BM25 against a fixed probe query — corpus scalars
+    (N, avgdl) as one-row broadcast cross joins, TakeOrdered on the rounded
+    score."""
+    return rk.bm25_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("grouped_topk_docs", rk.grouped_topk_oracle())
+def q_grouped_topk_docs(spark, sf_dir):
+    """Top-3 documents per language by composite quality score — one shuffle
+    on the group key, window row_number inside the group, no global sort."""
+    return rk.grouped_topk(_t(spark, sf_dir, "documents"))
+
+
+@register("stratified_sample", cp.stratified_sample_oracle())
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling by primary-key hash — the
+    corpus rebalancing primitive; zero shuffles, reproducible everywhere,
+    oracle-expressible (unlike rand()/df.sample())."""
+    return cp.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("interval_range_join", iv.interval_range_join_oracle())
+def q_interval_range_join(spark, sf_dir):
+    """Purchases inside same-user 30-minute error windows. The oracle is the
+    BETWEEN theta-join; the Spark plan is the scalable bucketed decomposition
+    (equi-join on (user_id, time_bucket) + residual range filter) — no
+    BroadcastNestedLoopJoin anywhere (asserted in tests/test_plans.py)."""
+    return iv.interval_range_join(_t(spark, sf_dir, "events"))
+
+
+@register("hypertable_rollup", iv.hypertable_rollup_oracle())
+def q_hypertable_rollup(spark, sf_dir):
+    """Hour + day continuous-aggregate ladder per event_type: the day grain
+    re-aggregates the hourly partials instead of rescanning raw events —
+    one corpus-sized shuffle total."""
+    return iv.hypertable_rollup(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # compound driver queries
 #
 # The driver's correctness gate records a bounded number of query rows per
@@ -1817,6 +1873,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "grouped_topk_docs",
+    "stratified_sample",
+    "interval_range_join",
+    "hypertable_rollup",
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

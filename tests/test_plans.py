@@ -172,3 +172,38 @@ def test_minhash_lsh_single_signature_pass(spark):
     of documents in the plan (a self-join shape would show two)."""
     p = plan(q(spark, "dedup_minhash_lsh"))
     assert p.count("FileScan parquet") == 1, p
+
+
+def test_interval_range_join_has_no_nested_loop(spark):
+    """The range join must run as the bucketed equi-join decomposition —
+    any theta-join fallback (BroadcastNestedLoopJoin / CartesianProduct)
+    would be O(windows x probes) at scale."""
+    p = plan(q(spark, "interval_range_join"))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_stratified_sample_is_scan_stage_only(spark):
+    """Hash-threshold sampling is a pure scan-stage filter: no exchange."""
+    p = plan(q(spark, "stratified_sample"))
+    assert "Exchange" not in p, p
+
+
+def test_rollup_day_grain_reuses_hourly_partials(spark):
+    """The day grain must re-aggregate hourly rows, not rescan raw events:
+    exactly two scans total (one per union branch over the SAME hourly
+    subtree would still show as two FileScans of events; what must NOT
+    appear is a third scan or a day-grain aggregate keyed on raw ts)."""
+    p = plan(q(spark, "hypertable_rollup"))
+    assert p.count("FileScan parquet") <= 2, p
+
+
+def test_tfidf_vocabulary_join_broadcasts(spark):
+    """The document-frequency side (vocabulary-sized) must broadcast."""
+    p = plan(q(spark, "tfidf_top_terms"))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    p = plan(q(spark, "bm25_scores"))
+    assert "TakeOrderedAndProject" in p, p
