@@ -39,6 +39,11 @@ HEADLINE = [
     "corpus_pack_manifest",
     "sessionize_events",
     "salted_join_dim",
+    # r3 additions: ranking + time-interval families
+    "tfidf_top_terms",
+    "bm25_scores",
+    "interval_range_join",
+    "hypertable_rollup",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays
