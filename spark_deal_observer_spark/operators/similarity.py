@@ -175,6 +175,100 @@ def ivf_centroid_topk_oracle(query_vec_id: int = 0, k: int = 10, n_cells: int = 
     """
 
 
+# -- k-means (Lloyd) centroid training --------------------------------------
+
+
+def kmeans_cells(
+    emb: DataFrame, n_cells: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Distributed Lloyd iterations training the IVF coarse quantizer:
+    (cell, n_members, centroid) after `n_iter` assignment/mean rounds from
+    the deterministic first-`n_cells` seed.
+
+    Each round is the two k-means halves in Spark shapes that scale:
+      * ASSIGN — broadcast the C centroids (C·dim doubles, KBs), score n×C
+        cosine affinities in the scan stage, keep the argmax per vector via
+        a window (one shuffle on vec_id);
+      * UPDATE — posexplode components to (cell, pos, val), two-phase
+        avg keyed on (cell, pos) (map-side combine ⇒ the shuffle moves
+        C·dim partial sums per task, independent of corpus size), then
+        reassemble the centroid array with a position sort.
+
+    Centroid components are ROUNDed between rounds: summation order differs
+    across engines (and across Spark task schedules), and the round pins
+    every iteration to identical representable doubles everywhere — the
+    property that makes the fixed-iteration DuckDB oracle byte-exact.
+    Fixed n_iter (vs convergence polling) keeps the whole computation one
+    declarative plan; the CC operator shows the driver-polled loop form.
+    """
+    from pyspark.sql.window import Window
+
+    vecs = emb.select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    aff = F.expr(cosine_spark("embedding", "cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    assigned = None
+    for _ in range(n_iter):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cell", aff.alias("aff"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        mean = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        cents = mean.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+            ).alias("cvec")
+        )
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return cents.join(sizes, "cell").select(
+        F.col("cell").cast("int").alias("cell"), "n_members", F.col("cvec").alias("centroid")
+    )
+
+
+def kmeans_cells_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
+    """Fixed-iteration twin: the same seed, assign, and rounded-mean steps
+    unrolled as CTEs (a0 assigns against c0, c1 averages a0, ...)."""
+    parts = [
+        "vecs AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+             FROM embeddings WHERE vec_id < {n_cells})""",
+    ]
+    for i in range(n_iter):
+        cos = cosine_duck("v.embedding", "c.cvec")
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, cell FROM (
+                 SELECT v.vec_id, c.cell,
+                        row_number() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {cos} DESC, c.cell) AS rn
+                 FROM vecs v CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT a.cell, g.pos, ROUND(avg(CAST(v.embedding[g.pos + 1] AS DOUBLE)), 6) AS val
+                 FROM a{i} a JOIN vecs v USING (vec_id)
+                 CROSS JOIN generate_series(0, {DIM - 1}) AS g(pos)
+                 GROUP BY a.cell, g.pos)"""
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell, list(val ORDER BY pos) AS cvec FROM m{i} GROUP BY cell)"
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT c.cell, CAST(n.n AS BIGINT) AS n_members, c.cvec AS centroid
+        FROM c{n_iter} c
+        JOIN (SELECT cell, count(*) AS n FROM a{n_iter - 1} GROUP BY cell) n USING (cell)
+    """
+
+
 # Sign-LSH bucket: bit n compares coordinates (2n+1, 2n+2) (1-based). The
 # key width is tunable — more bits ⇒ exponentially smaller buckets, lower
 # recall; 4 bits for single-query top-k, 8 bits for the all-pairs stage.

@@ -1557,6 +1557,15 @@ from ..operators import intervals as iv  # noqa: E402
 from ..operators import ranking as rk  # noqa: E402
 
 
+@register("kmeans_cells", sim.kmeans_cells_oracle())
+def q_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd k-means training the IVF coarse quantizer: broadcast
+    assign (argmax cosine) + two-phase per-component mean per round, with
+    inter-round rounding pinning both engines to identical doubles. The
+    iterative-algorithm showcase with an exact fixed-iteration oracle."""
+    return sim.kmeans_cells(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -1873,6 +1882,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "kmeans_cells",
     "tfidf_top_terms",
     "bm25_scores",
     "grouped_topk_docs",

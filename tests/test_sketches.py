@@ -48,3 +48,22 @@ def test_quantile_sketch_within_tolerance(spark):
             # GK with accuracy 10k: rank error <= n/10k; values are ~uniform
             # so a generous relative band suffices
             assert abs(a - e) <= max(0.5, 0.05 * abs(e)), (etype, a, e)
+
+
+def test_kmeans_partition_invariance(spark):
+    """The distributed trainer must be a pure function of the DATA: cluster
+    sizes and centroids identical no matter how the input is partitioned
+    (the inter-round ROUND pins summation-order drift)."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.operators.similarity import kmeans_cells
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = {r["cell"]: (r["n_members"], tuple(r["centroid"])) for r in kmeans_cells(emb).collect()}
+    b = {
+        r["cell"]: (r["n_members"], tuple(r["centroid"]))
+        for r in kmeans_cells(emb.repartition(7)).collect()
+    }
+    assert a == b
+    assert sum(n for n, _ in a.values()) == emb.count()
