@@ -201,23 +201,37 @@ def kmeans_cells(
     Fixed n_iter (vs convergence polling) keeps the whole computation one
     declarative plan; the CC operator shows the driver-polled loop form.
     """
+    cents, assigned = _kmeans_fit(emb, n_cells, n_iter)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return cents.join(sizes, "cell").select(
+        F.col("cell").cast("int").alias("cell"), "n_members", F.col("cvec").alias("centroid")
+    )
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment: broadcast the centroids, window per vec."""
     from pyspark.sql.window import Window
 
+    aff = F.expr(cosine_spark("embedding", "cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", aff.alias("aff"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _kmeans_fit(emb: DataFrame, n_cells: int, n_iter: int):
+    """Run the Lloyd rounds; returns (final centroids, last assignment)."""
     vecs = emb.select("vec_id", "embedding")
     cents = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
     )
-    aff = F.expr(cosine_spark("embedding", "cvec"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
     assigned = None
     for _ in range(n_iter):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "cell", aff.alias("aff"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
+        assigned = _kmeans_assign(vecs, cents)
         mean = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -228,22 +242,21 @@ def kmeans_cells(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
             ).alias("cvec")
         )
-    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
-    return cents.join(sizes, "cell").select(
-        F.col("cell").cast("int").alias("cell"), "n_members", F.col("cvec").alias("centroid")
-    )
+    return cents, assigned
 
 
-def kmeans_cells_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
-    """Fixed-iteration twin: the same seed, assign, and rounded-mean steps
-    unrolled as CTEs (a0 assigns against c0, c1 averages a0, ...)."""
+def _kmeans_ctes(n_cells: int, n_iter: int, *, with_final_assign: bool = False) -> list[str]:
+    """The Lloyd rounds unrolled as DuckDB CTEs (a0 assigns against c0, c1
+    averages a0, ...); optionally adds a final assignment a{n_iter} against
+    the trained centroids c{n_iter} for search-side twins."""
     parts = [
         "vecs AS (SELECT vec_id, embedding FROM embeddings)",
         f"""c0 AS (SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec
              FROM embeddings WHERE vec_id < {n_cells})""",
     ]
-    for i in range(n_iter):
-        cos = cosine_duck("v.embedding", "c.cvec")
+    cos = cosine_duck("v.embedding", "c.cvec")
+    n_assign = n_iter + 1 if with_final_assign else n_iter
+    for i in range(n_assign):
         parts.append(
             f"""a{i} AS (SELECT vec_id, cell FROM (
                  SELECT v.vec_id, c.cell,
@@ -251,6 +264,8 @@ def kmeans_cells_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
                                            ORDER BY {cos} DESC, c.cell) AS rn
                  FROM vecs v CROSS JOIN c{i} c) WHERE rn = 1)"""
         )
+        if i == n_iter:
+            break
         parts.append(
             f"""m{i} AS (SELECT a.cell, g.pos, ROUND(avg(CAST(v.embedding[g.pos + 1] AS DOUBLE)), 6) AS val
                  FROM a{i} a JOIN vecs v USING (vec_id)
@@ -260,12 +275,67 @@ def kmeans_cells_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
         parts.append(
             f"c{i + 1} AS (SELECT cell, list(val ORDER BY pos) AS cvec FROM m{i} GROUP BY cell)"
         )
-    joined = ",\n        ".join(parts)
+    return parts
+
+
+def kmeans_cells_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
+    """Fixed-iteration twin: the same seed, assign, and rounded-mean steps
+    unrolled as CTEs."""
+    joined = ",\n        ".join(_kmeans_ctes(n_cells, n_iter))
     return f"""
         WITH {joined}
         SELECT c.cell, CAST(n.n AS BIGINT) AS n_members, c.cvec AS centroid
         FROM c{n_iter} c
         JOIN (SELECT cell, count(*) AS n FROM a{n_iter - 1} GROUP BY cell) n USING (cell)
+    """
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_cells: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """End-to-end IVF over TRAINED centroids: Lloyd-fit the coarse
+    quantizer, assign every vector to its trained cell, prune the search to
+    the query's cell, exact cosine re-rank inside it.
+
+    The build (fit + assign) is the one-off index pass — at 100 TB its
+    output is written partitioned by cell so the query side is partition
+    pruning + ⚓ broadcast query vector + TakeOrdered, identical in shape to
+    `ivf_topk`. Composes the trained quantizer with the search plan the
+    sampled-seed variants (`ivf_centroid_topk`) already exercise."""
+    cents, _ = _kmeans_fit(emb, n_cells, n_iter)
+    assigned = _kmeans_assign(emb.select("vec_id", "embedding"), cents).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    q = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    return (
+        assigned.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "label", F.col("cell").cast("int").alias("cell"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_kmeans_topk_oracle(
+    query_vec_id: int = 0, k: int = 10, n_cells: int = 8, n_iter: int = 2
+) -> str:
+    joined = ",\n        ".join(_kmeans_ctes(n_cells, n_iter, with_final_assign=True))
+    cos = cosine_duck("v.embedding", "q.qvec")
+    return f"""
+        WITH {joined}
+        SELECT a.vec_id, e.label, CAST(a.cell AS INT) AS cell, {cos} AS cosine
+        FROM a{n_iter} a
+        JOIN vecs v USING (vec_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN (SELECT v2.embedding AS qvec, a2.cell AS qcell
+              FROM a{n_iter} a2 JOIN vecs v2 USING (vec_id)
+              WHERE a2.vec_id = {query_vec_id}) q
+          ON a.cell = q.qcell
+        WHERE a.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, a.vec_id LIMIT {k}
     """
 
 

@@ -1566,6 +1566,14 @@ def q_kmeans_cells(spark, sf_dir):
     return sim.kmeans_cells(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf_kmeans", sim.ivf_kmeans_topk_oracle())
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """End-to-end IVF: Lloyd-trained coarse quantizer, cell assignment,
+    partition-pruned search with exact cosine re-rank inside the query's
+    cell — the trained-index completion of the ann_ivf_* family."""
+    return sim.ivf_kmeans_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -1883,6 +1891,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_lang_id",
     "text_fingerprint",
     "kmeans_cells",
+    "ann_ivf_kmeans",
     "tfidf_top_terms",
     "bm25_scores",
     "grouped_topk_docs",
