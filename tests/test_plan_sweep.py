@@ -1,0 +1,57 @@
+"""Global plan-discipline sweep: invariants every registered query must hold.
+
+The per-operator assertions live in test_plans.py; this sweep catches the
+regression classes that creep in anywhere — a join losing its equi-key and
+falling back to a nested loop, or a row-at-a-time Python UDF appearing in a
+family that is documented JVM-only.
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMALL
+
+from spark_deal_observer_spark.plans.registry import REGISTRY
+
+# Families implemented via Arrow-batched Python by design (SURVEY §2 F4 CBOR
+# codec; multimodal media ops). Everything else must stay JVM-side.
+PYTHON_OK = {
+    "cbor_decode_pipeline",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "resolve_state_tick",  # enrichment seam is mapInPandas by design
+    "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_no_product_join_anywhere(spark, name):
+    """No CartesianProduct; BroadcastNestedLoopJoin only for broadcast
+    one-row scalar attachment (corpus constants), never as a filtered
+    theta-join fallback."""
+    p = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
+    if "BroadcastNestedLoopJoin" in p:
+        # one-row scalar cross joins (count(*), avgdl, scalar subqueries)
+        # plan as BNLJ with BuildRight and no condition — allow only that
+        for ln in p.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "Cross" in ln or "BuildRight" in ln, f"{name}: {ln}"
+                assert "Condition" not in ln.split(",", 2)[-1] or "None" in ln, f"{name}: {ln}"
+
+
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - PYTHON_OK))
+def test_jvm_families_have_no_row_python(spark, name):
+    """BatchEvalPython (row-at-a-time Python UDF) must appear nowhere; the
+    Arrow-batched operators (ArrowEvalPython / mapInPandas) are allowed only
+    in the whitelisted Python-by-design queries."""
+    p = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF\n{p}"
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+        f"{name}: unexpected Python stage\n{p}"
+    )
