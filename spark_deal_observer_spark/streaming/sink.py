@@ -157,6 +157,42 @@ class PartitionedDealTableSink(DealTableSink):
         new_rows = dedup_insert(batch, stored, self.key)
         new_rows.write.mode("append").partitionBy(self.PCOL).parquet(self.path)
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict[int, int]:
+        """Rewrite each partition whose file count exceeds its target into
+        the minimal file count — the small-files maintenance every
+        micro-batch-appended table needs (each `append_dedup` tick adds
+        part-files; thousands of ticks make scans metadata-bound).
+
+        Runs partition-by-partition with the same staged-swap as
+        merge_overwrite, so a crash mid-compaction leaves every partition
+        either old or new, never mixed. Files are sized by row count
+        (columnar bytes vary with encoding; rows are the stable proxy).
+        Returns {bucket: files_after} for the partitions it rewrote.
+
+        At deployment scale this is the OPTIMIZE/rewrite-data-files job of
+        a table format, scheduled off-peak; expressing it over plain
+        parquet keeps the sink self-contained.
+        """
+        from pyspark.sql import functions as F
+
+        result: dict[int, int] = {}
+        for part in sorted(os.listdir(self.path)):
+            if not part.startswith(f"{self.PCOL}="):
+                continue
+            bucket = int(part.split("=", 1)[1])
+            live = os.path.join(self.path, part)
+            n_files = sum(f.endswith(".parquet") for f in os.listdir(live))
+            rows = self.spark.read.parquet(live)
+            n_rows = rows.count()
+            want = max(1, -(-n_rows // target_rows_per_file))  # ceil div
+            if n_files <= want:
+                continue
+            tmp = f"{live}__compact_{uuid.uuid4().hex[:8]}"
+            rows.coalesce(want).write.mode("overwrite").parquet(tmp)
+            _swap_dir(tmp, live)
+            result[bucket] = want
+        return result
+
     def merge_overwrite(self, updates: DataFrame, on: Sequence[str]) -> None:
         """Partition-scoped MERGE: stage the merged version of ONLY the
         partitions the updates intersect, then swap those directories."""

@@ -98,3 +98,34 @@ def test_egress_with_partitioned_sink(spark, tmp_path):
     assert res["submitted"] > 0
     assert sink.count() == stored  # merge rewrites, never grows
     assert submit_eligible(sink, lambda p: {"ingested": len(p)}, now=now)["submitted"] == 0
+
+
+def test_compact_collapses_small_files_and_preserves_data(spark, tmp_path):
+    """Many append ticks leave many part-files; compact() rewrites each
+    oversized partition to its minimal file count without changing the
+    data, and leaves already-compact partitions' files untouched."""
+    deals = deals_df(spark, SF_SMALL)
+    sink = PartitionedDealTableSink(spark, str(tmp_path / "table"))
+    # 4 ticks over the same epoch range -> each partition accumulates files
+    slices = [
+        deals.where(F.col("id") % 4 == i) for i in range(4)
+    ]
+    for s in slices:
+        sink.append_dedup(s)
+
+    before_rows = sink.read().orderBy("id").collect()
+    before_files = _files(sink.path)
+    assert any(len(v) > 1 for v in before_files.values()), "need multi-file partitions"
+
+    rewritten = sink.compact()
+    assert rewritten, "expected at least one partition rewritten"
+
+    after_files = _files(sink.path)
+    assert set(after_files) == set(before_files)  # no partition lost
+    for part, names in after_files.items():
+        assert len(names) == 1, part  # row counts far below the target => 1 file
+    assert sink.read().orderBy("id").collect() == before_rows
+
+    # idempotent: a second compact is a no-op and rewrites nothing
+    assert sink.compact() == {}
+    assert _files(sink.path) == after_files
