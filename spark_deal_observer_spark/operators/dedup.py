@@ -219,12 +219,16 @@ def minhash_lsh_star_edges(docs: DataFrame) -> DataFrame:
     buckets = exploded.groupBy("band", "key").agg(
         F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
     )
+    # Deliberately NOT deduplicated: the same (hub, member) pair recurs when
+    # two buckets share their hub, but connected_components is insensitive
+    # to edge multiplicity — the min-aggregate absorbs duplicates — and the
+    # dedup would cost a full shuffle of the edge set every build. Consumers
+    # needing a set (none today) can dropDuplicates themselves.
     return (
         buckets.where(F.size("ids") > 1)
         .select("hub", F.explode("ids").alias("doc_id"))
         .where(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
