@@ -152,3 +152,89 @@ def with_lang_id(docs: DataFrame) -> DataFrame:
 
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(fingerprint_sql("spark", "text")).alias("fingerprint"))
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# Conservative patterns: emails, international-ish phone numbers, and IPv4
+# addresses — the redaction set every public-corpus pipeline starts from.
+# Deliberately BACKSLASH-FREE: Spark SQL string literals eat backslash
+# escapes ('\b' → backspace) while DuckDB's don't, so any pattern with a
+# backslash silently diverges between the engines. Literal dots are [.],
+# hyphens sit first/last in character classes, word boundaries are dropped.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"),
+    ("phone", "[+][0-9][-0-9() ]{6,}[0-9]"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+)
+
+
+def pii_scrub_sql(dialect: str, text: str) -> dict[str, str]:
+    """Redacted text + per-category match counts as column expressions.
+
+    Counts are computed on the ORIGINAL text; the scrub chain composes in a
+    fixed order (email → phone → ipv4), each stage over the previous one's
+    output — deterministic and identical in both engines."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    count_f = "len" if dialect == "duckdb" else "size"
+    # Spark's regexp_extract_all defaults to group 1; these patterns have no
+    # groups, so group 0 must be explicit. DuckDB returns full matches.
+    idx = "" if dialect == "duckdb" else ", 0"
+    out: dict[str, str] = {}
+    scrubbed = text
+    for name, pat in PII_PATTERNS:
+        out[f"n_{name}"] = f"{count_f}(regexp_extract_all({text}, '{pat}'{idx}))"
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '<{name.upper()}>'{g})"
+    out["scrubbed"] = scrubbed
+    return out
+
+
+def with_pii_scrub(docs: DataFrame) -> DataFrame:
+    exprs = pii_scrub_sql("spark", "text")
+    casts = {"n_email": "int", "n_phone": "int", "n_ipv4": "int"}
+    return docs.select(
+        "doc_id",
+        *[F.expr(e).cast(casts.get(k, "string")).alias(k) for k, e in exprs.items()],
+    )
+
+
+# -- repetition detection (Gopher-style) ------------------------------------
+
+
+def repetition_sql(dialect: str, text: str, n: int = 3) -> dict[str, str]:
+    """Duplicate n-gram fraction: 1 − distinct(n-grams)/total(n-grams), the
+    Gopher repetition filter's core signal (high value ⇒ boilerplate /
+    looping text). Token n-grams are built positionally from the whitespace
+    token array — one tokenize pass, no re-scan per n."""
+    toks = tokens_sql(dialect, text)
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
+        return {
+            "n_grams": f"size({grams})",
+            "dup_ngram_frac": (
+                f"ROUND(1.0 - CAST(size(array_distinct({grams})) AS DOUBLE)"
+                f" / size({grams}), 6)"
+            ),
+        }
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return {
+        "n_grams": f"len({grams})",
+        "dup_ngram_frac": (
+            f"ROUND(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}), 6)"
+        ),
+    }
+
+
+def with_repetition(docs: DataFrame) -> DataFrame:
+    exprs = repetition_sql("spark", "text")
+    casts = {"n_grams": "int"}
+    return docs.select(
+        "doc_id",
+        *[F.expr(e).cast(casts.get(k, "double")).alias(k) for k, e in exprs.items()],
+    )

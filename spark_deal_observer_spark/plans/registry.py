@@ -1550,6 +1550,55 @@ def q_approx_quantiles_by_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: PII scrubbing + repetition filter
+# ---------------------------------------------------------------------------
+
+from ..functions.text import (  # noqa: E402
+    pii_scrub_sql,
+    repetition_sql,
+    with_pii_scrub,
+    with_repetition,
+)
+
+
+@register(
+    "text_pii_scrub",
+    (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"CAST({e} AS INT) AS {k}" if k.startswith("n_") else f"{e} AS {k}"
+            for k, e in pii_scrub_sql("duckdb", "text").items()
+        )
+        + " FROM documents"
+    ),
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, phones, IPv4) with per-category match counts —
+    a zero-shuffle scan-stage pass; the regex set is deliberately
+    backslash-free so the identical pattern text runs in both engines
+    (tests/test_text_filters.py proves the matches on synthetic rows)."""
+    return with_pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition",
+    (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"CAST({e} AS {'INT' if k == 'n_grams' else 'DOUBLE'}) AS {k}"
+            for k, e in repetition_sql("duckdb", "text").items()
+        )
+        + " FROM documents"
+    ),
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: duplicate token-3-gram fraction per
+    document (high ⇒ boilerplate/looping text) — positional n-grams over
+    one tokenize pass, scan-stage only."""
+    return with_repetition(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline: ranking / sampling / time-interval operators
 # ---------------------------------------------------------------------------
 
@@ -1895,6 +1944,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "tfidf_top_terms",
     "bm25_scores",
     "grouped_topk_docs",
+    "text_pii_scrub",
+    "text_repetition",
     "stratified_sample",
     "interval_range_join",
     "hypertable_rollup",
