@@ -488,6 +488,68 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
+def knn_join(emb: DataFrame, k: int = 3, n_bits: int = _N_SIGN_BITS) -> DataFrame:
+    """k-NN JOIN: for EVERY vector, its top-k neighbors within its sign-LSH
+    bucket — the set-wise companion of the single-query ANN searches
+    (semantic-dedup and clustering pipelines need neighbors for all rows,
+    not one probe).
+
+    Plan: one narrow pass computes (norm, bucket) per vector, a bucketed
+    self-join generates candidates (bounded blocks — the same key the ANN
+    bucket search shuffles on), one dot product per candidate, and a
+    per-vector window keeps the top-k. Directed: (vec_id, neighbor, rank);
+    both directions of a close pair appear, each under its own anchor.
+    Recall is the standard LSH trade — neighbors in other buckets are
+    unseen — and the multiprobe variant widens it the same way as search.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import spread_cpu
+
+    norm = F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})")
+    bucket = F.expr(_bucket_spark("embedding", n_bits))
+    base = spread_cpu(emb.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", norm.alias("nrm"), bucket.alias("bucket")
+    )
+    x, y = base.alias("x"), base.alias("y")
+    cos = F.round(
+        F.expr(_dot_spark("x.embedding", "y.embedding")) / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
+    cand = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") != F.col("y.vec_id"))
+    ).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("y.vec_id").alias("neighbor"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor", "cosine", "rank")
+    )
+
+
+def knn_join_oracle(k: int = 3, n_bits: int = _N_SIGN_BITS) -> str:
+    cos = cosine_duck("x.embedding", "y.embedding")
+    bucket = _bucket_duck("embedding", n_bits)
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        cand AS (
+          SELECT x.vec_id AS vec_id, y.vec_id AS neighbor, {cos} AS cosine
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+        ranked AS (
+          SELECT vec_id, neighbor, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, neighbor ASC) AS rank
+          FROM cand)
+        SELECT vec_id, neighbor, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_near_pairs_oracle(threshold: float = 0.4) -> str:
     cos = cosine_duck("x.embedding", "y.embedding")
     bucket = _bucket_duck("embedding", _PAIR_SIGN_BITS)

@@ -1606,6 +1606,14 @@ from ..operators import intervals as iv  # noqa: E402
 from ..operators import ranking as rk  # noqa: E402
 
 
+@register("knn_join", sim.knn_join_oracle())
+def q_knn_join(spark, sf_dir):
+    """k-NN join: top-3 neighbors for EVERY vector within its sign-LSH
+    bucket — bounded bucketed self-join + per-vector window; the set-wise
+    companion of the single-probe ANN searches."""
+    return sim.knn_join(_t(spark, sf_dir, "embeddings"))
+
+
 @register("kmeans_cells", sim.kmeans_cells_oracle())
 def q_kmeans_cells(spark, sf_dir):
     """Distributed Lloyd k-means training the IVF coarse quantizer: broadcast
@@ -1941,6 +1949,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "kmeans_cells",
     "ann_ivf_kmeans",
+    "knn_join",
     "tfidf_top_terms",
     "bm25_scores",
     "grouped_topk_docs",
