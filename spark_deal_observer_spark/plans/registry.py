@@ -1865,17 +1865,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "filter_bool",           # P2 + T4 revert flag
     "filter_enum_eq",        # P3
     "filter_compound",       # P4 (3VL)
-    "eligible_deals",        # P5 flagship eligibility
-    "project_computed",      # P6
+    "eligible_deals",        # P5 flagship eligibility (also covers P6)
     "event_type_filter",     # P8
     "range_filter",          # P9
     # joins
-    "semi_join_ids",         # J1
     "scalar_subquery",       # J2
     "dim_lookup_join",       # J3
     "composite_key_join",    # J4
-    "anti_join_dedup",       # J5
-    "enrich_cached_peer",    # J3 cold-dimension executor-cached variant
+    "anti_join_dedup",       # J5 (J1 covered by mark_submitted)
     # aggregation / dedup / ordering
     "agg_counters",          # A1+A2+A4 compound
     "argmax_row",            # A3
@@ -1898,6 +1895,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_brute_force",
     "ann_ivf_centroid",
     "ann_lsh_multiprobe",
+    "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
+    "knn_join",              # set-wise top-k neighbors
+    "tfidf_top_terms",       # ranking-family lead
     # training-data pipeline: text analysis
     "text_metrics",          # token counts + quality + lang-ID + fingerprint
     "text_winnow_fingerprints",
@@ -1914,6 +1914,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "windowed_counts",       # S11 + T2 (event-time window agg)
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
     "scd2_deal_history",     # S7 history-keeping variant
+    "project_computed",      # P6 (also covered by eligible_deals)
+    "semi_join_ids",         # J1 (also covered by mark_submitted)
+    "enrich_cached_peer",    # J3 cold-dimension executor-cached variant
     "salted_join_dim",
     "distinct_salted",
     "agg_rollup",
@@ -1947,10 +1950,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
-    "kmeans_cells",
     "ann_ivf_kmeans",
-    "knn_join",
-    "tfidf_top_terms",
     "bm25_scores",
     "grouped_topk_docs",
     "text_pii_scrub",
