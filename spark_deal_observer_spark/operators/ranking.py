@@ -204,3 +204,50 @@ def grouped_topk_oracle(top_k: int = 3) -> str:
         SELECT lang, doc_id, quality_score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {top_k}
     """
+
+
+# -- unigram LM surprisal scoring -------------------------------------------
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM (add-one smoothing): the classic model-based quality signal —
+    gibberish and vocabulary-skewed documents sit far below the corpus mean,
+    without shipping an external LM.
+
+    score(d) = mean over tokens t of ln((count(t)+1) / (T + V)), with T =
+    total corpus tokens, V = vocabulary size. Plan: one explode + (token)
+    count for the LM (vocabulary-sized, broadcast back), the two corpus
+    scalars as a one-row broadcast cross join, one (doc_id) shuffle for the
+    per-doc mean. Same scale posture as TF-IDF."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    )
+    lm = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    scal = lm.agg(
+        F.sum("cnt").alias("t_total"), F.count("*").alias("v_size")
+    )
+    logp = F.log(
+        (F.col("cnt") + F.lit(1.0)) / (F.col("t_total") + F.col("v_size"))
+    )
+    return (
+        toks.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 6).alias("mean_logprob"))
+    )
+
+
+def unigram_logprob_scores_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        scal AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+                        CAST(count(*) AS DOUBLE) AS v_size FROM lm)
+        SELECT t.doc_id,
+               ROUND(avg(ln((lm.cnt + 1.0) / (scal.t_total + scal.v_size))), 6)
+                 AS mean_logprob
+        FROM toks t JOIN lm USING (token) CROSS JOIN scal
+        GROUP BY t.doc_id
+    """

@@ -1647,6 +1647,15 @@ def q_bm25_scores(spark, sf_dir):
     return rk.bm25_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("unigram_logprob", rk.unigram_logprob_scores_oracle())
+def q_unigram_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's own add-one
+    smoothed unigram LM — the model-based quality signal without an external
+    model; vocabulary-sized LM broadcast back, corpus scalars as one-row
+    broadcast joins."""
+    return rk.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 @register("grouped_topk_docs", rk.grouped_topk_oracle())
 def q_grouped_topk_docs(spark, sf_dir):
     """Top-3 documents per language by composite quality score — one shuffle
@@ -1952,6 +1961,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "ann_ivf_kmeans",
     "bm25_scores",
+    "unigram_logprob",
     "grouped_topk_docs",
     "text_pii_scrub",
     "text_repetition",
