@@ -39,11 +39,15 @@ HEADLINE = [
     "corpus_pack_manifest",
     "sessionize_events",
     "salted_join_dim",
-    # r3 additions: ranking + time-interval families
+    # r3 additions: ranking + time-interval + trained-index families
     "tfidf_top_terms",
     "bm25_scores",
     "interval_range_join",
     "hypertable_rollup",
+    "kmeans_cells",
+    "knn_join",
+    "unigram_logprob",
+    "text_pii_scrub",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

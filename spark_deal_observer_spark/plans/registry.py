@@ -1647,6 +1647,25 @@ def q_bm25_scores(spark, sf_dir):
     return rk.bm25_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "multimodal_dedup",
+    """SELECT md5(text) AS content_hash,
+              CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keep_doc_id
+       FROM documents GROUP BY md5(text)""",
+)
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact dedup on the BINARY media payload: one hash per blob in the
+    scan stage, one (hash) shuffle — the multimodal twin of dedup_exact
+    (the oracle hashes the text whose UTF-8 bytes ARE the fake payload, so
+    both engines hash identical bytes). At 100 TB the hash rides the
+    ingest scan; the groupBy moves 16-byte digests, never payloads."""
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return media.groupBy(F.md5("payload").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
 @register("unigram_logprob", rk.unigram_logprob_scores_oracle())
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc mean unigram log-probability under the corpus's own add-one
@@ -1965,6 +1984,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "grouped_topk_docs",
     "text_pii_scrub",
     "text_repetition",
+    "multimodal_dedup",
     "stratified_sample",
     "interval_range_join",
     "hypertable_rollup",
