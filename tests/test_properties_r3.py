@@ -1,0 +1,123 @@
+"""Randomized contract tests for the round-3 operator families: the
+bucketed range join equals the naive theta-join, the k-NN join equals
+per-bucket brute force, and stratified sampling is a deterministic pure
+function of the keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from spark_deal_observer_spark.operators.intervals import interval_range_join
+from spark_deal_observer_spark.operators.similarity import _N_SIGN_BITS, knn_join
+
+
+def _random_events(spark, seed: int, n: int = 400):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(seconds=rng.randrange(0, 6 * 3600)),
+                rng.randrange(0, 12),  # few users -> windows genuinely overlap
+                rng.choice(["error", "purchase", "view"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING"
+    )
+
+
+def test_bucketed_range_join_equals_theta_join(spark):
+    """The bucket decomposition must compute exactly the BETWEEN relation —
+    including windows that straddle a bucket boundary (the 2-bucket case)."""
+    for seed in (7, 23, 99):
+        ev = _random_events(spark, seed)
+        got = {
+            (r["error_event_id"], r["event_id"])
+            for r in interval_range_join(ev).collect()
+        }
+        w = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("weid"),
+            F.col("user_id").alias("wuid"),
+            F.col("ts").alias("ws"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("we"),
+        )
+        p = ev.where(F.col("event_type") == "purchase")
+        naive = {
+            (r["weid"], r["event_id"])
+            for r in p.join(
+                w,
+                (p.user_id == w.wuid) & (p.ts > w.ws) & (p.ts <= w.we),
+            ).collect()
+        }
+        assert got == naive, f"seed {seed}"
+
+
+def test_knn_join_equals_per_bucket_brute_force(spark):
+    """Within each sign-LSH bucket the kNN join must return exactly the
+    brute-force top-k by (cosine desc, neighbor asc)."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.operators.similarity import (
+        _bucket_spark,
+        _dot_spark,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor"], r["cosine"])
+        for r in knn_join(emb).collect()
+    }
+
+    rows = emb.select(
+        "vec_id",
+        F.expr(_bucket_spark("embedding", _N_SIGN_BITS)).alias("bucket"),
+        F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})").alias("nrm"),
+        "embedding",
+    ).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    want = {}
+    for members in by_bucket.values():
+        for a in members:
+            cands = []
+            for b in members:
+                if b["vec_id"] == a["vec_id"]:
+                    continue
+                dot = sum(x * y for x, y in zip(a["embedding"], b["embedding"]))
+                cands.append((round(dot / (a["nrm"] * b["nrm"]), 6), b["vec_id"]))
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (cos, vid) in enumerate(cands[:3], 1):
+                want[(a["vec_id"], rank)] = (vid, cos)
+    assert got == want
+
+
+def test_stratified_sample_is_pure_function_of_keys(spark):
+    """Same keys in, same rows out — regardless of row order or partitioning
+    — and every kept row's bucket respects its stratum's rate."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.operators.corpus import (
+        DEFAULT_RATE,
+        STRATA_RATES,
+        stratified_sample,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = sorted(tuple(r) for r in stratified_sample(docs).collect())
+    b = sorted(
+        tuple(r)
+        for r in stratified_sample(docs.repartition(13).orderBy(F.rand(5))).collect()
+    )
+    assert a == b
+    rates = dict(STRATA_RATES)
+    for doc_id, lang, bucket in a:
+        assert bucket < rates.get(lang, DEFAULT_RATE), (doc_id, lang, bucket)
