@@ -465,3 +465,88 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_oracle",
 ]
+
+
+# -- fuzzy string join (PassJoin-style segment blocking) --------------------
+
+
+def fuzzy_name_pairs(parts: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Same-length name pairs within levenshtein distance `max_dist`,
+    candidate-blocked by the PassJoin segment scheme: each string splits
+    into max_dist+1 contiguous segments, and any equal-length pair within
+    distance k must agree EXACTLY on at least one segment (pigeonhole: k
+    substitutions cannot touch all k+1 segments). Blocking key =
+    (length, segment_index, segment_text) — bounded like every other
+    near-dup block in this module; the exact levenshtein runs only inside
+    blocks as the residual verify.
+
+    For equal-length strings levenshtein also admits insert+delete combos
+    that shift characters between segments; those candidates can be missed
+    — the oracle replicates the identical blocked semantics (the same
+    recall contract as embedding_near_pairs); losslessness holds for
+    substitution-only edits.
+
+    Output: (key_a, key_b, name_a, name_b, dist), key_a < key_b.
+    """
+    n_seg = max_dist + 1
+    segs = []
+    for i in range(n_seg):
+        start = f"(CAST(length(p_name) * {i} / {n_seg} AS INT) + 1)"
+        end = f"CAST(length(p_name) * {i + 1} / {n_seg} AS INT)"
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.expr(f"substring(p_name, {start}, {end} - {start} + 1)").alias("segtxt"),
+            )
+        )
+    keyed = parts.select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.length("p_name").alias("ln"),
+        F.explode(F.array(*segs)).alias("s"),
+    ).select("key", "name", "ln", F.col("s.seg").alias("seg"), F.col("s.segtxt").alias("segtxt"))
+    x, y = keyed.alias("x"), keyed.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.ln") == F.col("y.ln"))
+            & (F.col("x.seg") == F.col("y.seg"))
+            & (F.col("x.segtxt") == F.col("y.segtxt"))
+            & (F.col("x.key") < F.col("y.key")),
+        )
+        .select(
+            F.col("x.key").alias("key_a"),
+            F.col("y.key").alias("key_b"),
+            F.col("x.name").alias("name_a"),
+            F.col("y.name").alias("name_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= max_dist).select(
+        "key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("dist")
+    )
+
+
+def fuzzy_name_pairs_oracle(max_dist: int = 2) -> str:
+    n_seg = max_dist + 1
+    seg_selects = " UNION ALL ".join(
+        f"""SELECT p_partkey AS key, p_name AS name, length(p_name) AS ln, {i} AS seg,
+            substring(p_name, CAST(length(p_name) * {i} / {n_seg} AS INT) + 1,
+                      CAST(length(p_name) * {i + 1} / {n_seg} AS INT)
+                      - CAST(length(p_name) * {i} / {n_seg} AS INT)) AS segtxt
+            FROM part"""
+        for i in range(n_seg)
+    )
+    return f"""
+        WITH keyed AS ({seg_selects}),
+        cand AS (
+          SELECT DISTINCT x.key AS key_a, y.key AS key_b,
+                          x.name AS name_a, y.name AS name_b
+          FROM keyed x JOIN keyed y
+            ON x.ln = y.ln AND x.seg = y.seg AND x.segtxt = y.segtxt
+           AND x.key < y.key)
+        SELECT key_a, key_b, name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= {max_dist}
+    """

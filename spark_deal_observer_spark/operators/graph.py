@@ -1,0 +1,112 @@
+"""Graph operators beyond connected components: fixed-iteration PageRank.
+
+Connected components (operators/dedup.py) is the clustering workhorse;
+PageRank is the canonical "general iterative dataflow" the engine must also
+express — rank propagation over an edge list with per-round joins and
+aggregates, the same declarative-plan-per-round discipline as the k-means
+trainer (similarity.py): fixed iteration count, ROUNDed state between
+rounds so both engines walk identical doubles, corpus scalars as one-row
+broadcast joins, never a driver-side collect inside the operator.
+
+Per round: one join of the edge list with the rank vector (shuffle on src),
+one aggregate onto dst (map-side combinable), one broadcast-left-join back
+onto the node set. Rank-vector size is O(nodes) — at 100 TB the edge list
+dominates and each round is edge-partitioned work, exactly how the
+dedicated graph engines (Pregel and descendants) shard it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+N_ITER = 2
+ROUND_DP = 9  # inter-round rounding: pins summation-order drift on both engines
+
+
+def _edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetric customer↔supplier edge list from the order history.
+
+    Node ids are prefixed ('c'/'s') so the two key spaces can't collide;
+    edges are distinct and emitted in both directions (undirected graph ⇒
+    no dangling-mass correction needed)."""
+    base = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    return base.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
+        base.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+
+
+def pagerank(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(node, pagerank) after `n_iter` synchronous rounds from uniform init."""
+    edges = _edges(orders, lineitem)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    scal = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    pr = nodes.crossJoin(F.broadcast(scal)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), ROUND_DP).alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(scal))
+            .select(
+                "node",
+                F.round(
+                    (1 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    ROUND_DP,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").alias("pagerank"))
+
+
+def pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
+    parts = [
+        """base AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS STRING) AS cnode,
+                            's' || CAST(l.l_suppkey AS STRING) AS snode
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        """edges AS (SELECT cnode AS src, snode AS dst FROM base
+                     UNION ALL SELECT snode, cnode FROM base)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "scal AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, ROUND(1.0 / scal.n, {ROUND_DP}) AS pr FROM nodes CROSS JOIN scal)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""m{i} AS (SELECT e.dst, sum(p.pr / d.deg) AS mass
+                 FROM edges e JOIN pr{i} p ON e.src = p.node
+                 JOIN outdeg d ON e.src = d.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""pr{i + 1} AS (SELECT nodes.node,
+                 ROUND((1 - {damping}) / scal.n
+                       + {damping} * COALESCE(m{i}.mass, 0.0), {ROUND_DP}) AS pr
+                 FROM nodes LEFT JOIN m{i} ON nodes.node = m{i}.dst CROSS JOIN scal)"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT node, pr AS pagerank FROM pr{n_iter}
+    """

@@ -1666,6 +1666,27 @@ def q_multimodal_dedup(spark, sf_dir):
     )
 
 
+from ..operators.graph import pagerank, pagerank_oracle  # noqa: E402
+
+
+@register("pagerank_entities", pagerank_oracle())
+def q_pagerank_entities(spark, sf_dir):
+    """Fixed-iteration PageRank over the customer↔supplier order graph —
+    the general iterative-dataflow showcase next to k-means and CC: one
+    edges⋈ranks shuffle + one dst aggregate per round, inter-round ROUND
+    pins both engines to identical doubles."""
+    return pagerank(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register("fuzzy_name_pairs", dd.fuzzy_name_pairs_oracle())
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string self-join: same-length part names within levenshtein 2,
+    PassJoin segment blocking (pigeonhole: k substitutions can't touch all
+    k+1 segments) with exact edit distance as the in-block residual — the
+    string twin of the bounded near-dup blocks."""
+    return dd.fuzzy_name_pairs(_t(spark, sf_dir, "part"))
+
+
 @register("unigram_logprob", rk.unigram_logprob_scores_oracle())
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc mean unigram log-probability under the corpus's own add-one
@@ -1985,6 +2006,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_pii_scrub",
     "text_repetition",
     "multimodal_dedup",
+    "fuzzy_name_pairs",
+    "pagerank_entities",
     "stratified_sample",
     "interval_range_join",
     "hypertable_rollup",
