@@ -251,3 +251,57 @@ def unigram_logprob_scores_oracle() -> str:
         FROM toks t JOIN lm USING (token) CROSS JOIN scal
         GROUP BY t.doc_id
     """
+
+
+# -- feature-hashed document embeddings (the hashing trick) -----------------
+
+EMBED_DIM = 64
+
+
+def hashed_doc_embeddings(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """L2-normalized hashed bag-of-words embedding per document
+    (feature hashing, Weinberger et al. 2009): token → hash32 % dim buckets,
+    counts assembled into a dense vector and normalized.
+
+    This is the embedding GENERATOR the rest of the vector family (ANN,
+    kNN join, k-means, near-dup) consumes — text in, `array<double>` out,
+    entirely in generated SQL: explode in the scan stage, ONE (doc_id)
+    shuffle carrying dim partial sums per doc (map-side combined), the
+    vector assembled from `dim` conditional aggregates. No Python, no
+    external model; the oracle builds the identical vector."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    )
+    from ..functions.hashing import hash32_sql
+
+    dims = toks.select(
+        "doc_id", F.expr(f"{hash32_sql('token', 'spark')} % {dim}").alias("d")
+    )
+    sums = dims.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("d") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+            for i in range(dim)
+        ]
+    )
+    nrm = F.sqrt(sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(dim)))
+    vec = F.array(*[F.round(F.col(f"c{i}") / nrm, 6) for i in range(dim)])
+    return sums.select("doc_id", vec.alias("embedding"))
+
+
+def hashed_doc_embeddings_oracle(dim: int = EMBED_DIM) -> str:
+    from ..functions.hashing import hash32_sql
+
+    toks = tokens_sql("duckdb", "text")
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN d = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+        for i in range(dim)
+    )
+    sq = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    comps = ", ".join(f"ROUND(c{i} / sqrt({sq}), 6)" for i in range(dim))
+    return f"""
+        WITH dims AS (
+          SELECT doc_id, {hash32_sql('token', 'duckdb')} % {dim} AS d
+          FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)),
+        sums AS (SELECT doc_id, {cases} FROM dims GROUP BY doc_id)
+        SELECT doc_id, [{comps}] AS embedding FROM sums
+    """

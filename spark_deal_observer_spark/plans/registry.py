@@ -1687,6 +1687,15 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     return dd.fuzzy_name_pairs(_t(spark, sf_dir, "part"))
 
 
+@register("doc_embeddings", rk.hashed_doc_embeddings_oracle())
+def q_doc_embeddings(spark, sf_dir):
+    """Feature-hashed bag-of-words document embeddings (hashing trick,
+    Weinberger et al. 2009): text → L2-normalized 64-dim vector entirely in
+    generated SQL — the embedding generator feeding the ANN/kNN/k-means
+    family; one (doc_id) shuffle of map-side-combined partial sums."""
+    return rk.hashed_doc_embeddings(_t(spark, sf_dir, "documents"))
+
+
 @register("unigram_logprob", rk.unigram_logprob_scores_oracle())
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc mean unigram log-probability under the corpus's own add-one
@@ -2001,6 +2010,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "ann_ivf_kmeans",
     "bm25_scores",
+    "doc_embeddings",
     "unigram_logprob",
     "grouped_topk_docs",
     "text_pii_scrub",
