@@ -1860,10 +1860,20 @@ def q_scalar_funcs(spark, sf_dir):
 def _text_metrics_oracle() -> str:
     tok = token_count_sql("duckdb", "text")
     qual = quality_sql("duckdb", "text")
-    casts = {"ws_tokens": "INT", "bpe_tokens": "INT", "n_chars_calc": "INT", "n_tokens": "INT"}
+    pii = {k: e for k, e in pii_scrub_sql("duckdb", "text").items() if k.startswith("n_")}
+    rep = {"dup_ngram_frac": repetition_sql("duckdb", "text")["dup_ngram_frac"]}
+    casts = {
+        "ws_tokens": "INT",
+        "bpe_tokens": "INT",
+        "n_chars_calc": "INT",
+        "n_tokens": "INT",
+        "n_email": "INT",
+        "n_phone": "INT",
+        "n_ipv4": "INT",
+    }
     cols = ", ".join(
         f"CAST({e} AS {casts.get(k, 'DOUBLE')}) AS {k}"
-        for k, e in {**tok, **qual}.items()
+        for k, e in {**tok, **qual, **pii, **rep}.items()
     )
     return (
         f"SELECT doc_id, lang, {cols}, "
@@ -1876,20 +1886,31 @@ def _text_metrics_oracle() -> str:
 def q_text_metrics(spark, sf_dir):
     """The full text-analysis family in one scan over documents: whitespace +
     BPE-ish token counts, length/punctuation/stopword quality signals with
-    composite score, stopword-vote language ID, and the md5 content
-    fingerprint. All generated-SQL column expressions (functions/text.py) —
-    at 100 TB this is a zero-shuffle scan-stage projection; computing the
-    four families separately would cost four scans of the corpus."""
+    composite score, PII match counts, the Gopher repetition fraction,
+    stopword-vote language ID, and the md5 content fingerprint. All
+    generated-SQL column expressions (functions/text.py) — at 100 TB this is
+    a zero-shuffle scan-stage projection; computing the six families
+    separately would cost six scans of the corpus."""
     docs = _t(spark, sf_dir, "documents")
     tok = token_count_sql("spark", "text")
     qual = quality_sql("spark", "text")
-    casts = {"ws_tokens": "int", "bpe_tokens": "int", "n_chars_calc": "int", "n_tokens": "int"}
+    pii = {k: e for k, e in pii_scrub_sql("spark", "text").items() if k.startswith("n_")}
+    rep = {"dup_ngram_frac": repetition_sql("spark", "text")["dup_ngram_frac"]}
+    casts = {
+        "ws_tokens": "int",
+        "bpe_tokens": "int",
+        "n_chars_calc": "int",
+        "n_tokens": "int",
+        "n_email": "int",
+        "n_phone": "int",
+        "n_ipv4": "int",
+    }
     return docs.select(
         "doc_id",
         "lang",
         *[
             F.expr(e).cast(casts.get(k, "double")).alias(k)
-            for k, e in {**tok, **qual}.items()
+            for k, e in {**tok, **qual, **pii, **rep}.items()
         ],
         F.expr(lang_id_sql("spark", "text")).alias("lang_pred"),
         F.expr(fingerprint_sql("spark", "text")).alias("fingerprint"),

@@ -121,3 +121,30 @@ def test_stratified_sample_is_pure_function_of_keys(spark):
     rates = dict(STRATA_RATES)
     for doc_id, lang, bucket in a:
         assert bucket < rates.get(lang, DEFAULT_RATE), (doc_id, lang, bucket)
+
+
+def test_generated_embeddings_feed_the_vector_family(spark):
+    """End-to-end composition: the feature-hashed embedding generator's
+    output slots directly into knn_join (schema + semantics), and cosine
+    of identical texts is 1.0."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.operators.ranking import hashed_doc_embeddings
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60)
+    vecs = hashed_doc_embeddings(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    out = knn_join(vecs, k=2)
+    rows = out.collect()
+    assert rows, "expected neighbors within at least one bucket"
+    assert set(out.columns) == {"vec_id", "neighbor", "cosine", "rank"}
+    # duplicate text ⇒ identical vector ⇒ cosine 1.0 at rank 1
+    t = docs.limit(1).collect()[0]["text"]
+    dup = spark.createDataFrame([(900001, t), (900002, t)], "doc_id BIGINT, text STRING")
+    dup_vecs = hashed_doc_embeddings(dup).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = {r["vec_id"]: r for r in knn_join(dup_vecs, k=1).collect()}
+    assert top[900001]["neighbor"] == 900002 and abs(top[900001]["cosine"] - 1.0) < 1e-6
