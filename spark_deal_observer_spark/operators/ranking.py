@@ -59,13 +59,19 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n))
-        .withColumn("score_raw", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+        .withColumn(
+            "score",
+            # ROUND before ranking, not after: JVM Math.log and libm log can
+            # differ in the last ulp, and an unrounded ORDER BY would let
+            # that flip ranks between the engines.
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score_raw").desc(), F.col("token").asc())
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
-        .select("doc_id", "token", F.round("score_raw", 6).alias("score"), "rank")
+        .select("doc_id", "token", "score", "rank")
     )
 
 
@@ -78,14 +84,14 @@ def tfidf_top_terms_oracle(top_k: int = 3) -> str:
         n AS (SELECT count(*) AS n FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.token,
-                 tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score_raw
+                 ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
         ranked AS (
-          SELECT doc_id, token, score_raw,
+          SELECT doc_id, token, score,
                  row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score_raw DESC, token ASC) AS rank
+                                    ORDER BY score DESC, token ASC) AS rank
           FROM scored)
-        SELECT doc_id, token, ROUND(score_raw, 6) AS score, CAST(rank AS BIGINT) AS rank
+        SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {top_k}
     """
 
