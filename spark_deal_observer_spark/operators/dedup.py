@@ -486,6 +486,13 @@ def fuzzy_name_pairs(parts: DataFrame, max_dist: int = 2) -> DataFrame:
     recall contract as embedding_near_pairs); losslessness holds for
     substitution-only edits.
 
+    Caveat measured in SCALE.md §4: on LOW-ENTROPY key vocabularies
+    (template-generated names) the segment blocks degenerate toward "all
+    same-length pairs" and the verify stage dominates — signature blocking
+    is only as good as the entropy of its key. Production use at scale
+    should derive the blocking key (segment length, or q-gram signatures)
+    from the actual key distribution.
+
     Output: (key_a, key_b, name_a, name_b, dist), key_a < key_b.
     """
     n_seg = max_dist + 1
