@@ -495,43 +495,65 @@ def fuzzy_name_pairs(parts: DataFrame, max_dist: int = 2) -> DataFrame:
 
     Output: (key_a, key_b, name_a, name_b, dist), key_a < key_b.
     """
+    # Candidacy (same length + a shared segment) and the edit distance are
+    # properties of the NAME, not the key — so block and verify once per
+    # DISTINCT name pair, then expand to key pairs with two equi-joins.
+    # On low-entropy vocabularies (the measured degenerate case: thousands
+    # of keys per name) this collapses the levenshtein stage from
+    # O(candidate key pairs) to O(candidate name pairs); the expansion then
+    # only materializes pairs that VERIFIED, which is the operator's output
+    # cardinality anyway.
+    names = parts.select(F.col("p_partkey").alias("key"), F.col("p_name").alias("name"))
+    dn = names.select("name").distinct()
     n_seg = max_dist + 1
     segs = []
     for i in range(n_seg):
-        start = f"(CAST(length(p_name) * {i} / {n_seg} AS INT) + 1)"
-        end = f"CAST(length(p_name) * {i + 1} / {n_seg} AS INT)"
+        start = f"(CAST(length(name) * {i} / {n_seg} AS INT) + 1)"
+        end = f"CAST(length(name) * {i + 1} / {n_seg} AS INT)"
         segs.append(
             F.struct(
                 F.lit(i).alias("seg"),
-                F.expr(f"substring(p_name, {start}, {end} - {start} + 1)").alias("segtxt"),
+                F.expr(f"substring(name, {start}, {end} - {start} + 1)").alias("segtxt"),
             )
         )
-    keyed = parts.select(
-        F.col("p_partkey").alias("key"),
-        F.col("p_name").alias("name"),
-        F.length("p_name").alias("ln"),
-        F.explode(F.array(*segs)).alias("s"),
-    ).select("key", "name", "ln", F.col("s.seg").alias("seg"), F.col("s.segtxt").alias("segtxt"))
+    keyed = dn.select(
+        "name", F.length("name").alias("ln"), F.explode(F.array(*segs)).alias("s")
+    ).select("name", "ln", F.col("s.seg").alias("seg"), F.col("s.segtxt").alias("segtxt"))
     x, y = keyed.alias("x"), keyed.alias("y")
+    # name_a <= name_b canonical order; the (n, n) self pair carries the
+    # within-group key pairs of a duplicated name (dist 0).
     cand = (
         x.join(
             y,
             (F.col("x.ln") == F.col("y.ln"))
             & (F.col("x.seg") == F.col("y.seg"))
             & (F.col("x.segtxt") == F.col("y.segtxt"))
-            & (F.col("x.key") < F.col("y.key")),
+            & (F.col("x.name") <= F.col("y.name")),
         )
-        .select(
-            F.col("x.key").alias("key_a"),
-            F.col("y.key").alias("key_b"),
-            F.col("x.name").alias("name_a"),
-            F.col("y.name").alias("name_b"),
-        )
-        .dropDuplicates(["key_a", "key_b"])
+        .select(F.col("x.name").alias("name_a"), F.col("y.name").alias("name_b"))
+        .dropDuplicates(["name_a", "name_b"])
     )
     dist = F.levenshtein("name_a", "name_b")
-    return cand.where(dist <= max_dist).select(
-        "key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("dist")
+    verified = cand.where(dist <= max_dist).select(
+        "name_a", "name_b", dist.cast("int").alias("dist")
+    )
+    ka = names.select(F.col("key").alias("ka"), F.col("name").alias("name_a"))
+    kb = names.select(F.col("key").alias("kb"), F.col("name").alias("name_b"))
+    expanded = (
+        F.broadcast(verified)
+        .join(ka, "name_a")
+        .join(kb, "name_b")
+        # same-name group: each unordered key pair once; distinct names:
+        # every (ka, kb) combo is a distinct unordered pair
+        .where((F.col("name_a") != F.col("name_b")) | (F.col("ka") < F.col("kb")))
+    )
+    swap = F.col("ka") > F.col("kb")
+    return expanded.select(
+        F.least("ka", "kb").alias("key_a"),
+        F.greatest("ka", "kb").alias("key_b"),
+        F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+        F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+        "dist",
     )
 
 
