@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_join",
     "unigram_logprob",
     "text_pii_scrub",
+    "fuzzy_name_pairs",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -51,8 +51,13 @@ def pagerank(
     damping: float = DAMPING,
 ) -> DataFrame:
     """(node, pagerank) after `n_iter` synchronous rounds from uniform init."""
-    edges = _edges(orders, lineitem)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # The graph structures are static across rounds; localCheckpoint
+    # snapshots them once — without it every round's plan re-derives the
+    # edge list (orders⋈lineitem + distinct) for edges, nodes, AND outdeg,
+    # multiplying the dominant join by 2+2·n_iter. Same lineage-truncation
+    # discipline as connected_components.
+    edges = _edges(orders, lineitem).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     scal = nodes.agg(F.count("*").cast("double").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     pr = nodes.crossJoin(F.broadcast(scal)).select(
