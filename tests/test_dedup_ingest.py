@@ -61,3 +61,38 @@ def test_store_carries_bands_only_for_admitted_docs(spark, sink):
     sink.process_batch(_docs(spark, [(5, t0), (6, t0), (7, t1)]))
     store_ids = {r["doc_id"] for r in spark.read.parquet(sink.store_path).collect()}
     assert store_ids == {5, 7}
+
+
+def test_streaming_wiring_end_to_end(spark, sink, tmp_path):
+    """Drive the sink through a REAL Structured Streaming query: file
+    source → foreachBatch(process_batch), two arrivals, near-dups across
+    arrivals suppressed, checkpointed restart processes only new files."""
+    base = load_table(spark, SF_SMALL, "documents").select("text").limit(3).collect()
+    t0, t1, t2 = (r["text"] for r in base)
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def arrive(name, rows):
+        _docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+            str(src / "*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive("a1", [(1, t0), (2, t1)])
+    run()
+    assert {r["doc_id"] for r in sink.read_corpus().collect()} == {1, 2}
+
+    # second arrival: 10 duplicates stored 1; 11 is new
+    arrive("a2", [(10, t0), (11, t2)])
+    run()  # restart from checkpoint → only a2 is processed
+    assert {r["doc_id"] for r in sink.read_corpus().collect()} == {1, 2, 11}
