@@ -275,3 +275,116 @@ def pack_manifest_oracle(capacity: int = DEFAULT_CAPACITY) -> str:
           FROM (SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
                 FROM documents))
     """
+
+
+# -- BPE merge learning (tokenizer training) --------------------------------
+
+N_BPE_MERGES = 3
+
+
+def _merge_seq_sql(dialect: str, seq: str, a: str, b: str) -> str:
+    """Apply one learned merge (a, b) -> 'a_b' to a symbol-sequence array.
+
+    Greedy left-to-right, as BPE defines it. Because the learner only ever
+    picks pairs with a != b (self-pairs excluded below), matches can never
+    overlap — position i matching (seq[i]=a) and position i being consumed
+    by a match at i-1 (seq[i]=b) are mutually exclusive — so the merge is
+    position-local and expressible as one array transform in both engines:
+    emit ['a_b'] at a match, [] at the consumed position, [token] otherwise.
+    """
+    if dialect == "spark":
+        return (
+            f"flatten(transform(sequence(1, size({seq})), i -> "
+            f"CASE WHEN i < size({seq}) AND element_at({seq}, i) = {a} "
+            f"          AND element_at({seq}, i + 1) = {b} "
+            f"     THEN array(concat({a}, '_', {b})) "
+            f"     WHEN i > 1 AND element_at({seq}, i - 1) = {a} "
+            f"          AND element_at({seq}, i) = {b} "
+            f"     THEN array() "
+            f"     ELSE array(element_at({seq}, i)) END))"
+        )
+    return (
+        f"flatten(list_transform(generate_series(1, len({seq})), i -> "
+        f"CASE WHEN i < len({seq}) AND {seq}[i] = {a} AND {seq}[i + 1] = {b} "
+        f"     THEN [{a} || '_' || {b}] "
+        f"     WHEN i > 1 AND {seq}[i - 1] = {a} AND {seq}[i] = {b} "
+        f"     THEN [] "
+        f"     ELSE [{seq}[i]] END))"
+    )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """Learn the top-N BPE-style merges over the corpus token sequences:
+    (step, left_sym, right_sym, merged, freq) — what a tokenizer trainer
+    produces.
+
+    Each round counts adjacent symbol pairs corpus-wide (explode in the
+    scan stage + one map-side-combined shuffle of pair counters), takes the
+    most frequent pair (deterministic tie-break on the symbols; self-pairs
+    a == b are excluded so the merge transform stays overlap-free), applies
+    the merge to every sequence as a pure array transform, and repeats on
+    the merged sequences — so later merges can combine earlier ones, the
+    defining property of BPE. The per-round top-pair pull to the driver is
+    ONE row (the same driver-polled-loop discipline as connected
+    components' convergence check); everything heavy stays distributed.
+    """
+    toks = tokens_sql("spark", "text")
+    seqs = docs.select("doc_id", F.expr(toks).alias("seq"))
+    merges = []
+    for step in range(n_merges):
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(seq, 1, size(seq) - 1), slice(seq, 2, size(seq) - 1), "
+                        "(a, b) -> struct(a, b))"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("freq"))
+        )
+        top = pairs.orderBy(F.col("freq").desc(), F.col("a"), F.col("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
+        merges.append((step, a, b, f"{a}_{b}", freq))
+        lit_a, lit_b = a.replace("'", "''"), b.replace("'", "''")
+        seqs = seqs.select(
+            "doc_id",
+            F.expr(_merge_seq_sql("spark", "seq", f"'{lit_a}'", f"'{lit_b}'")).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return docs.sparkSession.createDataFrame(
+        merges, "step INT, left_sym STRING, right_sym STRING, merged STRING, freq BIGINT"
+    )
+
+
+def bpe_merges_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    toks = tokens_sql("duckdb", "text")
+    parts = [f"s0 AS (SELECT doc_id, {toks} AS seq FROM documents)"]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+              SELECT z[1] AS a, z[2] AS b, count(*) AS freq FROM (
+                SELECT unnest(list_zip(seq[1:-2], seq[2:-1])) AS z FROM s{i})
+              WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL AND z[1] != z[2]
+              GROUP BY z[1], z[2])"""
+        )
+        parts.append(
+            f"""t{i} AS (SELECT {i} AS step, a, b, a || '_' || b AS merged, freq
+                 FROM p{i} ORDER BY freq DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+              SELECT doc_id, {_merge_seq_sql('duckdb', 'seq', 't.a', 't.b')} AS seq
+              FROM s{i} CROSS JOIN t{i} t)"""
+        )
+    joined = ",\n        ".join(parts)
+    unions = " UNION ALL ".join(
+        f"SELECT CAST(step AS INT) AS step, a AS left_sym, b AS right_sym, merged, "
+        f"CAST(freq AS BIGINT) AS freq FROM t{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {joined}\n{unions}"

@@ -1687,6 +1687,16 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     return dd.fuzzy_name_pairs(_t(spark, sf_dir, "part"))
 
 
+@register("bpe_merges", cp.bpe_merges_oracle())
+def q_bpe_merges(spark, sf_dir):
+    """BPE-style tokenizer training: iteratively count adjacent symbol
+    pairs corpus-wide, merge the most frequent, repeat on the merged
+    sequences (later merges compose earlier ones). Counting is an exploded
+    scan + map-side-combined shuffle; the per-round driver pull is ONE row
+    — the same driver-polled-loop discipline as connected components."""
+    return cp.bpe_merges(_t(spark, sf_dir, "documents"))
+
+
 @register("doc_embeddings", rk.hashed_doc_embeddings_oracle())
 def q_doc_embeddings(spark, sf_dir):
     """Feature-hashed bag-of-words document embeddings (hashing trick,
@@ -2004,6 +2014,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "quantiles_by_flag",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
+    "bpe_merges",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "window_top_order_per_cust",
