@@ -361,7 +361,9 @@ def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
     )
 
 
-def bpe_merges_oracle(n_merges: int = N_BPE_MERGES) -> str:
+def _bpe_ctes(n_merges: int) -> str:
+    """The learn/merge CTE ladder shared by the bpe_merges / bpe_encode
+    oracles: s{i} = sequences after i merges, t{i} = step i's top pair."""
     toks = tokens_sql("duckdb", "text")
     parts = [f"s0 AS (SELECT doc_id, {toks} AS seq FROM documents)"]
     for i in range(n_merges):
@@ -381,10 +383,58 @@ def bpe_merges_oracle(n_merges: int = N_BPE_MERGES) -> str:
               SELECT doc_id, {_merge_seq_sql('duckdb', 'seq', 't.a', 't.b')} AS seq
               FROM s{i} CROSS JOIN t{i} t)"""
         )
-    joined = ",\n        ".join(parts)
+    return ",\n        ".join(parts)
+
+
+def bpe_merges_oracle(n_merges: int = N_BPE_MERGES) -> str:
     unions = " UNION ALL ".join(
         f"SELECT CAST(step AS INT) AS step, a AS left_sym, b AS right_sym, merged, "
         f"CAST(freq AS BIGINT) AS freq FROM t{i}"
         for i in range(n_merges)
     )
-    return f"WITH {joined}\n{unions}"
+    return f"WITH {_bpe_ctes(n_merges)}\n{unions}"
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """Apply the learned merges: per-document symbol counts before/after —
+    the tokenizer-application half of bpe_merges (the compression the
+    learned vocabulary buys, measured on the corpus that trained it)."""
+    toks = tokens_sql("spark", "text")
+    seqs = docs.select("doc_id", F.expr(toks).alias("seq"))
+    before = seqs.select("doc_id", F.size("seq").alias("n_before"))
+    for step in range(n_merges):
+        # re-learn the step's top pair exactly as bpe_merges does
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(seq, 1, size(seq) - 1), slice(seq, 2, size(seq) - 1), "
+                        "(a, b) -> struct(a, b))"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("freq"))
+        )
+        top = pairs.orderBy(F.col("freq").desc(), F.col("a"), F.col("b")).limit(1).collect()
+        if not top:
+            break
+        lit_a = top[0]["a"].replace("'", "''")
+        lit_b = top[0]["b"].replace("'", "''")
+        seqs = seqs.select(
+            "doc_id",
+            F.expr(_merge_seq_sql("spark", "seq", f"'{lit_a}'", f"'{lit_b}'")).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return before.join(
+        seqs.select("doc_id", F.size("seq").alias("n_after")), "doc_id"
+    ).select("doc_id", "n_before", "n_after")
+
+
+def bpe_encode_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    return f"""WITH {_bpe_ctes(n_merges)}
+        SELECT s0.doc_id, CAST(len(s0.seq) AS INT) AS n_before,
+               CAST(len(s{n_merges}.seq) AS INT) AS n_after
+        FROM s0 JOIN s{n_merges} USING (doc_id)
+    """

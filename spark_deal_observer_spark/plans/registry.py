@@ -1697,6 +1697,14 @@ def q_bpe_merges(spark, sf_dir):
     return cp.bpe_merges(_t(spark, sf_dir, "documents"))
 
 
+@register("bpe_encode", cp.bpe_encode_oracle())
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer application: per-doc symbol counts before/after the
+    learned BPE merges — the compression the vocabulary buys, measured on
+    the corpus that trained it."""
+    return cp.bpe_encode(_t(spark, sf_dir, "documents"))
+
+
 @register("doc_embeddings", rk.hashed_doc_embeddings_oracle())
 def q_doc_embeddings(spark, sf_dir):
     """Feature-hashed bag-of-words document embeddings (hashing trick,
@@ -2015,6 +2023,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "bpe_merges",
+    "bpe_encode",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "window_top_order_per_cust",
