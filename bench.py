@@ -49,6 +49,9 @@ HEADLINE = [
     "unigram_logprob",
     "text_pii_scrub",
     "fuzzy_name_pairs",
+    # r3 late additions: PQ compression + computed-rate sampling
+    "ann_pq_adc",
+    "corpus_mixture_sample",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

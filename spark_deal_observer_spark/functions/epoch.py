@@ -53,3 +53,24 @@ def py_timestamp_to_epoch(unix_seconds: float) -> int:
 
 def py_epoch_to_unix(epoch: int) -> int:
     return epoch * EPOCH_SECONDS + GENESIS_UNIX
+
+
+_TRUNC_SECONDS = {"hour": 3600, "day": 86400}
+
+
+def trunc_ntz(unit: str, ts: Column | str) -> Column:
+    """Timezone-independent `date_trunc` for TIMESTAMP_NTZ columns.
+
+    Spark's built-in `date_trunc` COERCES timestamp_ntz to instant
+    TimestampType through the session timezone, so the truncated bucket
+    shifts when driver/session TZ isn't UTC (caught by the TZ-probe in the
+    verify recipe: hour buckets came back 5 h off under America/New_York).
+    Pure wall-clock integer arithmetic from the NTZ unix origin — diff,
+    floor to the unit, add back — stays NTZ end-to-end and codegen's just
+    as well. Supports the grains the rollups use ('hour', 'day')."""
+    secs = _TRUNC_SECONDS[unit]
+    t = F.col(ts) if isinstance(ts, str) else ts
+    d = F.timestamp_diff("SECOND", F.expr(_UNIX_NTZ), t)
+    return F.timestamp_add(
+        "SECOND", (F.floor(d / secs) * secs).cast("long"), F.expr(_UNIX_NTZ)
+    )

@@ -438,3 +438,165 @@ def bpe_encode_oracle(n_merges: int = N_BPE_MERGES) -> str:
                CAST(len(s{n_merges}.seq) AS INT) AS n_after
         FROM s0 JOIN s{n_merges} USING (doc_id)
     """
+
+
+# -- temperature-based domain mixture sampling -------------------------------
+
+MIX_ALPHA = 0.5  # temperature exponent: 1 = natural distribution, 0 = uniform
+MIX_BUDGET_FRAC = 0.5  # sampled corpus size as a fraction of the input
+
+
+def mixture_sample(
+    docs: DataFrame, alpha: float = MIX_ALPHA, budget_frac: float = MIX_BUDGET_FRAC
+) -> DataFrame:
+    """Temperature-weighted domain rebalancing (the multilingual-pretraining
+    sampler): stratum `lang` is sampled at a rate that reshapes the corpus
+    toward p_l^alpha — alpha < 1 upweights tail languages relative to the
+    head, alpha = 1 keeps natural proportions.
+
+    rate_l = min(1, budget·N·w_l / n_l) with w_l = n_l^alpha / Σ n^alpha;
+    the keep decision is the same hash-the-primary-key test as
+    `stratified_sample` (content-independent, reproducible, oracle-
+    expressible — never `rand()`). Differs from `stratified_sample` in that
+    the rates are COMPUTED from the corpus distribution, not read from a
+    policy table: the per-stratum counts are a map-side-combined aggregate
+    over ~|langs| keys, the rate table is a handful of rows broadcast back,
+    and the keep filter is scan-stage — nothing here scales with corpus
+    size except the one narrow count pass."""
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_l"), F.lit(alpha))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.sum("n_l").over(w_all)
+            * pw
+            / F.sum(pw).over(w_all)
+            / F.col("n_l"),
+        ),
+        6,
+    )
+    rates = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n_l"))
+        .select("lang", rate.alias("rate"))
+    )
+    bucket = F.expr(_split_bucket("spark"))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where((bucket % 10000).cast("double") < F.col("rate") * 10000)
+        .select("doc_id", "lang", "rate")
+    )
+
+
+def mixture_sample_oracle(
+    alpha: float = MIX_ALPHA, budget_frac: float = MIX_BUDGET_FRAC
+) -> str:
+    bucket = _split_bucket("duckdb")
+    return f"""
+        WITH counts AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS n_l FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n_l) AS n_tot, sum(pow(n_l, {alpha})) AS z FROM counts),
+        rates AS (
+          SELECT c.lang,
+                 ROUND(LEAST(1.0, {budget_frac} * t.n_tot * pow(c.n_l, {alpha})
+                                  / t.z / c.n_l), 6) AS rate
+          FROM counts c CROSS JOIN tot t)
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(({bucket}) % 10000 AS DOUBLE) < r.rate * 10000
+    """
+
+
+# -- token-window chunking ---------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_OVERLAP = 10
+
+
+def token_chunks(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Overlapping fixed-token-window chunks per document — the
+    context-window splitter for embedding/RAG indexing (vs `pack_manifest`,
+    which concatenates ACROSS documents for pretraining).
+
+    Tokenize once in the scan stage, explode one start offset per stride
+    (chunk − overlap), slice the token array per chunk and rejoin — all
+    codegen'd array ops, zero shuffles, output rows ≈ n_tokens/stride per
+    doc. Empty documents produce no chunks."""
+    stride = chunk - overlap
+    toks = tokens_sql("spark", "text")
+    base = docs.select("doc_id", F.expr(toks).alias("toks")).where(F.size("toks") > 0)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(1, size(toks), {stride})")).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.expr(f"size(slice(toks, start, {chunk}))").cast("int").alias("n_tokens"),
+            F.expr(f"array_join(slice(toks, start, {chunk}), ' ')").alias("chunk_text"),
+        )
+    )
+
+
+def token_chunks_oracle(chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> str:
+    stride = chunk - overlap
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0),
+        starts AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {stride})) AS start
+          FROM base)
+        SELECT doc_id,
+               CAST((start - 1) / {stride} AS INT) AS chunk_id,
+               CAST(len(list_slice(toks, start, start + {chunk} - 1)) AS INT) AS n_tokens,
+               array_to_string(list_slice(toks, start, start + {chunk} - 1), ' ') AS chunk_text
+        FROM starts
+    """
+
+
+# -- weighted sampling without replacement (Efraimidis–Spirakis) -------------
+
+WS_TOP_N = 50
+
+
+def weighted_sample(docs: DataFrame, n: int = WS_TOP_N) -> DataFrame:
+    """Weighted sampling WITHOUT replacement across a distributed corpus in
+    one pass: the exponential-keys scheme (Efraimidis–Spirakis A-ES) — each
+    doc draws priority ln(u)/weight with u uniform in (0,1), and the top-n
+    priorities are exactly a weight-proportional sample without replacement.
+
+    The draw is the usual deterministic hash of the PRIMARY KEY (never
+    rand()), weight = n_chars (longer docs proportionally likelier — the
+    token-budget-aware corpus subset selector). Distributed shape: priority
+    is a scan-stage expression and top-n is TakeOrderedAndProject — each
+    task keeps n rows, no global sort, no per-group state; this is how you
+    draw a weighted coreset from 100 TB in one scan."""
+    # ln is the one non-correctly-rounded step (libm ulp drift between
+    # engines); rounding it FIRST pins both sides to the same double, and
+    # the IEEE division after is exact-identical by construction.
+    u = f"(({hash32_sql('CAST(doc_id AS STRING)', 'spark')}) % 100000 + 1) / 100001.0"
+    pri = F.round(F.expr(f"ROUND(ln({u}), 6)") / F.col("n_chars"), 9)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", "lang", F.col("n_chars").alias("weight"), pri.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(n)
+    )
+
+
+def weighted_sample_oracle(n: int = WS_TOP_N) -> str:
+    u = f"(({hash32_sql('CAST(doc_id AS STRING)', 'duckdb')}) % 100000 + 1) / 100001.0"
+    return f"""
+        SELECT doc_id, lang, n_chars AS weight,
+               ROUND(ROUND(ln({u}), 6) / n_chars, 9) AS priority
+        FROM documents WHERE n_chars > 0
+        ORDER BY priority DESC, doc_id LIMIT {n}
+    """

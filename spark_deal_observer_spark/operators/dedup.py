@@ -579,3 +579,52 @@ def fuzzy_name_pairs_oracle(max_dist: int = 2) -> str:
                CAST(levenshtein(name_a, name_b) AS INT) AS dist
         FROM cand WHERE levenshtein(name_a, name_b) <= {max_dist}
     """
+
+
+# -- cross-document duplicate spans (exact substring dedup) ------------------
+
+
+def duplicate_spans(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Repeated text spans ACROSS documents, mined from winnowing
+    fingerprints: a fingerprint selected by ≥`min_docs` distinct documents
+    certifies a shared substring of length ≥ w+k−1 (the winnowing guarantee
+    — functions/text.py:111), the boilerplate/template detector that
+    document-level dedup misses (docs differing by one paragraph still
+    share every other span).
+
+    Shape at 100 TB: fingerprinting is a scan-stage array expression
+    (hash once, window-min, distinct — no Python), the explode emits
+    ~n_chars/w rows per doc, and the only shuffle is a two-phase count
+    on the 32-bit fingerprint — the same cost profile as exact dedup,
+    per span instead of per document. Output: (fp, n_docs, first_doc),
+    descending-frequency spans first for triage."""
+    from ..functions.text import positional_hashes_sql, winnow_sql
+
+    hs = positional_hashes_sql("spark", "text")
+    wn = winnow_sql("spark", "hs")
+    fps = (
+        spread_cpu(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.expr(wn)).alias("fp"))
+    )
+    # winnow_sql output is already distinct per document, so count(*) is a
+    # distinct-document count without a count(DISTINCT) shuffle.
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_spans_oracle(min_docs: int = 2) -> str:
+    from ..functions.text import positional_hashes_sql, winnow_sql
+
+    hs = positional_hashes_sql("duckdb", "text")
+    wn = winnow_sql("duckdb", "hs")
+    return f"""
+        WITH fps AS (
+          SELECT doc_id, unnest({wn}) AS fp
+          FROM (SELECT doc_id, {hs} AS hs FROM documents))
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        FROM fps GROUP BY fp HAVING count(*) >= {min_docs}
+    """

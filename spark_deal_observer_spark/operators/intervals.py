@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.epoch import trunc_ntz
+
 # Incident-window parameters for the registered query: error events open a
 # 30-minute window on the same user; bucket width equals window width so
 # each window spans at most 2 buckets.
@@ -104,7 +106,7 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
     representable value on both engines.
     """
     hourly_raw = (
-        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        events.groupBy("event_type", trunc_ntz("hour", "ts").alias("bucket_ts"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
     )
     hourly = hourly_raw.select(
@@ -116,7 +118,7 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
     )
     daily = (
         hourly_raw.groupBy(
-            "event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+            "event_type", trunc_ntz("day", "bucket_ts").alias("bucket_ts")
         )
         .agg(
             F.sum("n_events").alias("n_events"),

@@ -1,0 +1,241 @@
+"""Product quantization (PQ) for embedding columns: trained sub-codebooks,
+compact per-vector codes, and asymmetric-distance (ADC) top-k search.
+
+The vector-compression leg of the ANN family (operators/similarity.py):
+IVF prunes WHICH vectors a query scans; PQ shrinks WHAT the scan reads.
+A 64-dim float32 embedding (256 B) becomes M_SUB=4 byte-codes — the scan
+side of a 100 TB ANN index drops ~64×, and distance evaluation becomes a
+table lookup instead of a 64-wide multiply-add:
+
+  * training — per-subspace k-means over the M_SUB disjoint DSUB-wide
+    slices of the embedding, all subspaces trained in ONE plan (the
+    subspace index is just another grouping column). Same fixed-iteration
+    Lloyd discipline as `kmeans_cells` (similarity.py:181): deterministic
+    first-K seed, ROUNDed means between rounds, so the unrolled DuckDB CTE
+    twin is byte-exact.
+  * encoding — argmin-L2 assignment of every subvector against its
+    subspace codebook: an equi-join on the subspace index (the K·M codebook
+    rows broadcast) + one window per (vec_id, m). Output is
+    (vec_id, codes array<int>) — the compressed index.
+  * ADC search — the query vector is sliced once into M_SUB subvectors and
+    joined against the codebook to form the M·K distance table (32 rows —
+    KBs, broadcast); the scan side then touches ONLY the codes: join on
+    (m, code), sum the M looked-up partials per vec_id, top-k ascending.
+    At 100 TB this is the PQ promise made literal in the plan: the corpus
+    scan reads a 4-int column, never the embeddings.
+
+All math is generated SQL (zip_with/aggregate on the JVM; list_transform/
+list_sum in DuckDB) — no Python anywhere. Distances and means round to
+6 dp so both engines agree bit-for-bit (the same cross-engine determinism
+contract as the cosine family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import DIM
+
+M_SUB = 4  # subspaces
+DSUB = DIM // M_SUB  # dims per subspace
+K_CODES = 8  # codebook entries per subspace
+PQ_ITER = 2  # Lloyd rounds (fixed-iteration: keeps the plan declarative)
+
+
+def _l2_spark(a: str, b: str) -> str:
+    """Squared-L2 over two double arrays, rounded for cross-engine parity."""
+    return (
+        f"ROUND(aggregate(zip_with({a}, {b}, "
+        f"(p, q) -> (p - q) * (p - q)), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def _l2_duck(a: str, b: str, dim: int = DSUB) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub double[DSUB]): the M_SUB disjoint embedding slices.
+
+    Floats upcast to double at the slice so every downstream comparison is
+    in one type; the explode is scan-stage (no shuffle)."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"transform(slice(embedding, {m * DSUB + 1}, {DSUB}), "
+                    "x -> CAST(x AS DOUBLE))"
+                ).alias("sub"),
+            )
+            for m in range(M_SUB)
+        ]
+    )
+    return emb.select("vec_id", F.explode(slices).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Argmin-L2 code per (vec_id, m): equi-join on the subspace index with
+    the broadcast codebook, then one window shuffle keyed on the vector."""
+    from pyspark.sql.window import Window
+
+    d = F.expr(_l2_spark("sub", "cvec"))
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code"))
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "sub", "code", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "code", "d")
+    )
+
+
+def _pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
+    """Train the M_SUB codebooks; returns (m, code, cvec).
+
+    Every Lloyd round is one assign (broadcast join + window) and one
+    rounded-mean update (posexplode → two-phase avg on (m, code, pos) —
+    map-side combine means the shuffle carries M·K·DSUB partial sums per
+    task, independent of corpus size)."""
+    subs = _subvectors(emb.select("vec_id", "embedding"))
+    cb = subs.where(F.col("vec_id") < K_CODES).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("cvec")
+    )
+    for _ in range(n_iter):
+        assigned = _pq_assign(subs, cb)
+        mean = (
+            assigned.select("m", "code", F.posexplode("sub").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        cb = mean.groupBy("m", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+            ).alias("cvec")
+        )
+    return cb
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>): every vector encoded against the trained
+    codebooks — the compressed ANN index, 4 small ints per 64-dim vector."""
+    cb = _pq_fit(emb)
+    assigned = _pq_assign(_subvectors(emb.select("vec_id", "embedding")), cb)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate top-k nearest (squared-L2) via asymmetric distance:
+    distance(query, x) ≈ Σ_m dtable[m][codes(x)[m]].
+
+    The distance table (M·K rows) and the query are broadcast; the corpus
+    side reads only (vec_id, m, code) and pays one groupBy shuffle on
+    vec_id + TakeOrdered — the embedding column is never touched after the
+    one-off encode."""
+    cb = _pq_fit(emb)
+    subs = _subvectors(emb.select("vec_id", "embedding"))
+    assigned = _pq_assign(subs, cb).select("vec_id", "m", "code")
+    qsub = subs.where(F.col("vec_id") == query_vec_id).select(
+        "m", F.col("sub").alias("qsub")
+    )
+    dtab = cb.join(F.broadcast(qsub), "m").select(
+        "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    )
+    return (
+        assigned.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_ctes(n_iter: int, *, with_final_assign: bool = False) -> list[str]:
+    """The PQ Lloyd rounds unrolled as DuckDB CTEs (subs → cb0 → a0 → cb1
+    → …), mirroring `_kmeans_ctes` (similarity.py:248)."""
+    sub_selects = " UNION ALL ".join(
+        f"""SELECT vec_id, {m} AS m,
+            list_transform(embedding[{m * DSUB + 1}:{(m + 1) * DSUB}],
+                           x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings"""
+        for m in range(M_SUB)
+    )
+    parts = [
+        f"subs AS ({sub_selects})",
+        f"""cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
+             FROM subs WHERE vec_id < {K_CODES})""",
+    ]
+    l2 = _l2_duck("s.sub", "c.cvec")
+    n_assign = n_iter + 1 if with_final_assign else n_iter
+    for i in range(n_assign):
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, m, sub, code, d FROM (
+                 SELECT s.vec_id, s.m, s.sub, c.code, {l2} AS d,
+                        row_number() OVER (PARTITION BY s.vec_id, s.m
+                                           ORDER BY {l2}, c.code) AS rn
+                 FROM subs s JOIN cb{i} c ON s.m = c.m) WHERE rn = 1)"""
+        )
+        if i == n_iter:
+            break
+        parts.append(
+            f"""mu{i} AS (SELECT a.m, a.code, g.pos, ROUND(avg(a.sub[g.pos + 1]), 6) AS val
+                 FROM a{i} a CROSS JOIN generate_series(0, {DSUB - 1}) AS g(pos)
+                 GROUP BY a.m, a.code, g.pos)"""
+        )
+        parts.append(
+            f"cb{i + 1} AS (SELECT m, code, list(val ORDER BY pos) AS cvec "
+            f"FROM mu{i} GROUP BY m, code)"
+        )
+    return parts
+
+
+def pq_codes_oracle(n_iter: int = PQ_ITER) -> str:
+    joined = ",\n        ".join(_pq_ctes(n_iter, with_final_assign=True))
+    return f"""
+        WITH {joined}
+        SELECT vec_id, list(CAST(code AS INT) ORDER BY m) AS codes
+        FROM a{n_iter} GROUP BY vec_id
+    """
+
+
+def pq_adc_topk_oracle(query_vec_id: int = 0, k: int = 10, n_iter: int = PQ_ITER) -> str:
+    joined = ",\n        ".join(_pq_ctes(n_iter, with_final_assign=True))
+    l2 = _l2_duck("q.qsub", "c.cvec")
+    return f"""
+        WITH {joined},
+        qsub AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = {query_vec_id}),
+        dtab AS (SELECT c.m, c.code, {l2} AS d
+                 FROM cb{n_iter} c JOIN qsub q ON c.m = q.m),
+        adc AS (SELECT a.vec_id, ROUND(sum(t.d), 6) AS adc_dist
+                FROM a{n_iter} a JOIN dtab t ON a.m = t.m AND a.code = t.code
+                WHERE a.vec_id != {query_vec_id}
+                GROUP BY a.vec_id)
+        SELECT adc.vec_id, e.label, adc.adc_dist
+        FROM adc JOIN embeddings e ON e.vec_id = adc.vec_id
+        ORDER BY adc.adc_dist, adc.vec_id LIMIT {k}
+    """
+
+
+__all__ = [
+    "M_SUB",
+    "DSUB",
+    "K_CODES",
+    "PQ_ITER",
+    "pq_codes",
+    "pq_codes_oracle",
+    "pq_adc_topk",
+    "pq_adc_topk_oracle",
+]

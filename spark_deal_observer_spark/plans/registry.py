@@ -1631,6 +1631,27 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return sim.ivf_kmeans_topk(_t(spark, sf_dir, "embeddings"))
 
 
+from ..operators import quantization as pq  # noqa: E402
+
+
+@register("pq_codes", pq.pq_codes_oracle())
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode: per-subspace Lloyd-trained codebooks
+    (all M subspaces in one plan), then argmin-L2 assignment — each 64-dim
+    float vector compressed to 4 small ints, the scan side of a 100 TB ANN
+    index shrunk ~64×."""
+    return pq.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_pq_adc", pq.pq_adc_topk_oracle())
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k: the M·K distance table (KBs) is built
+    from the query's subvectors and broadcast; the corpus scan reads ONLY
+    the codes — distance becomes a table lookup + 4-way sum, never touching
+    the embedding column after the one-off encode."""
+    return pq.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -1736,6 +1757,39 @@ def q_stratified_sample(spark, sf_dir):
     corpus rebalancing primitive; zero shuffles, reproducible everywhere,
     oracle-expressible (unlike rand()/df.sample())."""
     return cp.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_duplicate_spans", dd.duplicate_spans_oracle())
+def q_dedup_duplicate_spans(spark, sf_dir):
+    """Cross-document repeated spans via winnowing fingerprints — the
+    boilerplate/template detector document-level dedup misses; one
+    two-phase count shuffle on the 32-bit fingerprint."""
+    return dd.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_weighted_sample", cp.weighted_sample_oracle())
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement in one pass (exponential-keys
+    A-ES): deterministic hash draw, priority ln(u)/n_chars, top-n via
+    TakeOrdered — the token-budget-aware corpus subset selector."""
+    return cp.weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_mixture_sample", cp.mixture_sample_oracle())
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) domain rebalancing: per-language
+    rates COMPUTED from the corpus distribution (upweighting tail
+    languages), broadcast back, hash-of-primary-key keep decision — one
+    narrow count pass + a scan-stage filter."""
+    return cp.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_token_chunks", cp.token_chunks_oracle())
+def q_corpus_token_chunks(spark, sf_dir):
+    """Overlapping fixed-token-window chunks per document (RAG/embedding
+    splitter): tokenize once, explode one start per stride, slice+rejoin —
+    all codegen'd array ops, zero shuffles."""
+    return cp.token_chunks(_t(spark, sf_dir, "documents"))
 
 
 @register("interval_range_join", iv.interval_range_join_oracle())
@@ -1994,13 +2048,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_lsh_multiprobe",
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
+    "ann_pq_adc",            # product-quantized ADC search (codes-only scan)
     "tfidf_top_terms",       # ranking-family lead
     # training-data pipeline: text analysis
     "text_metrics",          # token counts + quality + lang-ID + fingerprint
     "text_winnow_fingerprints",
     # training-data pipeline: multimodal
-    "multimodal_features",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample",  # covers the Arrow 1:N batch shape; the 1:1
+                                # variants sit below the fold
     # training-data pipeline: corpus preparation
     "corpus_quality_gate",
     "corpus_decontaminate",
@@ -2027,6 +2082,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "window_top_order_per_cust",
+    "multimodal_features",
     "multimodal_resize",
     "ann_ivf_label",
     "ann_lsh_bucket",
@@ -2060,6 +2116,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "pagerank_entities",
     "stratified_sample",
+    "corpus_mixture_sample",
+    "corpus_token_chunks",
+    "corpus_weighted_sample",
+    "dedup_duplicate_spans",
+    "pq_codes",
     "interval_range_join",
     "hypertable_rollup",
     "approx_distinct_users",

@@ -28,6 +28,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.epoch import trunc_ntz
+
 PCOL = "day"
 
 
@@ -57,7 +59,7 @@ class HourlyRollupSink:
     def _partials(batch: DataFrame) -> DataFrame:
         return (
             batch.groupBy(
-                "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+                "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
             )
             .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
             .withColumn(PCOL, F.to_date("bucket_ts"))
@@ -73,7 +75,7 @@ class HourlyRollupSink:
         """The coarse grain, derived from the maintained hourly partials."""
         return (
             self.spark.read.parquet(self.path)
-            .groupBy("event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+            .groupBy("event_type", trunc_ntz("day", "bucket_ts").alias("bucket_ts"))
             .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
         )
 

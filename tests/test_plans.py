@@ -207,3 +207,40 @@ def test_tfidf_vocabulary_join_broadcasts(spark):
 def test_bm25_topk_avoids_global_sort(spark):
     p = plan(q(spark, "bm25_scores"))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_pq_adc_scan_reads_codes_only(spark):
+    """ADC search: the distance table must broadcast (never shuffle the
+    codes side against it), and the final top-k must be TakeOrdered."""
+    p = plan(q(spark, "ann_pq_adc"))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pq_codes_shapes(spark):
+    """Every vector gets exactly M_SUB codes, each within [0, K_CODES)."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.operators.quantization import K_CODES, M_SUB
+
+    df = q(spark, "pq_codes")
+    bad = df.where(
+        (F.size("codes") != M_SUB)
+        | (F.array_min("codes") < 0)
+        | (F.array_max("codes") >= K_CODES)
+    )
+    assert bad.count() == 0
+
+
+def test_mixture_sample_upweights_tail_languages(spark):
+    """alpha < 1 must sample tail languages at a HIGHER rate than the head:
+    the rate ordering is the reverse of the count ordering."""
+    rows = (
+        q(spark, "corpus_mixture_sample")
+        .groupBy("lang")
+        .agg({"rate": "max", "*": "count"})
+        .collect()
+    )
+    by_count = sorted(rows, key=lambda r: r["count(1)"])
+    rates = [r["max(rate)"] for r in by_count]
+    assert rates == sorted(rates, reverse=True), rates
