@@ -49,9 +49,12 @@ HEADLINE = [
     "unigram_logprob",
     "text_pii_scrub",
     "fuzzy_name_pairs",
-    # r3 late additions: PQ compression + computed-rate sampling
+    # r3 late additions: PQ compression + computed-rate sampling +
+    # semantic dedup + span mining
     "ann_pq_adc",
     "corpus_mixture_sample",
+    "dedup_semantic",
+    "dedup_duplicate_spans",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -600,3 +600,54 @@ def weighted_sample_oracle(n: int = WS_TOP_N) -> str:
         FROM documents WHERE n_chars > 0
         ORDER BY priority DESC, doc_id LIMIT {n}
     """
+
+
+# -- curriculum difficulty binning -------------------------------------------
+
+BIN_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def difficulty_bins(docs: DataFrame) -> DataFrame:
+    """Quartile curriculum bins by quality score — the ordering signal for
+    easy-to-hard training schedules: (doc_id, score, bin 1..4), bin 1 =
+    lowest-quality quartile.
+
+    The scalable bin-assignment shape: thresholds are computed ONCE as a
+    one-row exact-percentile aggregate (sort-based partial state, no
+    collect), broadcast back as a scalar cross join (the same pattern as
+    BM25's corpus constants), and the bin is three scan-stage comparisons.
+    Never ntile() — a global row_number/ntile forces a single-partition
+    total sort that cannot scale; quantile thresholds give the same bins up
+    to boundary ties for O(scan) cost. At 100 TB the exact percentile
+    swaps for approx_percentile (t-digest) — this is the exact baseline
+    it would be checked against."""
+    q = quality_sql("spark", "text")
+    scored = docs.select("doc_id", F.expr(q["quality_score"]).alias("score"))
+    thresholds = scored.agg(
+        *[F.percentile("score", p).alias(f"t{i}") for i, p in enumerate(BIN_QUANTILES)]
+    )
+    b = (
+        F.lit(1)
+        + F.when(F.col("score") > F.col("t0"), 1).otherwise(0)
+        + F.when(F.col("score") > F.col("t1"), 1).otherwise(0)
+        + F.when(F.col("score") > F.col("t2"), 1).otherwise(0)
+    )
+    return scored.join(F.broadcast(thresholds)).select(
+        "doc_id", "score", b.cast("int").alias("bin")
+    )
+
+
+def difficulty_bins_oracle() -> str:
+    q = quality_sql("duckdb", "text")
+    qs = ", ".join(
+        f"quantile_cont(score, {p}) AS t{i}" for i, p in enumerate(BIN_QUANTILES)
+    )
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, {q["quality_score"]} AS score FROM documents),
+        th AS (SELECT {qs} FROM scored)
+        SELECT s.doc_id, s.score,
+               CAST(1 + (s.score > th.t0)::INT + (s.score > th.t1)::INT
+                      + (s.score > th.t2)::INT AS INT) AS bin
+        FROM scored s CROSS JOIN th
+    """

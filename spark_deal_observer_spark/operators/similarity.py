@@ -561,3 +561,73 @@ def embedding_near_pairs_oracle(threshold: float = 0.4) -> str:
             ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         WHERE cosine >= {threshold}
     """
+
+
+# -- semantic deduplication (SemDeDup-style) ---------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.6, n_cells: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Embedding-space deduplication the way LLM corpora actually do it
+    (the SemDeDup recipe): cluster with the trained coarse quantizer, pick
+    one representative per cluster (highest centroid affinity), and flag
+    every member whose cosine to its representative exceeds `threshold` as
+    a semantic duplicate.
+
+    (vec_id, cell, rep_id, cos_to_rep, keep): keep = the representative
+    itself, or a member below the threshold. Scale shape: all pairwise
+    comparisons are member-vs-ONE-representative — O(n) dot products, no
+    pair explosion; the per-cluster argmax is one window shuffle on the
+    cell id, and the representative set (K rows) broadcasts back. The
+    trained-quantizer build is the same one-off pass `ivf_kmeans_topk`
+    amortizes across queries."""
+    from pyspark.sql.window import Window
+
+    cents, _ = _kmeans_fit(emb, n_cells, n_iter)
+    assigned = _kmeans_assign(emb.select("vec_id", "embedding"), cents)
+    aff = assigned.join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        "cell",
+        "embedding",
+        F.expr(cosine_spark("embedding", "cvec")).alias("c_aff"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("c_aff").desc(), F.col("vec_id"))
+    ranked = aff.withColumn("rn", F.row_number().over(w))
+    reps = ranked.where(F.col("rn") == 1).select(
+        "cell", F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rep_vec")
+    )
+    cos = F.expr(cosine_spark("embedding", "rep_vec"))
+    return ranked.join(F.broadcast(reps), "cell").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "rep_id",
+        cos.alias("cos_to_rep"),
+        ((F.col("vec_id") == F.col("rep_id")) | (cos < threshold)).alias("keep"),
+    )
+
+
+def semantic_dedup_oracle(
+    threshold: float = 0.6, n_cells: int = 8, n_iter: int = 2
+) -> str:
+    joined = ",\n        ".join(_kmeans_ctes(n_cells, n_iter, with_final_assign=True))
+    c_aff = cosine_duck("v.embedding", "c.cvec")
+    cos = cosine_duck("r.embedding", "reps.rep_vec")
+    return f"""
+        WITH {joined},
+        aff AS (
+          SELECT a.vec_id, a.cell, v.embedding, {c_aff} AS c_aff
+          FROM a{n_iter} a
+          JOIN vecs v USING (vec_id)
+          JOIN c{n_iter} c USING (cell)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cell
+                                       ORDER BY c_aff DESC, vec_id) AS rn
+          FROM aff),
+        reps AS (SELECT cell, vec_id AS rep_id, embedding AS rep_vec
+                 FROM ranked WHERE rn = 1)
+        SELECT r.vec_id, CAST(r.cell AS INT) AS cell, reps.rep_id,
+               {cos} AS cos_to_rep,
+               (r.vec_id = reps.rep_id OR {cos} < {threshold}) AS keep
+        FROM ranked r JOIN reps USING (cell)
+    """

@@ -1759,6 +1759,15 @@ def q_stratified_sample(spark, sf_dir):
     return cp.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_semantic", sim.semantic_dedup_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: trained-quantizer clustering, one
+    representative per cluster (max centroid affinity), members above the
+    cosine threshold flagged as duplicates — O(n) comparisons, no pair
+    explosion."""
+    return sim.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
 @register("dedup_duplicate_spans", dd.duplicate_spans_oracle())
 def q_dedup_duplicate_spans(spark, sf_dir):
     """Cross-document repeated spans via winnowing fingerprints — the
@@ -1773,6 +1782,14 @@ def q_corpus_weighted_sample(spark, sf_dir):
     A-ES): deterministic hash draw, priority ln(u)/n_chars, top-n via
     TakeOrdered — the token-budget-aware corpus subset selector."""
     return cp.weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_difficulty_bins", cp.difficulty_bins_oracle())
+def q_corpus_difficulty_bins(spark, sf_dir):
+    """Quartile curriculum bins by quality score: one-row exact-percentile
+    thresholds broadcast back as a scalar cross join, bins as scan-stage
+    comparisons — never a global-sort ntile."""
+    return cp.difficulty_bins(_t(spark, sf_dir, "documents"))
 
 
 @register("corpus_mixture_sample", cp.mixture_sample_oracle())
@@ -2116,10 +2133,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "pagerank_entities",
     "stratified_sample",
+    "corpus_difficulty_bins",
     "corpus_mixture_sample",
     "corpus_token_chunks",
     "corpus_weighted_sample",
     "dedup_duplicate_spans",
+    "dedup_semantic",
     "pq_codes",
     "interval_range_join",
     "hypertable_rollup",
