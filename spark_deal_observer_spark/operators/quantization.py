@@ -82,17 +82,24 @@ def _subvectors(emb: DataFrame) -> DataFrame:
 
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """Argmin-L2 code per (vec_id, m): equi-join on the subspace index with
-    the broadcast codebook, then one window shuffle keyed on the vector."""
-    from pyspark.sql.window import Window
-
+    the broadcast codebook, then a map-side-combinable argmin —
+    min(struct(d, code)) — instead of a window. Partial aggregation
+    collapses the K scored rows per subvector BEFORE the exchange and
+    skips the window's sort (K× less shuffle IO); the struct's
+    lexicographic order reproduces the (d ASC, code ASC) tiebreak, and
+    first(sub) is safe because the group's rows share the subvector."""
     d = F.expr(_l2_spark("sub", "cvec"))
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code"))
     return (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "sub", "code", d.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "sub", "code", "d")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("d", "code")).alias("best"),
+            F.first("sub").alias("sub"),
+        )
+        .select(
+            "vec_id", "m", "sub", F.col("best.code").alias("code"), F.col("best.d").alias("d")
+        )
     )
 
 

@@ -209,17 +209,27 @@ def kmeans_cells(
 
 
 def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmax-cosine assignment: broadcast the centroids, window per vec."""
-    from pyspark.sql.window import Window
+    """Argmax-cosine assignment: broadcast the centroids, then a map-side-
+    combinable argmax — min(struct(-aff, cell)) — per vector.
 
+    Deliberately an AGGREGATE, not a window: the window form shuffles all
+    n×C scored rows (each dragging the full embedding array) and sorts
+    them; partial aggregation collapses to one row per vector BEFORE the
+    exchange and needs no sort — C× less shuffle IO on a corpus-sized
+    input. Struct comparison is lexicographic, so (-aff, cell) reproduces
+    the (aff DESC, cell ASC) tiebreak exactly (negation is exact for
+    doubles); first(embedding) is safe because every row in the group
+    carries the identical array."""
     aff = F.expr(cosine_spark("embedding", "cvec"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell", aff.alias("aff"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select("vec_id", "embedding", "cell", (-aff).alias("neg_aff"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("neg_aff", "cell")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("best.cell").alias("cell"))
     )
 
 

@@ -244,3 +244,13 @@ def test_mixture_sample_upweights_tail_languages(spark):
     by_count = sorted(rows, key=lambda r: r["count(1)"])
     rates = [r["max(rate)"] for r in by_count]
     assert rates == sorted(rates, reverse=True), rates
+
+
+def test_trained_assign_is_aggregate_not_window(spark):
+    """k-means/PQ assignment must be the map-side-combinable argmin
+    aggregate (partial min(struct)) — a Window here would shuffle all n×K
+    scored rows with their embedding arrays and sort them."""
+    for name in ("kmeans_cells", "pq_codes"):
+        p = plan(q(spark, name))
+        assert "Window" not in p, f"{name}: window-based argmin\n{p}"
+        assert "partial_min" in p, f"{name}: no map-side combine\n{p}"
