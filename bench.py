@@ -55,6 +55,9 @@ HEADLINE = [
     "corpus_mixture_sample",
     "dedup_semantic",
     "dedup_duplicate_spans",
+    # r3 continuation: end-to-end dedup resolution + shard-layout shuffle
+    "dedup_canonical_pick",
+    "corpus_global_shuffle",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -651,3 +651,45 @@ def difficulty_bins_oracle() -> str:
                       + (s.score > th.t2)::INT AS INT) AS bin
         FROM scored s CROSS JOIN th
     """
+
+
+# -- deterministic global shuffle / shard layout -----------------------------
+
+SHUFFLE_SHARDS = 8
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """The LAST step of training-data prep: a reproducible global shuffle
+    laid out as shards — (doc_id, shard, pos), where `shard` is which
+    output file the doc lands in and `pos` its position inside it.
+
+    The permutation key is the usual deterministic hash of the PRIMARY KEY
+    (never rand()): hash(doc_id) spreads correlated neighbors (same crawl,
+    same source) uniformly, shard = hash % n_shards, pos = rank of hash
+    within the shard. Scale shape: one shuffle on `shard` (each reducer
+    holds corpus/n_shards rows — pick n_shards so a shard fits a
+    data-loader worker) and a per-shard sort; there is NO global total
+    order, which is the point — a single-sequence global sort cannot scale,
+    and shard-local order + shard interleaving at read time is how trainers
+    actually consume a shuffled corpus."""
+    from pyspark.sql.window import Window
+
+    h = F.expr(hash32_sql("CAST(doc_id AS STRING)", "spark"))
+    base = docs.select("doc_id", h.alias("h"), (h % n_shards).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def global_shuffle_oracle(n_shards: int = SHUFFLE_SHARDS) -> str:
+    h = hash32_sql("CAST(doc_id AS STRING)", "duckdb")
+    return f"""
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM (SELECT doc_id, {h} AS h, CAST(({h}) % {n_shards} AS INT) AS shard
+              FROM documents)
+    """

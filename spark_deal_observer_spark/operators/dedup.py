@@ -628,3 +628,50 @@ def duplicate_spans_oracle(min_docs: int = 2) -> str:
         SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
         FROM fps GROUP BY fp HAVING count(*) >= {min_docs}
     """
+
+
+# -- canonical-survivor selection (end-to-end dedup resolution) --------------
+
+
+def canonical_pick(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Resolve near-dup clusters to keep/drop decisions: for every document,
+    its cluster, its quality score, and keep = "is this the cluster's best
+    document". The end-to-end step a real corpus pipeline runs after
+    clustering — deduplication isn't done until exactly one survivor per
+    cluster is chosen, and choosing by QUALITY (not arbitrary min-id)
+    is what keeps the good copy of each template.
+
+    `clusters` is (doc_id, cluster) from connected_components; documents
+    absent from it (no near-dup candidates) are singletons — their cluster
+    is their own id via the left join + coalesce. Scale shape: the quality
+    score is a scan-stage expression, the cluster label join shuffles on
+    doc_id, and the survivor argmax is one window shuffle on the cluster
+    id (cluster sizes are near-dup group sizes — naturally bounded after
+    LSH, no skew blowup)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_sql
+
+    score = F.expr(quality_sql("spark", "text")["quality_score"])
+    lab = docs.select("doc_id", score.alias("score")).join(
+        clusters, "doc_id", "left"
+    ).select("doc_id", "score", F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    w = Window.partitionBy("cluster").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return lab.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster", "score", (F.col("rn") == 1).alias("keep")
+    )
+
+
+def canonical_pick_oracle(cc_sql: str) -> str:
+    from ..functions.text import quality_sql
+
+    q = quality_sql("duckdb", "text")["quality_score"]
+    return f"""
+        SELECT doc_id, cluster, score, (rn = 1) AS keep FROM (
+          SELECT d.doc_id,
+                 COALESCE(cc.cluster, d.doc_id) AS cluster,
+                 {q} AS score,
+                 row_number() OVER (PARTITION BY COALESCE(cc.cluster, d.doc_id)
+                                    ORDER BY {q} DESC, d.doc_id) AS rn
+          FROM documents d LEFT JOIN ({cc_sql}) cc USING (doc_id))
+    """

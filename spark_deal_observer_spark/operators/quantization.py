@@ -121,11 +121,15 @@ def _pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
             .groupBy("m", "code", "pos")
             .agg(F.round(F.avg("val"), 6).alias("val"))
         )
+        # localCheckpoint per round: the codebook is M·K rows, but without
+        # truncated lineage every consumer (encode pass, ADC distance
+        # table) re-executes the full training ladder over the corpus —
+        # see _kmeans_fit (similarity.py) for the full rationale.
         cb = mean.groupBy("m", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
             ).alias("cvec")
-        )
+        ).localCheckpoint(eager=True)
     return cb
 
 

@@ -234,7 +234,18 @@ def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _kmeans_fit(emb: DataFrame, n_cells: int, n_iter: int):
-    """Run the Lloyd rounds; returns (final centroids, last assignment)."""
+    """Run the Lloyd rounds; returns (final centroids, last assignment).
+
+    Each round's centroid table (K rows) is localCheckpoint'ed: the trained
+    model is a TINY artifact, but without the checkpoint every downstream
+    reference to it (the search side, the affinity join, the representative
+    pick) re-executes the whole unrolled training ladder over the corpus —
+    the plan duplicates the n_iter full-data passes once per consumer.
+    Truncating lineage at the model boundary makes training run exactly
+    n_iter passes no matter how many operators consume the centroids; the
+    values are unchanged (the per-round ROUND pins them to identical
+    doubles, checkpointed or not). This is the same lineage discipline
+    dedup_clusters applies per label-propagation round."""
     vecs = emb.select("vec_id", "embedding")
     cents = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
@@ -251,7 +262,7 @@ def _kmeans_fit(emb: DataFrame, n_cells: int, n_iter: int):
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
             ).alias("cvec")
-        )
+        ).localCheckpoint(eager=True)
     return cents, assigned
 
 

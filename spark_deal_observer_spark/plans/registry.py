@@ -879,6 +879,20 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.connected_components(edges)
 
 
+@register(
+    "dedup_canonical_pick",
+    dd.canonical_pick_oracle(dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle())),
+)
+def q_dedup_canonical_pick(spark, sf_dir):
+    """End-to-end near-dup resolution: LSH candidate graph → connected
+    components → per-cluster survivor by QUALITY score (keep flag per doc).
+    The step that turns a clustering into an actionable corpus filter;
+    singletons (no candidates) keep themselves via the left join."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.connected_components(dd.minhash_lsh_star_edges(docs))
+    return dd.canonical_pick(docs, clusters)
+
+
 @register("dedup_simhash", dd.simhash_signatures_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash signatures (token-level)."""
@@ -1801,6 +1815,15 @@ def q_corpus_mixture_sample(spark, sf_dir):
     return cp.mixture_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_global_shuffle", cp.global_shuffle_oracle())
+def q_corpus_global_shuffle(spark, sf_dir):
+    """Reproducible global shuffle as shard layout — (doc_id, shard, pos)
+    by deterministic primary-key hash: one shuffle on the shard id + a
+    per-shard sort, never a global total order (which cannot scale); the
+    trainer interleaves shards at read time."""
+    return cp.global_shuffle(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_token_chunks", cp.token_chunks_oracle())
 def q_corpus_token_chunks(spark, sf_dir):
     """Overlapping fixed-token-window chunks per document (RAG/embedding
@@ -2006,6 +2029,97 @@ def q_text_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "filter_suite",
+    oracle_with_deals(
+        f"""
+        SELECT 'isnull' AS pred, id FROM deals WHERE payload_cid IS NULL
+        UNION ALL
+        SELECT 'bool' AS pred, id FROM deals WHERE reverted
+        UNION ALL
+        SELECT 'enum_eq' AS pred, id FROM deals
+        WHERE payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+        UNION ALL
+        SELECT 'compound' AS pred, id FROM deals
+        WHERE payload_cid IS NULL
+          AND (payload_retrievability_state = 'PAYLOAD_CID_NOT_QUERIED_YET'
+               OR payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED')
+          AND (last_payload_retrieval_attempt IS NULL
+               OR last_payload_retrieval_attempt < TIMESTAMP '{REF_TS}' - INTERVAL 3 DAYS)
+        UNION ALL
+        SELECT 'range' AS pred, id FROM deals
+        WHERE activated_at_epoch BETWEEN 4622500 AND 4623500
+        """
+    ),
+)
+def q_filter_suite(spark, sf_dir):
+    """P1 + P2 + P3 + P4 + P9 as ONE scan: every reference predicate —
+    IS NULL (resolve-payload-cids.js:73), bool flag (:83), enum equality
+    (:94), the 3-valued-logic work-queue compound (:64,20,34), and the
+    height-range scan (deal-observer.js:25-27) — evaluated per row as a
+    tag array, exploded to (pred, id). Row-level evidence for five
+    predicates at the cost of one table scan and zero shuffles (the five
+    single-op forms stay registered below the fold); a WHERE that is
+    NULL under 3VL yields a NULL tag, which array_compact drops —
+    exactly WHERE semantics."""
+    cutoff = F.lit(REF_TS).cast("timestamp_ntz") - F.expr("INTERVAL 3 DAYS")
+    state = F.col("payload_retrievability_state")
+    preds = [
+        ("isnull", F.col("payload_cid").isNull()),
+        ("bool", F.col("reverted")),
+        ("enum_eq", state == "PAYLOAD_CID_UNRESOLVED"),
+        (
+            "compound",
+            F.col("payload_cid").isNull()
+            & ((state == "PAYLOAD_CID_NOT_QUERIED_YET") | (state == "PAYLOAD_CID_UNRESOLVED"))
+            & (
+                F.col("last_payload_retrieval_attempt").isNull()
+                | (F.col("last_payload_retrieval_attempt") < cutoff)
+            ),
+        ),
+        ("range", F.col("activated_at_epoch").between(4622500, 4623500)),
+    ]
+    tags = F.array_compact(F.array(*[F.when(c, F.lit(n)) for n, c in preds]))
+    return deals_df(spark, sf_dir).select(tags.alias("tags"), "id").select(
+        F.explode("tags").alias("pred"), "id"
+    )
+
+
+@register(
+    "corpus_sampling_suite",
+    f"""
+    SELECT 'split_val' AS sampler, doc_id
+    FROM ({cp.train_val_split_oracle()}) WHERE split = 'val'
+    UNION ALL
+    SELECT 'stratified' AS sampler, doc_id FROM ({cp.stratified_sample_oracle()})
+    UNION ALL
+    SELECT 'mixture' AS sampler, doc_id FROM ({cp.mixture_sample_oracle()})
+    UNION ALL
+    SELECT 'weighted' AS sampler, doc_id FROM ({cp.weighted_sample_oracle()})
+    """,
+)
+def q_corpus_sampling_suite(spark, sf_dir):
+    """The four corpus samplers' selections in one driver row: hash
+    train/val split (val side), policy-table stratified rates,
+    temperature-weighted (alpha=0.5) mixture rates, and A-ES weighted
+    top-n — each tagged with its sampler and reduced to the chosen doc_id
+    set (full per-sampler schemas stay registered below the fold). All
+    four share the deterministic hash-the-primary-key draw, so the union
+    is reproducible across engines; three scan-stage filters plus one
+    TakeOrdered, no extra shuffles beyond the single-op forms."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def pick(df, tag):
+        return df.select(F.lit(tag).alias("sampler"), "doc_id")
+
+    return (
+        pick(cp.train_val_split(docs).where(F.col("split") == "val"), "split_val")
+        .unionAll(pick(cp.stratified_sample(docs), "stratified"))
+        .unionAll(pick(cp.mixture_sample(docs), "mixture"))
+        .unionAll(pick(cp.weighted_sample(docs), "weighted"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver ordering
 #
@@ -2029,15 +2143,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dim_lookup_fallback",   # S5 fallback chain
     "resolve_state_tick",    # T5 keyed retry state machine (batch tick)
     # predicates
-    "filter_isnull",         # P1
-    "filter_bool",           # P2 + T4 revert flag
-    "filter_enum_eq",        # P3
-    "filter_compound",       # P4 (3VL)
-    "eligible_deals",        # P5 flagship eligibility (also covers P6)
-    "event_type_filter",     # P8
-    "range_filter",          # P9
+    "filter_suite",          # P1+P2+P3+P4+P9 compound (single-op forms below fold)
+    "eligible_deals",        # P5 flagship eligibility (also covers P6, J2)
     # joins
-    "scalar_subquery",       # J2
     "dim_lookup_join",       # J3
     "composite_key_join",    # J4
     "anti_join_dedup",       # J5 (J1 covered by mark_submitted)
@@ -2048,10 +2156,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "topk_ends",             # O1+O2 compound
     # scalar & structural functions
     "scalar_funcs",          # F1+F2+F3+F9+F10+F12 compound
-    "cbor_decode_pipeline",  # F4+F5+F6 (dag-CBOR decode, rename, CID)
-    "entries_pivot",         # F7
+    "cbor_decode_pipeline",  # F4+F5+F6+F7+F15+P8 (decode, rename, CID, pivot, validate)
     "event_to_deal",         # F8
-    "from_json_validate",    # F15
     # training-data pipeline: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",     # covers signature stage + banded candidate join
@@ -2059,6 +2165,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_simhash_pairs",   # covers simhash signatures + hamming pairs
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_semantic",        # SemDeDup: trained-quantizer clustering + rep cosine
     # training-data pipeline: similarity search
     "ann_brute_force",
     "ann_ivf_centroid",
@@ -2066,9 +2173,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
     "ann_pq_adc",            # product-quantized ADC search (codes-only scan)
+    # training-data pipeline: ranking / scoring / tokenization
     "tfidf_top_terms",       # ranking-family lead
+    "bm25_scores",           # corpus-constant broadcast + per-(doc,term) score
+    "bpe_encode",            # learned-merge tokenizer applied (covers bpe_merges ladder)
     # training-data pipeline: text analysis
-    "text_metrics",          # token counts + quality + lang-ID + fingerprint
+    "text_metrics",          # token counts + quality + lang-ID + PII + repetition
     "text_winnow_fingerprints",
     # training-data pipeline: multimodal
     "multimodal_frame_sample",  # covers the Arrow 1:N batch shape; the 1:1
@@ -2077,11 +2187,26 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_quality_gate",
     "corpus_decontaminate",
     "corpus_pack_manifest",
+    "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
+    # graph / entity resolution
+    "pagerank_entities",     # fixed-iteration link analysis
+    "fuzzy_name_pairs",      # PassJoin-blocked edit-distance join
     # event-time / history operators
     "asof_join_last_view",
     "sessionize_events",
+    "interval_range_join",
+    "hypertable_rollup",
     "windowed_counts",       # S11 + T2 (event-time window agg)
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
+    "filter_isnull",         # P1 (suite row above)
+    "filter_bool",           # P2 + T4 revert flag
+    "filter_enum_eq",        # P3
+    "filter_compound",       # P4 (3VL)
+    "event_type_filter",     # P8
+    "range_filter",          # P9
+    "scalar_subquery",       # J2
+    "entries_pivot",         # F7
+    "from_json_validate",    # F15
     "scd2_deal_history",     # S7 history-keeping variant
     "project_computed",      # P6 (also covered by eligible_deals)
     "semi_join_ids",         # J1 (also covered by mark_submitted)
@@ -2095,7 +2220,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "bpe_merges",
-    "bpe_encode",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "window_top_order_per_cust",
@@ -2123,25 +2247,21 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_lang_id",
     "text_fingerprint",
     "ann_ivf_kmeans",
-    "bm25_scores",
     "doc_embeddings",
     "unigram_logprob",
     "grouped_topk_docs",
     "text_pii_scrub",
     "text_repetition",
     "multimodal_dedup",
-    "fuzzy_name_pairs",
-    "pagerank_entities",
     "stratified_sample",
     "corpus_difficulty_bins",
     "corpus_mixture_sample",
     "corpus_token_chunks",
     "corpus_weighted_sample",
     "dedup_duplicate_spans",
-    "dedup_semantic",
+    "dedup_canonical_pick",
+    "corpus_global_shuffle",
     "pq_codes",
-    "interval_range_join",
-    "hypertable_rollup",
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

@@ -148,3 +148,53 @@ def test_generated_embeddings_feed_the_vector_family(spark):
     )
     top = {r["vec_id"]: r for r in knn_join(dup_vecs, k=1).collect()}
     assert top[900001]["neighbor"] == 900002 and abs(top[900001]["cosine"] - 1.0) < 1e-6
+
+
+def test_canonical_pick_keeps_exactly_one_per_cluster(spark):
+    """Every cluster has exactly one keep=true, and it is the member with
+    the (score DESC, doc_id ASC)-max quality."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["dedup_canonical_pick"].fn(spark, SF_SMALL)
+    per_cluster = df.groupBy("cluster").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count("*").alias("n"),
+        F.max(F.struct(F.col("score"), -F.col("doc_id"))).alias("best"),
+    )
+    bad = per_cluster.where(F.col("n_keep") != 1)
+    assert bad.count() == 0, bad.collect()[:5]
+    # the keeper IS the argmax member
+    keepers = df.where("keep").select("cluster", "score", "doc_id")
+    joined = keepers.join(per_cluster, "cluster")
+    wrong = joined.where(
+        (F.col("score") != F.col("best.score")) | (F.col("doc_id") != -F.col("best.col2"))
+    )
+    assert wrong.count() == 0, wrong.collect()[:5]
+    # every document appears exactly once
+    n_docs = df.count()
+    assert df.select("doc_id").distinct().count() == n_docs
+
+
+def test_global_shuffle_positions_are_dense_and_deterministic(spark):
+    """Within each shard, pos is exactly 0..n_shard-1 (dense, no gaps); the
+    layout is a pure function of doc_id (two runs identical); shards are
+    roughly balanced (hash uniformity)."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["corpus_global_shuffle"].fn
+    df = fn(spark, SF_SMALL)
+    stats = df.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    )
+    bad = stats.where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1) | (F.col("npos") != F.col("n")))
+    assert bad.count() == 0, bad.collect()
+    counts = [r["n"] for r in stats.collect()]
+    assert max(counts) < 2.5 * min(counts), counts  # no pathological imbalance
+    a = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    assert a == b
