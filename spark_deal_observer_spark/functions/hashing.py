@@ -66,6 +66,27 @@ def hashed_shingles_sql(dialect: str, text: str, k: int = 5) -> str:
     return f"{tf}({sh}, s -> {hash32_sql('s', dialect)} % {_MINHASH_PRIME})"
 
 
+def hashed_token_ngrams_sql(dialect: str, toks: str, n: int = 3) -> str:
+    """Distinct hashed token n-grams over a PRE-PROJECTED token-array column
+    `toks` (pass a plain column reference — inlining the tokenizer here would
+    re-split the text once per lambda evaluation). Token n-grams are the
+    decontamination-grade unit: char shingles collide on function words,
+    while 3+-token grams are rare enough to separate genuine overlap from
+    background English. Docs shorter than `n` tokens contribute their
+    clamped tail gram (both engines' slice clamps identically)."""
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
+        return f"array_distinct(transform({grams}, g -> {hash32_sql('g', 'spark')} % {_MINHASH_PRIME}))"
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return f"list_distinct(list_transform({grams}, g -> {hash32_sql('g', 'duckdb')} % {_MINHASH_PRIME}))"
+
+
 def minhash_from_hashed_sql(dialect: str, hashed: str, perm: int) -> str:
     """One MinHash value over a pre-hashed shingle array (see
     hashed_shingles_sql): min of (a*h + b) mod p — no md5 in sight."""

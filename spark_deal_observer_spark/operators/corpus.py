@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash32_sql, hashed_shingles_sql, tokens_sql
+from ..functions.hashing import (
+    hash32_sql,
+    hashed_shingles_sql,
+    hashed_token_ngrams_sql,
+    tokens_sql,
+)
 from ..functions.text import lang_id_sql, quality_sql
 
 DEFAULT_VAL_PCT = 5
@@ -462,27 +467,23 @@ def mixture_sample(
     policy table: the per-stratum counts are a map-side-combined aggregate
     over ~|langs| keys, the rate table is a handful of rows broadcast back,
     and the keep filter is scan-stage — nothing here scales with corpus
-    size except the one narrow count pass."""
-    from pyspark.sql.window import Window
-
-    w_all = Window.partitionBy()
+    size except the one narrow count pass. The corpus-wide normalizers
+    (N, Σ n^alpha) come from a 1-row aggregate broadcast-cross-joined onto
+    the counts — not an unpartitioned window, which would plan a
+    single-partition WindowExec (all counts to one task)."""
+    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n_l"))
     pw = F.pow(F.col("n_l"), F.lit(alpha))
+    tot = counts.agg(
+        F.sum("n_l").alias("n_tot"), F.sum(pw).alias("z")
+    )
     rate = F.round(
         F.least(
             F.lit(1.0),
-            F.lit(budget_frac)
-            * F.sum("n_l").over(w_all)
-            * pw
-            / F.sum(pw).over(w_all)
-            / F.col("n_l"),
+            F.lit(budget_frac) * F.col("n_tot") * pw / F.col("z") / F.col("n_l"),
         ),
         6,
     )
-    rates = (
-        docs.groupBy("lang")
-        .agg(F.count("*").cast("double").alias("n_l"))
-        .select("lang", rate.alias("rate"))
-    )
+    rates = counts.crossJoin(F.broadcast(tot)).select("lang", rate.alias("rate"))
     bucket = F.expr(_split_bucket("spark"))
     return (
         docs.join(F.broadcast(rates), "lang")
@@ -692,4 +693,132 @@ def global_shuffle_oracle(n_shards: int = SHUFFLE_SHARDS) -> str:
                     AS BIGINT) AS pos
         FROM (SELECT doc_id, {h} AS h, CAST(({h}) % {n_shards} AS INT) AS shard
               FROM documents)
+    """
+
+
+# -- bloom-filter decontamination -------------------------------------------
+#
+# The scale variant of `contaminated_docs`: instead of broadcast-JOINING the
+# corpus's exploded shingles against the probe-shingle set, the probe set is
+# folded once into a fixed-size Bloom bitmap (BLOOM_NBITS bits as 32-bit
+# words in a bigint array — a few hundred KB no matter how many benchmark
+# items feed it) and the corpus side probes it with a scan-stage `exists`
+# over its shingle array: no explode, no join, no shuffle anywhere on the
+# corpus path. At 100 TB the entire decontamination pass is a single narrow
+# filter whose only upstream is a KB→MB-sized aggregate of the (tiny)
+# benchmark table. False positives over-remove at a bounded, tunable rate
+# (k=3 probes; size BLOOM_NBITS for the benchmark's shingle count — 2^20
+# bits ≈ 1.2e-5 per-shingle FP at 2% fill); false negatives are impossible,
+# which is the direction decontamination must never be wrong in. The DuckDB
+# twin implements the IDENTICAL bitmap (same hashes, same k, same width), so
+# both engines agree bit-for-bit, false positives included — the oracle
+# check stays a value-level hash match, not an approximation envelope.
+
+BLOOM_NBITS = 1 << 20  # bits in the filter (128 KiB)
+BLOOM_WORDS = BLOOM_NBITS // 32  # 32-bit words, stored in BIGINTs
+# Odd multipliers (xxhash/Murmur primes): h < 2^31 keeps a*h below 2^63.
+_BLOOM_PROBES: tuple[tuple[int, int], ...] = (
+    (2_654_435_761, 0x1234_5),
+    (2_246_822_519, 0x6789_A),
+    (3_266_489_917, 0xBCDE_F),
+)
+
+
+def _bloom_pos(h: str, j: int) -> str:
+    """Bit position of probe j for shingle-hash expression `h` (both dialects)."""
+    a, b = _BLOOM_PROBES[j]
+    return f"(({a} * {h} + {b}) % {BLOOM_NBITS})"
+
+
+def _bloom_bit_test(words: str, h: str, dialect: str) -> str:
+    """AND over the k probe bits of `h` against bigint-word array `words`."""
+    tests = []
+    for j in range(len(_BLOOM_PROBES)):
+        pos = _bloom_pos(h, j)
+        if dialect == "spark":
+            elem = f"element_at({words}, CAST({pos} div 32 AS INT) + 1)"
+            tests.append(f"((shiftright({elem}, CAST({pos} % 32 AS INT)) & 1) = 1)")
+        else:
+            elem = f"{words}[({pos} // 32) + 1]"
+            tests.append(f"((({elem} >> ({pos} % 32)) & 1) = 1)")
+    return "(" + " AND ".join(tests) + ")"
+
+
+def bloom_build(docs: DataFrame, n_probes: int = N_PROBE_DOCS) -> DataFrame:
+    """1-row (words bigint[BLOOM_WORDS]) Bloom bitmap of the probe docs'
+    token-trigram hashes. Zero-filled via a range union so the array is
+    dense; the bit_or aggregate map-side-combines to BLOOM_WORDS rows before
+    the single shuffle."""
+    bits = (
+        docs.where(F.col("doc_id") < n_probes)
+        .select(F.expr(tokens_sql("spark", "text")).alias("tk"))
+        .select(F.explode(F.expr(hashed_token_ngrams_sql("spark", "tk"))).alias("h"))
+        .select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos("h", j)) for j in range(len(_BLOOM_PROBES))])
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("m"),
+        )
+    )
+    zeros = docs.sparkSession.range(BLOOM_WORDS).select(
+        F.col("id").alias("word"), F.lit(0).cast("long").alias("m")
+    )
+    return (
+        bits.unionByName(zeros)
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "m"))), lambda s: s["m"]
+            ).alias("words")
+        )
+    )
+
+
+def decontaminate_bloom(docs: DataFrame, n_probes: int = N_PROBE_DOCS) -> DataFrame:
+    """Clean corpus doc_ids: docs (beyond the probe set) whose shingle sets
+    never fully hit the probe Bloom filter. The corpus side is one narrow
+    scan — the bitmap arrives via a broadcast 1-row cross join."""
+    from .dedup import spread_cpu
+
+    hit = _bloom_bit_test("words", "h", "spark")
+    grams = hashed_token_ngrams_sql("spark", "tk")
+    return (
+        spread_cpu(docs.select("doc_id", "text"))
+        .where(F.col("doc_id") >= n_probes)
+        .select("doc_id", F.expr(tokens_sql("spark", "text")).alias("tk"))
+        .crossJoin(F.broadcast(bloom_build(docs, n_probes)))
+        .where(F.expr(f"NOT exists({grams}, h -> {hit})"))
+        .select("doc_id")
+    )
+
+
+def decontaminate_bloom_oracle(n_probes: int = N_PROBE_DOCS) -> str:
+    grams = hashed_token_ngrams_sql("duckdb", "tk")
+    hit = _bloom_bit_test("b.words", "h", "duckdb")
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {_bloom_pos('h', j)} AS pos FROM probe_hashes" for j in range(len(_BLOOM_PROBES))
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {tokens_sql("duckdb", "text")} AS tk FROM documents),
+        probe_hashes AS (
+          SELECT DISTINCT unnest({grams}) AS h
+          FROM toks WHERE doc_id < {n_probes}),
+        bits AS (
+          SELECT pos // 32 AS word, CAST(1 AS BIGINT) << (pos % 32) AS m
+          FROM ({pos_rows})
+          UNION ALL
+          SELECT w AS word, CAST(0 AS BIGINT) AS m
+          FROM generate_series(0, {BLOOM_WORDS - 1}) t(w)),
+        bloom AS (
+          SELECT array_agg(m ORDER BY word) AS words
+          FROM (SELECT word, bit_or(m) AS m FROM bits GROUP BY word))
+        SELECT d.doc_id
+        FROM toks d CROSS JOIN bloom b
+        WHERE d.doc_id >= {n_probes}
+          AND len(list_filter({grams}, h -> {hit})) = 0
     """

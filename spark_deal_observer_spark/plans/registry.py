@@ -1463,6 +1463,17 @@ def q_corpus_decontaminate(spark, sf_dir):
     return cp.contaminated_docs(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_decontaminate_bloom", cp.decontaminate_bloom_oracle())
+def q_corpus_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (the 100 TB variant of
+    corpus_decontaminate): the probe set folds into a fixed-size bitmap
+    (128 KiB broadcast), the corpus side is a single narrow scan probing it
+    via `exists` over the shingle array — no explode, no join, no corpus
+    shuffle. The DuckDB twin builds the identical bitmap, so false
+    positives match bit-for-bit."""
+    return cp.decontaminate_bloom(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_token_doc_freq", cp.token_doc_freq_oracle())
 def q_corpus_token_doc_freq(spark, sf_dir):
     """Vocabulary by document frequency: explode(distinct tokens) →
@@ -2219,6 +2230,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "quantiles_by_flag",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
+    "corpus_decontaminate_bloom",
     "bpe_merges",
     "agg_pricing_summary",
     "agg_revenue_by_nation",

@@ -52,3 +52,39 @@ def test_pack_offsets_bounded(spark):
     assert out.where(
         (F.col("pack_offset") < 0) | (F.col("pack_offset") >= DEFAULT_CAPACITY)
     ).count() == 0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom cleaning may over-remove (bounded FP rate) but must NEVER keep a
+    doc that genuinely shares a token trigram with the probe set."""
+    from spark_deal_observer_spark.functions.hashing import (
+        hashed_token_ngrams_sql,
+        tokens_sql,
+    )
+    from spark_deal_observer_spark.operators.corpus import (
+        N_PROBE_DOCS,
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    clean = {r.doc_id for r in decontaminate_bloom(docs).collect()}
+    assert clean  # the testdata must exercise a non-trivial clean set
+
+    # exact token-trigram contamination via the join form
+    grams = docs.select(
+        "doc_id", F.expr(tokens_sql("spark", "text")).alias("tk")
+    ).select("doc_id", F.explode(F.expr(hashed_token_ngrams_sql("spark", "tk"))).alias("h"))
+    probe_hashes = grams.where(F.col("doc_id") < N_PROBE_DOCS).select("h").distinct()
+    contaminated = {
+        r.doc_id
+        for r in grams.where(F.col("doc_id") >= N_PROBE_DOCS)
+        .join(probe_hashes, "h")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not (clean & contaminated)
+    # and the over-removal is small: FP-flagged docs ≤ 2% of the true-clean set
+    n_docs = docs.count()
+    true_clean = n_docs - N_PROBE_DOCS - len(contaminated)
+    assert true_clean - len(clean) <= max(2, 0.02 * true_clean)
