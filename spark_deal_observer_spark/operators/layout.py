@@ -1,0 +1,146 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional data skipping.
+
+A 100 TB table is usually range-partitioned on ONE key (time), so point
+queries on a second key (provider, customer, shard) scan every file.
+Z-ordering interleaves the bits of both keys into a single sort key whose
+curve locality bounds EVERY dimension's min/max within a file — parquet
+footer stats then prune on either predicate. This is the layout trick
+behind Delta/Iceberg `OPTIMIZE ZORDER BY`, expressed here as plain
+generated SQL:
+
+  * quantize  — each dimension rescales to ZBITS-bit integers against its
+                observed bounds; the bounds come from a 1-row min/max
+                aggregate broadcast-cross-joined back (map-side combined,
+                never a global sort and never an unpartitioned window).
+  * interleave — z = Σ_i bit_i(x)<<2i | bit_i(y)<<(2i+1), an `aggregate`
+                over a literal bit sequence: scan-stage, codegen'd, no
+                Python, and bit-identical in the DuckDB twin.
+  * layout    — writers `repartitionByRange(zkey)` + sortWithinPartitions
+                so each output file owns a compact z-range (a square-ish
+                tile in key space); the registered query reports per-tile
+                min/max of BOTH dimensions — the same stats a parquet
+                footer would carry — making the pruning bound auditable.
+
+The registered query z-orders `orders` on (order day, customer key): a
+fixed z-prefix tile is a 16×16 cell of the 256×256 quantized key square,
+so every tile's per-dimension spread is ≤ 1/16 of the domain — the
+data-skipping guarantee, asserted in tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 8  # quantization bits per dimension (256 cells)
+TILE_SHIFT = 8  # z >> TILE_SHIFT → 256 tiles = 16×16 cells each
+
+
+def _interleave_sql(dialect: str, x: str, y: str, bits: int = ZBITS) -> str:
+    """Morton interleave of two `bits`-bit integers (x even bits, y odd)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + shiftleft((shiftright({x}, i) & 1), 2 * i)"
+            f"    + shiftleft((shiftright({y}, i) & 1), 2 * i + 1))"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(0, {bits - 1}), i -> "
+        f"((({x} >> i) & 1) << (2 * i)) + ((({y} >> i) & 1) << (2 * i + 1))))"
+    )
+
+
+def _quantize_sql(dialect: str, v: str, lo: str, hi: str, bits: int = ZBITS) -> str:
+    """Rescale `v` from [lo, hi] to a `bits`-bit integer (floor division)."""
+    cells = 1 << bits
+    div = "div" if dialect == "spark" else "//"
+    return f"((({v}) - ({lo})) * {cells} {div} (({hi}) - ({lo}) + 1))"
+
+
+def zorder_key(
+    df: DataFrame, xcol: str, ycol: str, bounds: DataFrame
+) -> DataFrame:
+    """Attach the Morton key for (xcol, ycol); `bounds` is the 1-row
+    (x_lo, x_hi, y_lo, y_hi) table, broadcast-cross-joined so the key is a
+    pure scan-stage expression."""
+    qx = _quantize_sql("spark", xcol, "x_lo", "x_hi")
+    qy = _quantize_sql("spark", ycol, "y_lo", "y_hi")
+    return df.crossJoin(F.broadcast(bounds)).withColumn(
+        "zkey", F.expr(_interleave_sql("spark", qx, qy))
+    )
+
+
+def order_day(dialect: str = "spark") -> str:
+    """Orders' day number — datediff from the TPC-H epoch, both dialects."""
+    if dialect == "spark":
+        return "datediff(o_orderdate, DATE '1992-01-01')"
+    return "datediff('day', DATE '1992-01-01', o_orderdate)"
+
+
+def zorder_tiles(orders: DataFrame) -> DataFrame:
+    """Per-tile layout audit of z-ordered orders: tile id, row count, and
+    min/max of BOTH dimensions — bounded spreads on each are the
+    data-skipping guarantee a z-ordered file layout provides."""
+    day = order_day("spark")
+    bounds = orders.agg(
+        F.expr(f"min({day})").alias("x_lo"),
+        F.expr(f"max({day})").alias("x_hi"),
+        F.min("o_custkey").alias("y_lo"),
+        F.max("o_custkey").alias("y_hi"),
+    )
+    keyed = zorder_key(
+        orders.select(F.expr(day).alias("day"), "o_custkey"), "day", "o_custkey", bounds
+    )
+    return (
+        keyed.groupBy(F.expr(f"zkey div {1 << TILE_SHIFT}").alias("tile"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+        )
+    )
+
+
+def zorder_write(orders: DataFrame, path: str, n_files: int = 8) -> None:
+    """The write path: range-partition on the z-key and sort within each
+    partition, so every output file owns one compact z-range. File-level
+    parquet min/max stats on day AND custkey then prune either predicate."""
+    day = order_day("spark")
+    bounds = orders.agg(
+        F.expr(f"min({day})").alias("x_lo"),
+        F.expr(f"max({day})").alias("x_hi"),
+        F.min("o_custkey").alias("y_lo"),
+        F.max("o_custkey").alias("y_hi"),
+    )
+    keyed = zorder_key(orders.withColumn("day", F.expr(day)), "day", "o_custkey", bounds)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_tiles_oracle() -> str:
+    day = order_day("duckdb")
+    qx = _quantize_sql("duckdb", "day", "x_lo", "x_hi")
+    qy = _quantize_sql("duckdb", "o_custkey", "y_lo", "y_hi")
+    z = _interleave_sql("duckdb", qx, qy)
+    return f"""
+        WITH src AS (SELECT {day} AS day, o_custkey FROM orders),
+        bounds AS (
+          SELECT min(day) AS x_lo, max(day) AS x_hi,
+                 min(o_custkey) AS y_lo, max(o_custkey) AS y_hi
+          FROM src),
+        keyed AS (
+          SELECT day, o_custkey, {z} AS zkey
+          FROM src CROSS JOIN bounds)
+        SELECT zkey // {1 << TILE_SHIFT} AS tile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(day) AS min_day, max(day) AS max_day,
+               min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        FROM keyed
+        GROUP BY tile
+    """

@@ -1860,6 +1860,20 @@ def q_hypertable_rollup(spark, sf_dir):
     return iv.hypertable_rollup(_t(spark, sf_dir, "events"))
 
 
+from ..operators import layout as zl  # noqa: E402
+
+
+@register("zorder_layout", zl.zorder_tiles_oracle())
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout audit over orders on (order day, customer):
+    quantize both dims against broadcast 1-row bounds, interleave bits into
+    the z-key in the scan stage, and report per-tile min/max of BOTH
+    dimensions — bounded spreads on each are the two-predicate
+    data-skipping guarantee the layout buys (writers range-partition on the
+    same key: operators/layout.py::zorder_write)."""
+    return zl.zorder_tiles(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # compound driver queries
 #
@@ -2231,6 +2245,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "corpus_decontaminate_bloom",
+    "zorder_layout",
     "bpe_merges",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
