@@ -110,7 +110,20 @@ def _pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
     rounded-mean update (posexplode → two-phase avg on (m, code, pos) —
     map-side combine means the shuffle carries M·K·DSUB partial sums per
     task, independent of corpus size)."""
-    subs = _subvectors(emb.select("vec_id", "embedding"))
+    from .models import published
+
+    vecs = emb.select("vec_id", "embedding")
+    return published(
+        vecs, "pq_codebook", (M_SUB, K_CODES, n_iter), lambda: _pq_rounds(vecs, n_iter)
+    )
+
+
+def _pq_rounds(vecs: DataFrame, n_iter: int) -> DataFrame:
+    """The per-subspace Lloyd ladder; final codebook is the published
+    artifact (operators/models.py) shared by `pq_codes` and `pq_adc_topk`
+    on the same logical input — one training run per session, the
+    publish-once pattern of a real index build."""
+    subs = _subvectors(vecs)
     cb = subs.where(F.col("vec_id") < K_CODES).select(
         "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("cvec")
     )
