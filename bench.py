@@ -58,6 +58,11 @@ HEADLINE = [
     # r3 continuation: end-to-end dedup resolution + shard-layout shuffle
     "dedup_canonical_pick",
     "corpus_global_shuffle",
+    # r3: trained classifier, hybrid retrieval, JL projection, heavy hitters
+    "classifier_langid",
+    "hybrid_retrieval_rrf",
+    "embedding_random_projection",
+    "ngram_heavy_hitters",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

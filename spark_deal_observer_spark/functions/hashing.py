@@ -74,17 +74,26 @@ def hashed_token_ngrams_sql(dialect: str, toks: str, n: int = 3) -> str:
     while 3+-token grams are rare enough to separate genuine overlap from
     background English. Docs shorter than `n` tokens contribute their
     clamped tail gram (both engines' slice clamps identically)."""
+    grams = token_ngrams_sql(dialect, toks, n)
     if dialect == "spark":
-        grams = (
+        return f"array_distinct(transform({grams}, g -> {hash32_sql('g', 'spark')} % {_MINHASH_PRIME}))"
+    return f"list_distinct(list_transform({grams}, g -> {hash32_sql('g', 'duckdb')} % {_MINHASH_PRIME}))"
+
+
+def token_ngrams_sql(dialect: str, toks: str, n: int = 3) -> str:
+    """RAW (unhashed, undeduplicated) token n-grams of a pre-projected token
+    array, joined with single spaces — the shared gram builder under the
+    hashed/distinct decontamination variant above and the heavy-hitter
+    miner (operators/ranking.py), which needs every occurrence, readable."""
+    if dialect == "spark":
+        return (
             f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
             f"i -> array_join(slice({toks}, i, {n}), ' '))"
         )
-        return f"array_distinct(transform({grams}, g -> {hash32_sql('g', 'spark')} % {_MINHASH_PRIME}))"
-    grams = (
+    return (
         f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
         f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
     )
-    return f"list_distinct(list_transform({grams}, g -> {hash32_sql('g', 'duckdb')} % {_MINHASH_PRIME}))"
 
 
 def minhash_from_hashed_sql(dialect: str, hashed: str, perm: int) -> str:

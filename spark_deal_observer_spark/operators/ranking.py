@@ -311,3 +311,122 @@ def hashed_doc_embeddings_oracle(dim: int = EMBED_DIM) -> str:
         sums AS (SELECT doc_id, {cases} FROM dims GROUP BY doc_id)
         SELECT doc_id, [{comps}] AS embedding FROM sums
     """
+
+
+# -- hybrid retrieval (reciprocal-rank fusion) ------------------------------
+
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    list_k: int = 20,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank fusion:
+    rrf(d) = Σ_lists 1/(RRF_K + rank_list(d)) over the BM25 top-`list_k`
+    (probe terms) and the cosine top-`list_k` (query vector) — the standard
+    two-tower retrieval head of a RAG / data-targeting pipeline.
+
+    Scale shape: each retriever produces a BOUNDED list (`list_k` rows), so
+    the fusion is driver-free arithmetic over two tiny lists — full-outer
+    join on doc id, rank-reciprocal sum, top-`top_k`. The single-partition
+    rank windows are over `list_k` rows, not the corpus; all corpus-sized
+    work lives inside the two retrievers, which keep their own scale
+    postures (BM25: scan-stage tf + broadcast scalars; cosine: broadcast
+    query + TakeOrdered). Missing-from-one-list contributes 0 — exactly the
+    RRF convention."""
+    from .similarity import brute_force_topk
+
+    w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm = (
+        bm25_scores(docs, top_k=list_k)
+        .withColumn("bm25_rank", F.row_number().over(w_bm).cast("int"))
+        .select("doc_id", "bm25_rank")
+    )
+    w_cos = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    cos = (
+        brute_force_topk(emb, query_vec_id=query_vec_id, k=list_k)
+        .withColumn("cos_rank", F.row_number().over(w_cos).cast("int"))
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+    rec = lambda r: F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col(r)), F.lit(0.0))
+    return (
+        bm.join(cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(rec("bm25_rank") + rec("cos_rank"), 6).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+
+
+def hybrid_rrf_oracle(
+    query_vec_id: int = 0, list_k: int = 20, top_k: int = 10
+) -> str:
+    from .similarity import brute_force_topk_oracle
+
+    rec = lambda r: f"COALESCE(1.0 / ({RRF_K} + {r}), 0.0)"
+    return f"""
+        WITH bm AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS bm25_rank
+          FROM ({bm25_scores_oracle(top_k=list_k)})),
+        cos AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT)
+                   AS cos_rank
+          FROM ({brute_force_topk_oracle(query_vec_id=query_vec_id, k=list_k)}))
+        SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+               ROUND({rec('bm25_rank')} + {rec('cos_rank')}, 6) AS rrf_score,
+               bm25_rank, cos_rank
+        FROM bm FULL OUTER JOIN cos USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT {top_k}
+    """
+
+
+# -- frequent n-grams (heavy hitters) ---------------------------------------
+
+
+def ngram_heavy_hitters(docs: DataFrame, n: int = 3, top_k: int = 25) -> DataFrame:
+    """Corpus-wide most-frequent token `n`-grams: (ngram, cnt) — the
+    boilerplate detector (repeated headers/footers/license blurbs surface
+    as heavy hitters) and the phrase-level corpus statistic.
+
+    Plan: gram expansion in the scan stage, ONE (ngram) shuffle with
+    map-side partial counts, TakeOrdered for the top-k — the exact heavy-
+    hitter shape that survives 100 TB. Skewed grams are absorbed by the
+    partial aggregation (each task emits one row per distinct gram);
+    at extreme cardinality the count-min/HLL analog is the
+    `approx_distinct_users` sketch family."""
+    toks = docs.select(F.expr(tokens_sql("spark", "text")).alias("t"))
+    from ..functions.hashing import token_ngrams_sql
+
+    grams = toks.select(
+        F.explode(F.expr(token_ngrams_sql("spark", "t", n))).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(top_k)
+    )
+
+
+def ngram_heavy_hitters_oracle(n: int = 3, top_k: int = 25) -> str:
+    from ..functions.hashing import token_ngrams_sql
+
+    toks = tokens_sql("duckdb", "text")
+    grams = token_ngrams_sql("duckdb", "t", n)
+    return f"""
+        WITH toks AS (SELECT {toks} AS t FROM documents),
+        grams AS (SELECT unnest({grams}) AS ngram FROM toks)
+        SELECT ngram, count(*) AS cnt FROM grams
+        GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT {top_k}
+    """

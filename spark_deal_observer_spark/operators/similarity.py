@@ -673,3 +673,65 @@ def semantic_dedup_oracle(
                (r.vec_id = reps.rep_id OR {cos} < {threshold}) AS keep
         FROM ranked r JOIN reps USING (cell)
     """
+
+
+# -- random-projection dimensionality reduction ------------------------------
+
+RP_DIM = 16  # projected width (DIM 64 -> 16)
+
+
+def _rp_sign(dialect: str, i: str, j: str) -> str:
+    """Deterministic ±1 projection-matrix entry from the (i, j) hash parity
+    (the Achlioptas sign matrix, reproducible in both engines — no RNG
+    state to ship)."""
+    from ..functions.hashing import hash32_sql
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    cell = f"concat(CAST({i} AS {s}), '_', CAST({j} AS {s}))"
+    return f"CASE WHEN {hash32_sql(cell, dialect)} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+
+def random_projection(emb: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
+    """(vec_id, proj double[out_dim]): Johnson–Lindenstrauss sign-matrix
+    projection y_j = Σ_i x_i·R[i][j] / √out_dim — the dimensionality-
+    reduction front end for ANN/clustering over wide embedding columns
+    (pairwise distances preserved within 1±ε at out_dim = O(log n / ε²)).
+
+    Scale shape: ZERO shuffles. The projection matrix is built once on a
+    literal 1-row side (DIM·out_dim hash parities) and broadcast; every row
+    then computes its projection in the scan stage with nested array
+    lambdas — per-row cost DIM·out_dim multiply-adds, the same order as
+    one cosine against out_dim query vectors. Nothing leaves the executor
+    until the (already narrow) projected column is written. Both engines
+    accumulate i ascending, so the unrounded partial sums are
+    bit-identical; ROUND(…, 6) is belt-and-braces."""
+    spark = emb.sparkSession
+    rmat = spark.sql(
+        f"""SELECT transform(sequence(0, {DIM - 1}), i ->
+                transform(sequence(0, {out_dim - 1}), j -> {_rp_sign('spark', 'i', 'j')}))
+              AS rmat"""
+    )
+    scale = out_dim ** 0.5
+    proj = F.expr(
+        f"""transform(sequence(0, {out_dim - 1}), j ->
+              ROUND(aggregate(sequence(0, {DIM - 1}), CAST(0 AS DOUBLE),
+                    (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * rmat[i][j])
+                    / {scale!r}, 6))"""
+    )
+    return emb.crossJoin(F.broadcast(rmat)).select("vec_id", proj.alias("proj"))
+
+
+def random_projection_oracle(out_dim: int = RP_DIM) -> str:
+    scale = out_dim ** 0.5
+    return f"""
+        WITH rmat AS (
+          SELECT list_transform(generate_series(0, {DIM - 1}), i ->
+                   list_transform(generate_series(0, {out_dim - 1}), j ->
+                     {_rp_sign('duckdb', 'i', 'j')})) AS rmat)
+        SELECT e.vec_id,
+               list_transform(generate_series(1, {out_dim}), j ->
+                 ROUND(list_sum(list_transform(generate_series(1, {DIM}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * r.rmat[i][j]))
+                       / {scale!r}, 6)) AS proj
+        FROM embeddings e CROSS JOIN rmat r
+    """

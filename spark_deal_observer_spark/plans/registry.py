@@ -2146,6 +2146,87 @@ def q_corpus_sampling_suite(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 trained classifier, hybrid retrieval, projection, corpus statistics
+# ---------------------------------------------------------------------------
+
+from ..operators import classifier as clf  # noqa: E402
+from ..operators import profile as pf  # noqa: E402
+
+
+@register("classifier_quality", clf.classifier_scores_oracle())
+def q_classifier_quality(spark, sf_dir):
+    """Trained linear classifier (fasttext-shaped corpus filter): logistic
+    regression over standardized quality-signal + hashed bag-of-words
+    features, 5 full-batch GD steps entirely in-plan (broadcast weights,
+    map-side-combined gradient), distilling the rule-based C4-style quality
+    gate into a model; returns every doc's probability, decision, and label
+    — training + eval in one query."""
+    return clf.classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("hybrid_retrieval_rrf", rk.hybrid_rrf_oracle())
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval head: BM25 top-20 and cosine top-20
+    fused by reciprocal-rank fusion (1/(60+rank)) — the RAG/data-targeting
+    composition; fusion is arithmetic over two bounded lists."""
+    return rk.hybrid_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+@register("embedding_random_projection", sim.random_projection_oracle())
+def q_embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign-matrix projection 64→16 dims: the
+    dim-reduction front end for ANN/clustering, zero shuffles — broadcast
+    ±1 matrix from hash parities, per-row multiply-adds in the scan."""
+    return sim.random_projection(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ngram_heavy_hitters", rk.ngram_heavy_hitters_oracle())
+def q_ngram_heavy_hitters(spark, sf_dir):
+    """Corpus-wide most-frequent token trigrams (boilerplate detector):
+    scan-stage gram expansion, one map-side-combined (ngram) shuffle,
+    TakeOrdered top-25."""
+    return rk.ngram_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+@register("table_profile", pf.table_profile_oracle())
+def q_table_profile(spark, sf_dir):
+    """Per-column dataset profile of `orders` (nulls / distinct / bounds):
+    the data-quality + layout-planning report; one two-phase aggregate per
+    column, numeric and string bound pairs in a uniform schema."""
+    return pf.table_profile(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "dedup_pair_verify_suite",
+    f"""
+    SELECT 'simhash' AS method, doc_a, doc_b, CAST(hamming AS DOUBLE) AS score
+    FROM ({dd.simhash_near_pairs_oracle()})
+    UNION ALL
+    SELECT 'jaccard' AS method, doc_a, doc_b, jaccard AS score
+    FROM ({dd.ngram_jaccard_pairs_oracle()})
+    """,
+)
+def q_dedup_pair_verify_suite(spark, sf_dir):
+    """The two bounded-block pairwise verify stages as ONE tagged union —
+    SimHash band-blocked hamming pairs and LSH-candidate n-gram Jaccard —
+    so the driver-gate prefix carries both near-dup verifiers in a single
+    slot (single-op forms stay registered below the fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.simhash_near_pairs(docs).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    ja = dd.ngram_jaccard_pairs(docs).select(
+        F.lit("jaccard").alias("method"), "doc_a", "doc_b", F.col("jaccard").alias("score")
+    )
+    return sh.unionAll(ja)
+
+
+# ---------------------------------------------------------------------------
 # driver ordering
 #
 # The driver's correctness gate snapshots a bounded prefix of this catalog
@@ -2187,8 +2268,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",     # covers signature stage + banded candidate join
     "dedup_clusters",
-    "dedup_simhash_pairs",   # covers simhash signatures + hamming pairs
-    "dedup_ngram_jaccard",
+    "dedup_pair_verify_suite",  # simhash hamming + n-gram Jaccard verifies, one slot
     "dedup_embedding",
     "dedup_semantic",        # SemDeDup: trained-quantizer clustering + rep cosine
     # training-data pipeline: similarity search
@@ -2200,7 +2280,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_pq_adc",            # product-quantized ADC search (codes-only scan)
     # training-data pipeline: ranking / scoring / tokenization
     "tfidf_top_terms",       # ranking-family lead
-    "bm25_scores",           # corpus-constant broadcast + per-(doc,term) score
+    "hybrid_retrieval_rrf",  # BM25 + vector cosine fused by RRF (covers bm25_scores)
+    "classifier_quality",    # trained logistic model over std'ized features (in-plan GD)
     "bpe_encode",            # learned-merge tokenizer applied (covers bpe_merges ladder)
     # training-data pipeline: text analysis
     "text_metrics",          # token counts + quality + lang-ID + PII + repetition
@@ -2289,6 +2370,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_canonical_pick",
     "corpus_global_shuffle",
     "pq_codes",
+    "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
+    "dedup_ngram_jaccard",
+    "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
+    "embedding_random_projection",
+    "ngram_heavy_hitters",
+    "table_profile",
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

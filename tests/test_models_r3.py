@@ -1,0 +1,156 @@
+"""Round-3 additions: the trained-artifact registry, the in-plan GD
+classifier, hybrid RRF retrieval, random projection, heavy hitters, and
+the table profiler — behavior beyond what oracle parity already proves."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_SMALL
+
+from spark_deal_observer_spark.operators import models
+from spark_deal_observer_spark.operators.classifier import (
+    D_FEAT,
+    classifier_scores,
+)
+from spark_deal_observer_spark.operators.profile import PROFILE_COLS, table_profile
+from spark_deal_observer_spark.operators.ranking import hybrid_rrf, ngram_heavy_hitters
+from spark_deal_observer_spark.operators.similarity import (
+    RP_DIM,
+    _kmeans_fit,
+    random_projection,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+# -- artifact registry -------------------------------------------------------
+
+
+def test_published_artifact_is_shared_across_consumers(spark):
+    """Two fits on the same logical input must return the SAME centroid
+    ladder objects (one training run), a different input must not."""
+    emb = _emb(spark)
+    c1, _ = _kmeans_fit(emb, 8, 2)
+    c2, _ = _kmeans_fit(emb, 8, 2)
+    assert c1 is c2
+    c3, _ = _kmeans_fit(emb.where("vec_id < 400"), 8, 2)
+    assert c3 is not c1
+
+
+def test_published_artifact_distinguishes_params(spark):
+    emb = _emb(spark)
+    a, _ = _kmeans_fit(emb, 8, 2)
+    b, _ = _kmeans_fit(emb, 4, 2)
+    assert a is not b
+
+
+def test_clear_forces_retrain(spark):
+    emb = _emb(spark)
+    a, _ = _kmeans_fit(emb, 8, 2)
+    models.clear()
+    b, _ = _kmeans_fit(emb, 8, 2)
+    assert a is not b  # new training run (values still identical)
+
+
+# -- classifier --------------------------------------------------------------
+
+
+def test_classifier_learns_the_label(spark):
+    """After 3 GD steps the model must beat the majority-class baseline on
+    its own training set (the distillation actually moved the weights)."""
+    rows = classifier_scores(_docs(spark)).collect()
+    n = len(rows)
+    acc = sum(1 for r in rows if (r.prob >= 0.5) == (r.label == 1.0)) / n
+    majority = max(sum(1 for r in rows if r.label == 1.0) / n,
+                   sum(1 for r in rows if r.label == 0.0) / n)
+    assert acc > majority, (acc, majority)
+    assert all(0.0 <= r.prob <= 1.0 for r in rows)
+
+
+def test_classifier_plan_is_jvm_only(spark):
+    plan = classifier_scores(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- random projection -------------------------------------------------------
+
+
+def test_random_projection_plan_has_no_shuffle(spark):
+    """The projection is scan-stage only: the ±1 matrix arrives as a
+    BroadcastExchange, but no SHUFFLE exchange (hash/range/single) may
+    appear — every row is projected where it is scanned."""
+    plan = (
+        random_projection(_emb(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for kind in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                 "Exchange SinglePartition"):
+        assert kind not in plan, plan
+
+
+def test_random_projection_roughly_preserves_norms(spark):
+    """JL contract sanity: projected squared-norm ≈ original squared-norm
+    in expectation (sign matrix, 1/√d scaling) — check the corpus mean is
+    within 30% rather than any single vector."""
+    emb = _emb(spark)
+    proj = random_projection(emb)
+    orig = {
+        r.vec_id: sum(float(x) * float(x) for x in r.embedding)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    got = {r.vec_id: sum(x * x for x in r.proj) for r in proj.collect()}
+    ratio = sum(got[k] / orig[k] for k in orig if orig[k] > 0) / len(orig)
+    assert 0.7 < ratio < 1.3, ratio
+    assert all(len(r.proj) == RP_DIM for r in proj.limit(5).collect())
+
+
+# -- hybrid RRF --------------------------------------------------------------
+
+
+def test_hybrid_rrf_scores_are_rank_reciprocals(spark):
+    rows = hybrid_rrf(_docs(spark), _emb(spark)).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (60 + r.bm25_rank)
+        if r.cos_rank is not None:
+            expect += 1.0 / (60 + r.cos_rank)
+        assert math.isclose(r.rrf_score, round(expect, 6), abs_tol=1e-9)
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# -- heavy hitters / profile -------------------------------------------------
+
+
+def test_heavy_hitters_descending_and_bounded(spark):
+    rows = ngram_heavy_hitters(_docs(spark), n=3, top_k=10).collect()
+    assert len(rows) == 10
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.ngram.split(" ")) == 3 for r in rows)
+
+
+def test_table_profile_matches_direct_aggregates(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    prof = {r.column: r for r in table_profile(orders).collect()}
+    assert set(prof) == {c for c, _ in PROFILE_COLS}
+    n = orders.count()
+    for c, kind in PROFILE_COLS:
+        row = prof[c]
+        assert row.n_rows == n
+        assert row.n_distinct == orders.select(c).distinct().count()
+        if kind == "num":
+            assert row.min_str is None and row.max_str is None
+            assert row.min_num <= row.max_num
+        else:
+            assert row.min_num is None and row.max_num is None
+            assert row.min_str <= row.max_str
