@@ -76,53 +76,104 @@ def _signal_exprs(dialect: str) -> list[str]:
     return [mean_len, q["stopword_ratio"], q["punct_ratio"]]
 
 
+def raw_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, x double[D_FEAT] (unscaled), y): signals ++ hashed BOW."""
+    s1, s2, s3 = _signal_exprs("spark")
+    label = F.expr(
+        f"CASE WHEN {quality_sql('spark', 'text')['quality_score']} >= "
+        f"{QUALITY_THRESHOLD} THEN 1.0 ELSE 0.0 END"
+    )
+    sig = docs.select(
+        "doc_id",
+        F.expr(f"array({s1}, {s2}, {s3})").alias("sig"),
+        label.alias("y"),
+    )
+    emb = hashed_doc_embeddings(docs, dim=N_HASHED)
+    return sig.join(emb, "doc_id").select(
+        "doc_id", F.expr("concat(sig, embedding)").alias("x"), "y"
+    )
+
+
+def feature_stats(raw: DataFrame) -> DataFrame:
+    """1-row (mu double[D_FEAT], sd double[D_FEAT]): the TRAIN-time
+    standardization statistics — part of the published model; scoring any
+    later batch applies these, never refits them."""
+    return (
+        raw.select(F.posexplode("x").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mu"),
+            F.round(F.stddev_pop("val"), 6).alias("sd"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+            ).alias("mu"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
+            ).alias("sd"),
+        )
+    )
+
+
+def standardize(raw: DataFrame, stats: DataFrame) -> DataFrame:
+    """Apply (broadcast) standardization stats to a raw feature table."""
+    xs = F.expr(
+        f"zip_with(zip_with(x, mu, (a, m) -> a - m), sd, "
+        f"(d, s) -> ROUND(d / greatest(s, {SD_FLOOR!r}), 6))"
+    )
+    return raw.crossJoin(F.broadcast(stats)).select("doc_id", xs.alias("x"), "y")
+
+
 def _features(docs: DataFrame) -> DataFrame:
     """(doc_id, x double[D_FEAT], y): the standardized, checkpointed feature
     table — published once per input (the feature-store pass)."""
 
     def build() -> DataFrame:
-        s1, s2, s3 = _signal_exprs("spark")
-        label = F.expr(
-            f"CASE WHEN {quality_sql('spark', 'text')['quality_score']} >= "
-            f"{QUALITY_THRESHOLD} THEN 1.0 ELSE 0.0 END"
-        )
-        sig = docs.select(
-            "doc_id",
-            F.expr(f"array({s1}, {s2}, {s3})").alias("sig"),
-            label.alias("y"),
-        )
-        emb = hashed_doc_embeddings(docs, dim=N_HASHED)
-        raw = sig.join(emb, "doc_id").select(
-            "doc_id", F.expr("concat(sig, embedding)").alias("x"), "y"
-        )
-        stats = (
-            raw.select(F.posexplode("x").alias("pos", "val"))
-            .groupBy("pos")
-            .agg(
-                F.round(F.avg("val"), 6).alias("mu"),
-                F.round(F.stddev_pop("val"), 6).alias("sd"),
-            )
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
-                ).alias("mu"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
-                ).alias("sd"),
-            )
-        )
-        xs = F.expr(
-            f"zip_with(zip_with(x, mu, (a, m) -> a - m), sd, "
-            f"(d, s) -> ROUND(d / greatest(s, {SD_FLOOR!r}), 6))"
-        )
-        return (
-            raw.crossJoin(F.broadcast(stats))
-            .select("doc_id", xs.alias("x"), "y")
-            .localCheckpoint(eager=True)
-        )
+        raw = raw_features(docs)
+        return standardize(raw, train_stats(docs)).localCheckpoint(eager=True)
 
     return published(docs, "clf_features", (D_FEAT, QUALITY_THRESHOLD), build)
+
+
+def train_stats(docs: DataFrame) -> DataFrame:
+    """The published train-corpus standardization stats — part of the model
+    artifact: scoring any later batch/stream applies THESE, never refits."""
+    return published(
+        docs,
+        "clf_stats",
+        (D_FEAT, QUALITY_THRESHOLD),
+        lambda: feature_stats(raw_features(docs)).localCheckpoint(eager=True),
+    )
+
+
+def trained_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(stats, weights): the full published model for out-of-corpus scoring."""
+    feats = _features(docs)
+    wdf = published(
+        docs, "clf_model", (D_FEAT, N_ITER, LR, QUALITY_THRESHOLD), lambda: _fit(feats)
+    )
+    return train_stats(docs), wdf
+
+
+def score_with_model(
+    batch_docs: DataFrame, stats: DataFrame, wdf: DataFrame
+) -> DataFrame:
+    """Score ANY document batch with an already-trained model: raw features
+    in the scan stage, TRAIN-time standardization stats and the weight
+    vector broadcast in — no aggregation over the batch, no refit; the
+    streaming micro-batch scoring path (`streaming/scoring.py`)."""
+    feats = standardize(raw_features(batch_docs), stats)
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.expr(_DOT_SPARK) + F.col("b")))), 6
+    )
+    return feats.crossJoin(F.broadcast(wdf)).select(
+        "doc_id",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("predicted"),
+        F.col("y").alias("label"),
+    )
 
 
 def _fit(feats: DataFrame) -> DataFrame:

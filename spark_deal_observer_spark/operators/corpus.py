@@ -822,3 +822,51 @@ def decontaminate_bloom_oracle(n_probes: int = N_PROBE_DOCS) -> str:
         WHERE d.doc_id >= {n_probes}
           AND len(list_filter({grams}, h -> {hit})) = 0
     """
+
+
+# -- fixed-size per-stratum sample (distributed reservoir) -------------------
+
+FIXED_SAMPLE_K = 20
+
+
+def grouped_fixed_sample(docs: DataFrame, k: int = FIXED_SAMPLE_K) -> DataFrame:
+    """EXACTLY-k documents per language stratum (fewer only if the stratum
+    is smaller): the fixed-budget complement of `stratified_sample`'s
+    fixed-RATE filter — eval-set construction, per-domain probes, anything
+    that needs a constant per-group budget regardless of group size.
+
+    Deterministic reservoir analog: order each stratum by a content-
+    independent hash of the primary key (uniform, reproducible — never
+    `rand()`, which the oracle cannot replay) and keep the first k by
+    row_number. One shuffle on the group key + an in-partition window —
+    never a global sort. A true single-pass reservoir (mergeable per-task
+    top-k heaps) has the same output law; the window form IS Spark's
+    mergeable implementation of it: the rank sort is per-stratum, and at
+    100 TB strata are large but the shuffle moves only (doc_id, lang,
+    hash) triples, not document text."""
+    from pyspark.sql.window import Window
+    from ..functions.hashing import hash32_sql
+
+    h = F.expr(hash32_sql("CAST(doc_id AS STRING)", "spark"))
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def grouped_fixed_sample_oracle(k: int = FIXED_SAMPLE_K) -> str:
+    from ..functions.hashing import hash32_sql
+
+    h = hash32_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+        WITH ranked AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {h} ASC, doc_id ASC) AS rank
+          FROM documents)
+        SELECT lang, doc_id, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """

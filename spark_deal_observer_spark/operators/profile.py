@@ -74,3 +74,51 @@ def table_profile_oracle() -> str:
                FROM orders"""
         )
     return " UNION ALL ".join(branches)
+
+
+# -- pairwise column correlations -------------------------------------------
+
+CORR_COLS: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_correlations(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation for every pair of numeric lineitem columns:
+    (col_a, col_b, corr) — the feature-selection / drift-detection
+    companion to `table_profile`.
+
+    ONE pass over the table: `corr` is a two-phase aggregate of co-moments
+    (map-side partial sums of x, y, x², y², xy per pair), so all C·(C−1)/2
+    pairs ride a single scan and the shuffle moves one co-moment row per
+    task. Results ROUND to 6 dp (summation-order parity, as everywhere)."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    agg = lineitem.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
+        )
+    )
+
+
+def column_correlations_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    branches = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(branches)

@@ -691,34 +691,41 @@ def _rp_sign(dialect: str, i: str, j: str) -> str:
     return f"CASE WHEN {hash32_sql(cell, dialect)} % 2 = 0 THEN 1.0 ELSE -1.0 END"
 
 
+def _rp_sign_py(i: int, j: int) -> float:
+    """Python twin of `_rp_sign` — same md5-hex-prefix parity, evaluated at
+    PLAN-BUILD time so the projection matrix folds into the expression tree
+    as literals. The oracle keeps the in-SQL form, so every parity run
+    cross-checks this equivalence."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
 def random_projection(emb: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
     """(vec_id, proj double[out_dim]): Johnson–Lindenstrauss sign-matrix
     projection y_j = Σ_i x_i·R[i][j] / √out_dim — the dimensionality-
     reduction front end for ANN/clustering over wide embedding columns
     (pairwise distances preserved within 1±ε at out_dim = O(log n / ε²)).
 
-    Scale shape: ZERO shuffles. The projection matrix is built once on a
-    literal 1-row side (DIM·out_dim hash parities) and broadcast; every row
-    then computes its projection in the scan stage with nested array
-    lambdas — per-row cost DIM·out_dim multiply-adds, the same order as
-    one cosine against out_dim query vectors. Nothing leaves the executor
-    until the (already narrow) projected column is written. Both engines
-    accumulate i ascending, so the unrounded partial sums are
-    bit-identical; ROUND(…, 6) is belt-and-braces."""
-    spark = emb.sparkSession
-    rmat = spark.sql(
-        f"""SELECT transform(sequence(0, {DIM - 1}), i ->
-                transform(sequence(0, {out_dim - 1}), j -> {_rp_sign('spark', 'i', 'j')}))
-              AS rmat"""
-    )
+    Scale shape: NO exchange of any kind. The ±1 matrix is deterministic
+    (md5 parity of the (i, j) cell), so it is unrolled at plan-build time
+    into out_dim codegen'd sum expressions — DIM·out_dim static multiply-
+    adds per row inside WholeStageCodegen, with the same left-to-right
+    i-ascending accumulation order as the oracle's list_sum (bit-identical
+    partial sums; ROUND(…, 6) is belt-and-braces). A lambda-based variant
+    (broadcast matrix + nested higher-order functions) computed the same
+    values ~4× slower: Spark interprets HOF lambdas per element, while the
+    unrolled form stays in generated code."""
     scale = out_dim ** 0.5
-    proj = F.expr(
-        f"""transform(sequence(0, {out_dim - 1}), j ->
-              ROUND(aggregate(sequence(0, {DIM - 1}), CAST(0 AS DOUBLE),
-                    (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * rmat[i][j])
-                    / {scale!r}, 6))"""
-    )
-    return emb.crossJoin(F.broadcast(rmat)).select("vec_id", proj.alias("proj"))
+    cols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"({_rp_sign_py(i, j)!r} * CAST(embedding[{i}] AS DOUBLE))"
+            for i in range(DIM)
+        )
+        cols.append(f"ROUND(({terms}) / {scale!r}, 6)")
+    return emb.select("vec_id", F.expr(f"array({', '.join(cols)})").alias("proj"))
 
 
 def random_projection_oracle(out_dim: int = RP_DIM) -> str:

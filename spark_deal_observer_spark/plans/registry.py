@@ -2198,6 +2198,21 @@ def q_table_profile(spark, sf_dir):
     return pf.table_profile(_t(spark, sf_dir, "orders"))
 
 
+@register("corpus_fixed_sample", cp.grouped_fixed_sample_oracle())
+def q_corpus_fixed_sample(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample (distributed reservoir
+    analog): hash-ordered row_number within each language, keep rank ≤ k —
+    the fixed-budget complement of stratified_sample's fixed-rate filter."""
+    return cp.grouped_fixed_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("column_correlations", pf.column_correlations_oracle())
+def q_column_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem's numeric columns in ONE
+    scan (co-moment two-phase aggregate), unpivoted to (col_a, col_b, corr)."""
+    return pf.column_correlations(_t(spark, sf_dir, "lineitem"))
+
+
 @register(
     "dedup_pair_verify_suite",
     f"""
@@ -2376,6 +2391,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embedding_random_projection",
     "ngram_heavy_hitters",
     "table_profile",
+    "corpus_fixed_sample",
+    "column_correlations",
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

@@ -1,0 +1,45 @@
+"""Streaming model scoring: score each micro-batch with the OFFLINE-trained
+quality classifier — the online half of the train-once/score-forever
+pattern (reference analog: the enrichment loops apply a fixed external
+model per tick, deal-observer-backend.js:70-139; here the model is ours).
+
+Design contract:
+  * the model (GD weights + TRAIN-corpus standardization stats) is trained
+    once from the reference corpus via the session artifact registry
+    (`operators/models.py`) — micro-batches NEVER refit or recompute
+    stats; a batch that recomputed its own mean/stddev would score on a
+    different feature scale per batch (train/serve skew);
+  * per batch the plan is scan-stage feature extraction + two broadcast
+    1-row joins + the sigmoid — no aggregation over the batch, no state;
+  * idempotent under at-least-once replay: each batch writes
+    `out_path/batch_id=N` with overwrite, the same effectively-once
+    discipline as `streaming/sink.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.classifier import score_with_model, trained_model
+
+
+class ModelScoringSink:
+    """foreachBatch body: score micro-batches with the published model."""
+
+    def __init__(self, spark: SparkSession, train_docs: DataFrame, out_path: str):
+        self.spark = spark
+        self.out_path = out_path
+        # Train (or fetch the published artifact) ONCE at sink construction.
+        self.stats, self.weights = trained_model(train_docs)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        scored = score_with_model(batch, self.stats, self.weights)
+        (
+            scored.write.mode("overwrite")
+            .parquet(f"{self.out_path}/batch_id={batch_id}")
+        )
+
+    def read_scores(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.out_path).parquet(
+            f"{self.out_path}/batch_id=*"
+        )

@@ -154,3 +154,32 @@ def test_table_profile_matches_direct_aggregates(spark):
         else:
             assert row.min_num is None and row.max_num is None
             assert row.min_str <= row.max_str
+
+
+# -- streaming model scoring -------------------------------------------------
+
+
+def test_stream_scoring_matches_offline_and_trains_once(spark, tmp_path):
+    """Micro-batch scoring with the published model must (a) reproduce the
+    offline scores for the same docs, (b) reuse ONE model artifact across
+    batches, (c) replay idempotently."""
+    from spark_deal_observer_spark.streaming.scoring import ModelScoringSink
+
+    docs = _docs(spark)
+    sink = ModelScoringSink(spark, docs, str(tmp_path / "scores"))
+    sink2 = ModelScoringSink(spark, docs, str(tmp_path / "scores2"))
+    assert sink.weights is sink2.weights  # published artifact, not a refit
+
+    b1 = docs.where("doc_id < 50")
+    b2 = docs.where("doc_id >= 50 AND doc_id < 80")
+    sink.process_batch(b1, 0)
+    sink.process_batch(b2, 1)
+    got = {r.doc_id: r.prob for r in sink.read_scores().collect()}
+    offline = {
+        r.doc_id: r.prob
+        for r in classifier_scores(docs).where("doc_id < 80").collect()
+    }
+    assert got == offline
+
+    sink.process_batch(b1, 0)  # at-least-once replay of batch 0
+    assert sink.read_scores().count() == len(offline)
