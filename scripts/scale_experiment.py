@@ -73,9 +73,28 @@ def synthesize(con) -> None:
           FROM read_parquet('{SRC}/embeddings.parquet'), {copies}
         ) TO '{DST}/embeddings.parquet' (FORMAT parquet)"""
     )
-    # the remaining tables are referenced by some queries' table loads only;
+    # fact tables scale with the corpus (id-shifted copies; foreign keys into
+    # the unscaled dimensions stay valid because custkeys/partkeys repeat)
+    n_orders = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    for stmt in (
+        f"""COPY (
+          SELECT o_orderkey + i * {n_orders} AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM read_parquet('{SRC}/orders.parquet'), {copies}
+        ) TO '{DST}/orders.parquet' (FORMAT parquet)""",
+        f"""COPY (
+          SELECT l_orderkey + i * {n_orders} AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{SRC}/lineitem.parquet'), {copies}
+        ) TO '{DST}/lineitem.parquet' (FORMAT parquet)""",
+    ):
+        con.execute(stmt)
+    # pure dimensions are referenced by some queries' table loads only;
     # link them through unchanged so load_table finds every name
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
