@@ -2198,6 +2198,18 @@ def q_table_profile(spark, sf_dir):
     return pf.table_profile(_t(spark, sf_dir, "orders"))
 
 
+from ..operators import sketches as sk  # noqa: E402
+
+
+@register("cms_token_counts", sk.cms_token_counts_oracle())
+def q_cms_token_counts(spark, sf_dir):
+    """Count–min sketch over the token stream + probe audit: the sketch is
+    depth×width counters regardless of corpus size (map-side combine IS the
+    merge); output pairs each probe's exact count with its one-sided
+    estimate. Deterministic md5 hashing makes the sketch oracle-checkable."""
+    return sk.cms_token_counts(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_fixed_sample", cp.grouped_fixed_sample_oracle())
 def q_corpus_fixed_sample(spark, sf_dir):
     """Exactly-k-per-stratum deterministic sample (distributed reservoir
@@ -2393,6 +2405,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "table_profile",
     "corpus_fixed_sample",
     "column_correlations",
+    "cms_token_counts",
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

@@ -214,3 +214,81 @@ def claims_to_deals(claims: DataFrame) -> DataFrame:
         F.lit("PAYLOAD_CID_NOT_QUERIED_YET").alias("payload_retrievability_state"),
         "reverted",
     )
+
+
+ROUTED_SCHEMA = StructType(
+    list(CLAIM_SCHEMA.fields)
+    + [StructField("dlq_reason", StringType()), StructField("msg_cid", StringType())]
+)
+
+
+def decode_raw_events_routed(raw: DataFrame) -> DataFrame:
+    """Decode with a DEAD-LETTER route instead of drop-or-crash: every input
+    row lands in the output exactly once — decoded claims with
+    `dlq_reason IS NULL`, undecodable/unknown rows with their reason and
+    `msg_cid` (the reprocessing handle) and NULL claim fields.
+
+    The third point on the strictness spectrum (`decode_raw_events`: lax
+    drops silently with a counter, strict raises): production ingest wants
+    neither data loss nor a poison-pill crash loop — quarantine the bad
+    rows, keep the stream moving, replay the DLQ after a codec fix. The
+    reference hard-fails on unknown types (service.js:80-82) because its
+    loop retries the same epoch forever; a micro-batch engine must instead
+    bound the blast radius of one bad event. Same Arrow-batched single
+    pass as the lax decoder; downstream splits with two narrow filters on
+    `dlq_reason`."""
+
+    def decode(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in ROUTED_SCHEMA.fields]
+        empty_claim = {f.name: None for f in CLAIM_SCHEMA.fields}
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    record: dict[str, object] = {}
+                    for e in r.entries:
+                        codec, _flags, key, value = (
+                            e["Codec"], e["Flags"], e["Key"], e["Value"],
+                        )
+                        if codec != DAG_CBOR_CODEC:
+                            raise ValueError(f"unsupported entry codec {codec}")
+                        record[key] = cbor_decode(b64pad_decode(value))
+                    etype = record.get("$type")
+                    if etype != "claim":
+                        rows.append(
+                            {**empty_claim,
+                             "dlq_reason": f"unknown event type {etype!r}",
+                             "msg_cid": r.msg_cid}
+                        )
+                        continue
+                    rows.append(
+                        {
+                            "height": int(r.height),
+                            "emitter": r.emitter,
+                            "reverted": bool(r.reverted),
+                            "event_type": str(etype),
+                            "claim_id": int(record["id"]),
+                            "client": int(record["client"]),
+                            "provider": int(record["provider"]),
+                            "piece_cid": str(record["piece-cid"]),
+                            "piece_size": int(record["piece-size"]),
+                            "term_min": int(record["term-min"]),
+                            "term_max": int(record["term-max"]),
+                            "term_start": int(record["term-start"]),
+                            "sector": int(record["sector"]),
+                            "dlq_reason": None,
+                            "msg_cid": r.msg_cid,
+                        }
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine, never crash
+                    rows.append(
+                        {**empty_claim,
+                         "dlq_reason": f"{type(exc).__name__}: {exc}",
+                         "msg_cid": r.msg_cid}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(decode, ROUTED_SCHEMA)

@@ -183,3 +183,55 @@ def test_stream_scoring_matches_offline_and_trains_once(spark, tmp_path):
 
     sink.process_batch(b1, 0)  # at-least-once replay of batch 0
     assert sink.read_scores().count() == len(offline)
+
+
+# -- count-min sketch / DLQ decode -------------------------------------------
+
+
+def test_cms_estimate_is_one_sided(spark):
+    """CMS guarantee: est >= true for every probe; the absent probe's
+    estimate is pure collision mass and must stay far below real tokens."""
+    from spark_deal_observer_spark.operators.sketches import cms_token_counts
+
+    rows = {r.token: r for r in cms_token_counts(_docs(spark)).collect()}
+    assert rows["zzz-absent"].true_cnt == 0
+    for r in rows.values():
+        assert r.cms_est >= r.true_cnt, r
+    present = [r for t, r in rows.items() if t != "zzz-absent"]
+    assert max(r.cms_est for r in present) > 10 * rows["zzz-absent"].cms_est
+
+
+def test_dlq_decode_routes_instead_of_dropping(spark):
+    """Every raw event lands exactly once: claims with NULL reason,
+    unknown types quarantined with reason + msg_cid; corrupted payloads
+    quarantine instead of crashing the pass."""
+    import pyspark.sql.functions as F
+
+    from spark_deal_observer_spark.sources.events import (
+        decode_raw_events,
+        decode_raw_events_routed,
+        synth_raw_events,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    raw = synth_raw_events(load_table(spark, SF_SMALL, "events").limit(200))
+    routed = decode_raw_events_routed(raw).localCheckpoint()
+    n_raw = raw.count()
+    assert routed.count() == n_raw
+    good = routed.where("dlq_reason IS NULL")
+    assert good.count() == decode_raw_events(raw).count()
+    dlq = routed.where("dlq_reason IS NOT NULL")
+    assert dlq.count() == n_raw - good.count() > 0
+    assert dlq.where(F.col("msg_cid").isNull()).count() == 0
+    assert dlq.where(F.col("dlq_reason").like("unknown event type%")).count() == dlq.count()
+
+    # poison-pill payload: corrupt one entry's base64 so CBOR decode throws
+    bad = raw.limit(1).withColumn(
+        "entries",
+        F.expr(
+            "transform(entries, e -> named_struct("
+            "'Codec', e.Codec, 'Flags', e.Flags, 'Key', e.Key, 'Value', '!!!notb64'))"
+        ),
+    )
+    out = decode_raw_events_routed(bad).collect()
+    assert len(out) == 1 and out[0].dlq_reason is not None
