@@ -2198,7 +2198,53 @@ def q_table_profile(spark, sf_dir):
     return pf.table_profile(_t(spark, sf_dir, "orders"))
 
 
+from ..functions.hashing import hash32_sql as _hash32_sql  # noqa: E402
 from ..operators import sketches as sk  # noqa: E402
+
+_h_duck = _hash32_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+
+
+@register(
+    "corpus_e2e_pipeline",
+    f"""
+    WITH gate AS ({cp.quality_gate_oracle()}),
+    surv AS (
+      SELECT doc_id FROM (
+        {dd.canonical_pick_oracle(dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle()))}
+      ) WHERE keep),
+    sel AS (SELECT g.doc_id, g.quality_score FROM gate g JOIN surv USING (doc_id)),
+    sh AS (SELECT doc_id, quality_score,
+                  {_h_duck} AS h,
+                  CAST({_h_duck} % {cp.SHUFFLE_SHARDS} AS INT) AS shard
+           FROM sel)
+    SELECT doc_id, quality_score, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM sh
+    """,
+)
+def q_corpus_e2e_pipeline(spark, sf_dir):
+    """The WHOLE corpus-prep pipeline as one composed query — the proof the
+    operators compose: C4-style quality gate ∩ near-dup canonical survivors
+    (LSH → star edges → pointer-jump CC → quality-ranked pick), laid out by
+    the deterministic shard shuffle. Every stage reuses its published
+    artifacts (signatures, cluster map), so the composition costs the gate
+    scan + two key joins + the shard window beyond what the parts already
+    paid — exactly how the production pipeline amortizes."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = cp.quality_gate(docs).select("doc_id", "quality_score")
+    surv = (
+        dd.canonical_pick(
+            docs, dd.connected_components(dd.minhash_lsh_star_edges(docs))
+        )
+        .where("keep")
+        .select("doc_id")
+    )
+    sel = gate.join(surv, "doc_id")
+    layout = cp.global_shuffle(sel).select("doc_id", "shard", "pos")
+    return sel.join(layout, "doc_id").select(
+        "doc_id", "quality_score", "shard", "pos"
+    )
 
 
 @register("cms_token_counts", sk.cms_token_counts_oracle())
@@ -2317,7 +2363,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_frame_sample",  # covers the Arrow 1:N batch shape; the 1:1
                                 # variants sit below the fold
     # training-data pipeline: corpus preparation
-    "corpus_quality_gate",
+    "corpus_e2e_pipeline",   # gate ∩ dedup survivors → shard layout, composed
     "corpus_decontaminate",
     "corpus_pack_manifest",
     "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
@@ -2406,6 +2452,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_fixed_sample",
     "column_correlations",
     "cms_token_counts",
+    "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )
