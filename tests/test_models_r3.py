@@ -235,3 +235,44 @@ def test_dlq_decode_routes_instead_of_dropping(spark):
     )
     out = decode_raw_events_routed(bad).collect()
     assert len(out) == 1 and out[0].dlq_reason is not None
+
+
+def test_stream_scoring_wiring_end_to_end(spark, tmp_path):
+    """Drive ModelScoringSink through a REAL Structured Streaming query:
+    file source → foreachBatch, checkpointed restart scores only new
+    arrivals, and every score matches the offline batch query."""
+    from spark_deal_observer_spark.streaming.scoring import ModelScoringSink
+
+    docs = _docs(spark)
+    sink = ModelScoringSink(spark, docs, str(tmp_path / "scores"))
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+    def arrive(name, pred):
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive("a1", "doc_id < 40")
+    run()
+    n1 = sink.read_scores().count()
+    assert n1 == docs.where("doc_id < 40").count()
+
+    arrive("a2", "doc_id >= 40 AND doc_id < 70")
+    run()  # checkpointed restart → only a2 scored (appended as a new batch)
+    got = {r.doc_id: r.prob for r in sink.read_scores().collect()}
+    offline = {
+        r.doc_id: r.prob
+        for r in classifier_scores(docs).where("doc_id < 70").collect()
+    }
+    assert got == offline

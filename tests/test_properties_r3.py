@@ -198,3 +198,85 @@ def test_global_shuffle_positions_are_dense_and_deterministic(spark):
     a = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
     assert a == b
+
+
+# -- round-3 session additions ----------------------------------------------
+
+
+def _random_docs(spark, seed: int, n: int = 120):
+    rng = random.Random(seed)
+    vocab = ["the", "a", "data", "spark", "join", "hash", "scan", "zz1", "zz2", "und"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40))),
+         rng.choice(["en", "de"]), f"src{i % 3}", 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+
+
+def test_cms_one_sided_on_random_corpora(spark):
+    """For random corpora, every probe's estimate bounds its true count
+    from above (the CMS guarantee is structural, not data-dependent)."""
+    from spark_deal_observer_spark.operators.sketches import cms_token_counts
+
+    for seed in (3, 41):
+        docs = _random_docs(spark, seed)
+        for r in cms_token_counts(docs).collect():
+            assert r.cms_est >= r.true_cnt, (seed, r)
+
+
+def test_hashed_jaccard_matches_python_sets(spark):
+    """The engine's hashed-shingle Jaccard must equal a plain-Python
+    reimplementation (same md5 prefix hash) on random near-dup corpora."""
+    import hashlib
+
+    from spark_deal_observer_spark.operators.dedup import ngram_jaccard_pairs
+
+    P = 2_147_483_647
+
+    def hset(text: str) -> set:
+        k = 5
+        n = max(len(text) - k + 1, 1)
+        sh = {text[i : i + k] for i in range(n)}
+        return {
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P for s in sh
+        }
+
+    rng = random.Random(17)
+    base = _random_docs(spark, 5, n=40).collect()
+    # make explicit near-dups so candidates exist
+    rows = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base]
+    rows += [
+        (100 + r.doc_id, r.text + " tail", r.lang, r.source, r.n_chars)
+        for r in base[:20]
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    texts = {r[0]: r[1] for r in rows}
+    got = ngram_jaccard_pairs(docs).collect()
+    assert len(got) > 0
+    for r in got:
+        a, b = hset(texts[r.doc_a]), hset(texts[r.doc_b])
+        expect = round(len(a & b) / len(a | b), 6)
+        assert abs(r.jaccard - expect) < 1e-9, (r, expect)
+
+
+def test_grouped_fixed_sample_is_prefix_stable(spark):
+    """Reservoir contract: the k-sample of a stratum is a PREFIX of the
+    (k+5)-sample (hash order is fixed), and sizes are min(k, |stratum|)."""
+    from spark_deal_observer_spark.operators.corpus import grouped_fixed_sample
+
+    docs = _random_docs(spark, 11, n=90)
+    small = grouped_fixed_sample(docs, k=5).collect()
+    big = grouped_fixed_sample(docs, k=10).collect()
+    big_set = {(r.lang, r.doc_id) for r in big}
+    assert all((r.lang, r.doc_id) in big_set for r in small)
+    from collections import Counter
+
+    sizes = Counter(r.lang for r in small)
+    strata = Counter(r.lang for r in docs.collect())
+    for lang, n in strata.items():
+        assert sizes[lang] == min(5, n)
