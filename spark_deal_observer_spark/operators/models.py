@@ -34,13 +34,22 @@ CPython id-reuse from aliasing a stopped session's checkpointed artifact
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Callable, TypeVar
 
 from pyspark.sql import DataFrame
 
 T = TypeVar("T")
 
-_STORE: dict[tuple, Any] = {}
+# LRU-bounded: some artifacts are corpus-KEYED (signature tables, feature
+# tables, cluster maps), so a long-lived session training over many corpus
+# snapshots would otherwise accumulate checkpointed blocks without bound.
+# Eviction drops the dict reference; the checkpoint's blocks are freed when
+# the DataFrame's RDD is garbage-collected. 32 artifacts comfortably holds
+# every model family over several scale factors.
+MAX_ARTIFACTS = 32
+
+_STORE: OrderedDict[tuple, Any] = OrderedDict()
 
 
 def _plan_key(df: DataFrame) -> tuple:
@@ -73,6 +82,10 @@ def published(
     if got is None:
         got = build()
         _STORE[key] = got
+        while len(_STORE) > MAX_ARTIFACTS:
+            _STORE.popitem(last=False)
+    else:
+        _STORE.move_to_end(key)
     return got
 
 

@@ -276,3 +276,20 @@ def test_stream_scoring_wiring_end_to_end(spark, tmp_path):
         for r in classifier_scores(docs).where("doc_id < 70").collect()
     }
     assert got == offline
+
+
+def test_artifact_store_is_lru_bounded(spark):
+    """Publishing more artifacts than MAX_ARTIFACTS evicts the oldest; a
+    re-request after eviction retrains rather than erroring."""
+    emb = _emb(spark)
+    models.clear()
+    first, _ = _kmeans_fit(emb, 8, 2)
+    # flood the store with distinct tiny artifacts
+    for i in range(models.MAX_ARTIFACTS + 4):
+        models.published(emb, "flood", (i,), lambda: object())
+    assert len(models._STORE) <= models.MAX_ARTIFACTS
+    again, _ = _kmeans_fit(emb, 8, 2)  # evicted → rebuilt, same values
+    assert again is not first
+    assert sorted(r.cell for r in again.collect()) == sorted(
+        r.cell for r in first.collect()
+    )
