@@ -59,10 +59,14 @@ HEADLINE = [
     "dedup_canonical_pick",
     "corpus_global_shuffle",
     # r3: trained classifier, hybrid retrieval, JL projection, heavy hitters
-    "classifier_langid",
+    "classifier_quality",
     "hybrid_retrieval_rrf",
     "embedding_random_projection",
     "ngram_heavy_hitters",
+    # r3: composed corpus pipeline + sketch + drift monitor
+    "corpus_e2e_pipeline",
+    "cms_token_counts",
+    "source_drift_psi",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

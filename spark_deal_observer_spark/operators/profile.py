@@ -122,3 +122,86 @@ def column_correlations_oracle() -> str:
         for a, b in pairs
     ]
     return " UNION ALL ".join(branches)
+
+
+# -- distribution drift (PSI) -----------------------------------------------
+
+PSI_BINS: tuple[int, ...] = (0, 10, 20, 30, 40, 50)  # token-count bin edges
+PSI_SMOOTH = 0.0005  # zero-bin smoothing (standard PSI practice)
+
+
+def _tok_bin(dialect: str) -> str:
+    """Fixed-edge bin index of the document token count (shared edges — a
+    drift statistic over learned/quantile edges would confound edge drift
+    with distribution drift)."""
+    from ..functions.hashing import tokens_sql
+
+    toks = tokens_sql(dialect, "text")
+    size_f = "size" if dialect == "spark" else "len"
+    n = f"{size_f}({toks})"
+    conds = "".join(
+        f"WHEN {n} < {e} THEN {i} " for i, e in enumerate(PSI_BINS[1:])
+    )
+    return f"CASE {conds}ELSE {len(PSI_BINS) - 1} END"
+
+
+def source_drift_psi(docs: DataFrame, baseline_source: str = "src0") -> DataFrame:
+    """Population Stability Index of every source's token-count distribution
+    against `baseline_source`: (source, psi) — the drift monitor a corpus
+    pipeline runs per ingest snapshot (PSI > 0.2 conventionally flags a
+    shifted feed: truncation bugs, boilerplate floods, crawler changes).
+
+    psi = Σ_bins (p_b − q_b)·ln(p_b / q_b), both sides smoothed so empty
+    bins stay finite. Scale shape: ONE (source, bin) count aggregate over
+    the corpus (map-side combined, |sources|·|bins| rows out), the baseline
+    distribution re-joined broadcast, all arithmetic on the tiny counts
+    table. ROUND at the psi (6 dp) — the counts themselves are exact."""
+    b = F.expr(_tok_bin("spark"))
+    counts = (
+        docs.select("source", b.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    dist = counts.join(totals, "source").select(
+        "source", "bin", (F.col("n") / F.col("tot")).alias("p")
+    )
+    # densify: every (source, bin) pair, missing -> 0, then smooth
+    spark = docs.sparkSession
+    bins = spark.range(len(PSI_BINS)).select(F.col("id").cast("int").alias("bin"))
+    grid = totals.select("source").crossJoin(F.broadcast(bins))
+    dense = grid.join(dist, ["source", "bin"], "left").select(
+        "source", "bin", (F.coalesce("p", F.lit(0.0)) + PSI_SMOOTH).alias("p")
+    )
+    base = dense.where(F.col("source") == baseline_source).select(
+        "bin", F.col("p").alias("q")
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return (
+        dense.join(F.broadcast(base), "bin")
+        .groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+    )
+
+
+def source_drift_psi_oracle(baseline_source: str = "src0") -> str:
+    b = _tok_bin("duckdb")
+    nb = len(PSI_BINS)
+    return f"""
+        WITH counts AS (
+          SELECT source, {b} AS bin, count(*) AS n
+          FROM documents GROUP BY source, {b}),
+        totals AS (SELECT source, sum(n) AS tot FROM counts GROUP BY source),
+        grid AS (SELECT t.source, g.bin FROM totals t
+                 CROSS JOIN generate_series(0, {nb - 1}) g(bin)),
+        dense AS (
+          SELECT g.source, g.bin,
+                 COALESCE(c.n / t.tot, 0.0) + {PSI_SMOOTH} AS p
+          FROM grid g
+          JOIN totals t ON t.source = g.source
+          LEFT JOIN counts c ON c.source = g.source AND c.bin = g.bin),
+        base AS (SELECT bin, p AS q FROM dense WHERE source = '{baseline_source}')
+        SELECT d.source, ROUND(sum((d.p - b.q) * ln(d.p / b.q)), 6) AS psi
+        FROM dense d JOIN base b USING (bin)
+        GROUP BY d.source
+    """

@@ -2256,6 +2256,14 @@ def q_cms_token_counts(spark, sf_dir):
     return sk.cms_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register("source_drift_psi", pf.source_drift_psi_oracle())
+def q_source_drift_psi(spark, sf_dir):
+    """Population Stability Index of each source's token-count distribution
+    vs the baseline source — the per-snapshot drift monitor; one
+    (source, bin) count aggregate, baseline broadcast back."""
+    return pf.source_drift_psi(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_fixed_sample", cp.grouped_fixed_sample_oracle())
 def q_corpus_fixed_sample(spark, sf_dir):
     """Exactly-k-per-stratum deterministic sample (distributed reservoir
@@ -2452,6 +2460,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_fixed_sample",
     "column_correlations",
     "cms_token_counts",
+    "source_drift_psi",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",

@@ -168,10 +168,13 @@ def test_sessionize_single_shuffle(spark):
 
 
 def test_minhash_lsh_single_signature_pass(spark):
-    """The LSH bucket formulation computes signatures once: exactly one scan
-    of documents in the plan (a self-join shape would show two)."""
+    """The LSH bucket formulation computes signatures once. With the
+    published signature artifact (operators/models.py) the query plan
+    reads the checkpointed signature table — ZERO parquet scans; a
+    self-join shape would show two. Either way, never more than one."""
     p = plan(q(spark, "dedup_minhash_lsh"))
-    assert p.count("FileScan parquet") == 1, p
+    assert p.count("FileScan parquet") <= 1, p
+    assert "Scan ExistingRDD" in p or p.count("FileScan parquet") == 1, p
 
 
 def test_interval_range_join_has_no_nested_loop(spark):
