@@ -12,12 +12,13 @@ result doubles as the overcount report (the oracle replays the identical
 deterministic construction — portable md5 hashing, no RNG — making even
 the sketch itself value-checkable, which an opaque sketch blob is not).
 
-Scale shape: ONE (row, cell) shuffle bounded by depth×width keys per task
-(map-side combine compresses every task's token stream to ≤ depth×width
-partial counters — corpus-size-independent, the CMS merge property in
-plan form); the probe estimate is a broadcast join over depth·|probes|
-rows. The streaming analog merges per-batch sketches by summing the same
-(row, cell) keys.
+Scale shape: aggregate to the vocabulary first (map-side combined — tokens
+≪ occurrences), then hash each DISTINCT token depth× and sum into
+(row, cell) — md5 cost scales with |vocab|·depth, not corpus·depth, and
+the (row, cell) shuffle is bounded by depth×width keys per task (map-side
+combine IS the CMS merge property, in plan form); the probe estimate is a
+broadcast join over depth·|probes| rows. The streaming analog merges
+per-batch sketches by summing the same (row, cell) keys.
 """
 
 from __future__ import annotations
@@ -47,19 +48,26 @@ def cms_token_counts(docs: DataFrame) -> DataFrame:
     """(token, true_cnt, cms_est): exact vs sketch-estimated corpus
     frequency for the probe tokens, from a depth×width count-min sketch
     built over every token occurrence."""
-    toks = docs.select(
-        F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    # Aggregate to the VOCABULARY first (map-side combined — tokens ≪
+    # occurrences), then hash each distinct token once per row: the md5
+    # cost scales with |vocab|·depth, not corpus·depth, and the sketch sums
+    # are identical (Σ per-token counts = per-occurrence increments).
+    tok_counts = (
+        docs.select(F.explode(F.expr(tokens_sql("spark", "text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
     )
-    rows = toks.select(
+    rows = tok_counts.select(
         "token",
+        "cnt",
         F.explode(
             F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
         ).alias("d"),
     )
     sketch = (
-        rows.select("d", F.expr(_cell("spark", "d", "token")).alias("cell"))
+        rows.select("d", F.expr(_cell("spark", "d", "token")).alias("cell"), "cnt")
         .groupBy("d", "cell")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
     spark = docs.sparkSession
     probes = spark.createDataFrame(
@@ -72,10 +80,8 @@ def cms_token_counts(docs: DataFrame) -> DataFrame:
         .groupBy("token")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
     )
-    true = (
-        toks.where(F.col("token").isin(*CMS_PROBES))
-        .groupBy("token")
-        .agg(F.count("*").alias("true_cnt"))
+    true = tok_counts.where(F.col("token").isin(*CMS_PROBES)).select(
+        "token", F.col("cnt").alias("true_cnt")
     )
     return (
         est.join(true, "token", "left")
@@ -93,9 +99,10 @@ def cms_token_counts_oracle() -> str:
     probe_list = ", ".join(f"('{t}')" for t in CMS_PROBES)
     return f"""
         WITH toks AS (SELECT unnest({toks}) AS token FROM documents),
-        rows_ AS (SELECT token, g.d FROM toks
+        tok_counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        rows_ AS (SELECT token, cnt, g.d FROM tok_counts
                   CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(d)),
-        sketch AS (SELECT d, {cell} AS cell, count(*) AS cnt
+        sketch AS (SELECT d, {cell} AS cell, sum(cnt) AS cnt
                    FROM rows_ GROUP BY d, {cell}),
         probes AS (SELECT token, g.d, {cell} AS cell
                    FROM (VALUES {probe_list}) p(token)
@@ -104,8 +111,8 @@ def cms_token_counts_oracle() -> str:
                        CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
                 FROM probes p LEFT JOIN sketch s USING (d, cell)
                 GROUP BY p.token),
-        tru AS (SELECT token, count(*) AS true_cnt FROM toks
-                WHERE token IN (SELECT token FROM est) GROUP BY token)
+        tru AS (SELECT token, cnt AS true_cnt FROM tok_counts
+                WHERE token IN (SELECT token FROM est))
         SELECT e.token, CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt,
                e.cms_est
         FROM est e LEFT JOIN tru t USING (token)
