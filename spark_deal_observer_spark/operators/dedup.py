@@ -738,3 +738,57 @@ def canonical_pick_oracle(cc_sql: str) -> str:
                                     ORDER BY {q} DESC, d.doc_id) AS rn
           FROM documents d LEFT JOIN ({cc_sql}) cc USING (doc_id))
     """
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC near-dup relation over the LSH candidates: containment
+    c(A→B) = |A∩B| / |A| — catches "A is a subset/excerpt of B" (quoted
+    snippets, boilerplate-wrapped copies), which symmetric Jaccard dilutes
+    below threshold whenever |B| ≫ |A|. The dedup policy difference is
+    real: under containment the SHORTER doc is the duplicate, under
+    Jaccard neither may be.
+
+    Emits both directions per candidate pair that clear `threshold`:
+    (contained_doc, container_doc, containment). Same scale posture as the
+    Jaccard verify — |candidates| work over the published hashed-shingle
+    sets, never any block²."""
+    cands = minhash_lsh_pairs(docs)
+    with_sh = _hashed_shingle_sets(docs)
+    a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    joined = cands.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", inter.alias("i"),
+        F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+    )
+    ab = joined.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.round(F.col("i") / F.col("na"), 6).alias("containment"),
+    )
+    ba = joined.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.round(F.col("i") / F.col("nb"), 6).alias("containment"),
+    )
+    return ab.unionAll(ba).where(F.col("containment") >= threshold)
+
+
+def containment_pairs_oracle(threshold: float = 0.8) -> str:
+    sh = hashed_shingles_sql("duckdb", "text")
+    inter = "CAST(len(list_filter(a.sh, e -> list_contains(b.sh, e))) AS DOUBLE)"
+    return f"""
+        WITH cands AS ({minhash_lsh_pairs_oracle()}),
+        s AS (SELECT doc_id, {sh} AS sh FROM documents),
+        j AS (SELECT c.doc_a, c.doc_b, {inter} AS i,
+                     len(a.sh) AS na, len(b.sh) AS nb
+              FROM cands c
+              JOIN s a ON a.doc_id = c.doc_a
+              JOIN s b ON b.doc_id = c.doc_b),
+        both_ AS (
+          SELECT doc_a AS contained_doc, doc_b AS container_doc,
+                 ROUND(i / na, 6) AS containment FROM j
+          UNION ALL
+          SELECT doc_b, doc_a, ROUND(i / nb, 6) FROM j)
+        SELECT * FROM both_ WHERE containment >= {threshold}
+    """

@@ -205,3 +205,56 @@ def source_drift_psi_oracle(baseline_source: str = "src0") -> str:
         FROM dense d JOIN base b USING (bin)
         GROUP BY d.source
     """
+
+
+# -- winsorized robust statistics -------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_stats(lineitem: DataFrame, col: str = "l_extendedprice") -> DataFrame:
+    """Robust mean/stddev of a numeric column after winsorizing at the
+    [5th, 95th] exact percentiles — the outlier-resistant summary that
+    drives clipping thresholds in feature pipelines. One row:
+    (p_lo, p_hi, mean_raw, mean_winsor, std_raw, std_winsor).
+
+    Scale shape: the percentile bounds are ONE exact-percentile aggregate
+    (sort-based partial state, never a collect) broadcast back as a 1-row
+    cross join; the clip is a scan-stage least/greatest; both moment sets
+    ride a single two-phase aggregate. At 100 TB the exact percentile
+    swaps for a t-digest sketch, as with curriculum binning."""
+    c = F.col(col)
+    bounds = lineitem.agg(
+        F.expr(f"percentile({col}, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile({col}, {WINSOR_HI})").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(c, F.col("p_lo")), F.col("p_hi"))
+    return (
+        lineitem.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.round(F.first("p_lo"), 6).alias("p_lo"),
+            F.round(F.first("p_hi"), 6).alias("p_hi"),
+            F.round(F.avg(c), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsor"),
+            F.round(F.stddev_pop(c), 6).alias("std_raw"),
+            F.round(F.stddev_pop(clipped), 6).alias("std_winsor"),
+        )
+    )
+
+
+def winsorized_stats_oracle(col: str = "l_extendedprice") -> str:
+    clip = f"least(greatest({col}, b.p_lo), b.p_hi)"
+    return f"""
+        WITH b AS (
+          SELECT quantile_cont({col}, {WINSOR_LO}) AS p_lo,
+                 quantile_cont({col}, {WINSOR_HI}) AS p_hi
+          FROM lineitem)
+        SELECT ROUND(first(b.p_lo), 6) AS p_lo,
+               ROUND(first(b.p_hi), 6) AS p_hi,
+               ROUND(avg({col}), 6) AS mean_raw,
+               ROUND(avg({clip}), 6) AS mean_winsor,
+               ROUND(stddev_pop({col}), 6) AS std_raw,
+               ROUND(stddev_pop({clip}), 6) AS std_winsor
+        FROM lineitem CROSS JOIN b
+    """

@@ -2256,6 +2256,57 @@ def q_cms_token_counts(spark, sf_dir):
     return sk.cms_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_containment", dd.containment_pairs_oracle())
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| over the LSH candidates — catches
+    excerpt/boilerplate-wrapped duplicates that symmetric Jaccard dilutes;
+    the shorter side is the duplicate. Published shingle sets, both
+    directions emitted per qualifying pair."""
+    return dd.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("winsorized_stats", pf.winsorized_stats_oracle())
+def q_winsorized_stats(spark, sf_dir):
+    """Robust mean/stddev after winsorizing at the exact [5th, 95th]
+    percentiles — percentile bounds broadcast from one aggregate, clip in
+    the scan stage, both moment sets in a single two-phase aggregate."""
+    return pf.winsorized_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_total,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def q_running_totals(spark, sf_dir):
+    """Per-customer cumulative revenue (the explicit running-window family:
+    lead/lag/cumsum): one shuffle on the partition key, an in-partition
+    ordered frame — never a global sort. Deterministic frame order via the
+    (date, orderkey) tiebreak; ROUND for summation parity."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+        F.row_number().over(ws).cast("int").alias("order_seq"),
+    )
+
+
 @register("source_drift_psi", pf.source_drift_psi_oracle())
 def q_source_drift_psi(spark, sf_dir):
     """Population Stability Index of each source's token-count distribution
@@ -2461,6 +2512,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "column_correlations",
     "cms_token_counts",
     "source_drift_psi",
+    "dedup_containment",
+    "winsorized_stats",
+    "running_totals",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
