@@ -73,3 +73,134 @@ def sessionize_oracle(gap_seconds: int = DEFAULT_GAP_SECONDS) -> str:
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_n
     """
+
+
+# -- funnel analysis ---------------------------------------------------------
+
+FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> DataFrame:
+    """Ordered funnel over the event stream: (step_n, step, n_users) —
+    users whose EARLIEST qualifying step-i event falls after their step-
+    (i−1) event and within `window_hours` of it. The product-analytics
+    staple (view → click → purchase), expressed as a ladder of
+    min-timestamp joins.
+
+    Scale shape: each rung is one filtered (user_id) aggregate (map-side
+    combined min) plus an equi-join on user_id against the previous rung's
+    per-user row — per-user state never exceeds one timestamp per rung, no
+    window over the raw stream, no event-level self-join. Interval math is
+    wall-clock NTZ, same discipline as sessionize."""
+    prev = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col("event_type") == step).select("user_id", "ts")
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                .where(
+                    (F.col("ts") > F.col("t_prev"))
+                    & F.expr(f"ts <= t_prev + INTERVAL {window_hours} HOUR")
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            cur.agg(
+                F.lit(i + 1).alias("step_n"),
+                F.lit(step).alias("step"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def funnel_conversion_oracle(
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> str:
+    parts = [
+        f"""s0 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        parts.append(
+            f"""s{i} AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s{i - 1} p USING (user_id)
+              WHERE e.event_type = '{step}' AND e.ts > p.t
+                AND e.ts <= p.t + INTERVAL {window_hours} HOUR
+              GROUP BY e.user_id)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_n, '{s}' AS step, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(parts)} {selects}"
+
+
+# -- cohort retention --------------------------------------------------------
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_users): users grouped by the day of
+    their first event; how many were active again `day_offset` days later
+    — the retention triangle every growth/engagement report is built on.
+
+    Scale shape: first-touch is one (user_id) min-aggregate; daily
+    activity is a distinct over (user_id, day) — both map-side combined;
+    the join is user-keyed; the final count groups ~cohorts×days rows.
+    Day truncation is `trunc_ntz` (pure NTZ arithmetic — Spark's
+    date_trunc would coerce through the session timezone and shift
+    buckets off-UTC; the TZ probe catches exactly this class)."""
+    from ..functions.epoch import trunc_ntz
+
+    first = events.groupBy("user_id").agg(
+        trunc_ntz("day", F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", trunc_ntz("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.timestamp_diff("DAY", F.col("cohort_day"), F.col("day"))
+            .cast("int")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+def cohort_retention_oracle() -> str:
+    return """
+        WITH first_t AS (
+          SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                   AS cohort_day
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+          FROM events)
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN first_t f USING (user_id)
+        GROUP BY f.cohort_day, day_offset
+    """

@@ -2307,6 +2307,30 @@ def q_running_totals(spark, sf_dir):
     )
 
 
+from ..operators.sessions import (  # noqa: E402
+    cohort_retention,
+    cohort_retention_oracle,
+    funnel_conversion,
+    funnel_conversion_oracle,
+)
+
+
+@register("funnel_conversion", funnel_conversion_oracle())
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered view→click→purchase funnel within 24h windows: a ladder of
+    per-user min-timestamp aggregates + user-keyed joins — per-user state
+    is one timestamp per rung, never an event-level self-join."""
+    return funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+@register("cohort_retention", cohort_retention_oracle())
+def q_cohort_retention(spark, sf_dir):
+    """Retention triangle: users by first-activity day × active-again day
+    offset; first-touch min-aggregate + distinct daily activity, both
+    map-side combined; day buckets via TZ-independent trunc_ntz."""
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 @register("source_drift_psi", pf.source_drift_psi_oracle())
 def q_source_drift_psi(spark, sf_dir):
     """Population Stability Index of each source's token-count distribution
@@ -2515,6 +2539,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_containment",
     "winsorized_stats",
     "running_totals",
+    "funnel_conversion",
+    "cohort_retention",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
