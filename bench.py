@@ -67,6 +67,9 @@ HEADLINE = [
     "corpus_e2e_pipeline",
     "cms_token_counts",
     "source_drift_psi",
+    # r3: event analytics
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

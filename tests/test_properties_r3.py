@@ -280,3 +280,32 @@ def test_grouped_fixed_sample_is_prefix_stable(spark):
     strata = Counter(r.lang for r in docs.collect())
     for lang, n in strata.items():
         assert sizes[lang] == min(5, n)
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark):
+    """Each funnel rung can only lose users (step i requires step i−1
+    first), and no count exceeds the distinct-user total."""
+    from spark_deal_observer_spark.operators.sessions import funnel_conversion
+    from spark_deal_observer_spark.sources.tables import load_table
+    from conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = {r.step_n: r.n_users for r in funnel_conversion(ev).collect()}
+    assert list(rows) == [1, 2, 3]
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+    assert rows[1] <= ev.select("user_id").distinct().count()
+
+
+def test_cohort_offset_zero_covers_every_user(spark):
+    """Every user is active on their own first day, so the day_offset=0
+    diagonal sums to the distinct-user count, and offsets are never
+    negative."""
+    from spark_deal_observer_spark.operators.sessions import cohort_retention
+    from spark_deal_observer_spark.sources.tables import load_table
+    from conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = cohort_retention(ev).collect()
+    assert all(r.day_offset >= 0 for r in rows)
+    day0 = sum(r.n_users for r in rows if r.day_offset == 0)
+    assert day0 == ev.select("user_id").distinct().count()
