@@ -152,58 +152,57 @@ def source_drift_psi(docs: DataFrame, baseline_source: str = "src0") -> DataFram
     shifted feed: truncation bugs, boilerplate floods, crawler changes).
 
     psi = Σ_bins (p_b − q_b)·ln(p_b / q_b), both sides smoothed so empty
-    bins stay finite. Scale shape: ONE (source, bin) count aggregate over
-    the corpus (map-side combined, |sources|·|bins| rows out), the baseline
-    distribution re-joined broadcast, all arithmetic on the tiny counts
-    table. ROUND at the psi (6 dp) — the counts themselves are exact."""
+    bins stay finite. Scale shape: TWO exchanges total — one (source)
+    aggregate whose conditional sums produce the DENSE per-source bin
+    distribution directly (map-side combined; empty bins are zero rows of
+    the sum, no grid join to densify), and the baseline's one-row
+    distribution broadcast back; the per-source psi is a |bins|-element
+    in-row fold. ROUND at the psi (6 dp) — the counts themselves are
+    exact."""
+    nb = len(PSI_BINS)
     b = F.expr(_tok_bin("spark"))
-    counts = (
-        docs.select("source", b.alias("bin"))
-        .groupBy("source", "bin")
-        .agg(F.count("*").alias("n"))
+    binned = docs.select("source", b.alias("bin"))
+    dist = binned.groupBy("source").agg(
+        F.count("*").alias("tot"),
+        *[
+            F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(nb)
+        ],
+    ).select(
+        "source",
+        F.array(
+            *[
+                (F.col(f"c{i}") / F.col("tot") + PSI_SMOOTH)
+                for i in range(nb)
+            ]
+        ).alias("p"),
     )
-    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
-    dist = counts.join(totals, "source").select(
-        "source", "bin", (F.col("n") / F.col("tot")).alias("p")
+    base = dist.where(F.col("source") == baseline_source).select(
+        F.col("p").alias("q")
     )
-    # densify: every (source, bin) pair, missing -> 0, then smooth
-    spark = docs.sparkSession
-    bins = spark.range(len(PSI_BINS)).select(F.col("id").cast("int").alias("bin"))
-    grid = totals.select("source").crossJoin(F.broadcast(bins))
-    dense = grid.join(dist, ["source", "bin"], "left").select(
-        "source", "bin", (F.coalesce("p", F.lit(0.0)) + PSI_SMOOTH).alias("p")
+    fold = F.expr(
+        "ROUND(aggregate(zip_with(p, q, (pv, qv) -> (pv - qv) * ln(pv / qv)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
     )
-    base = dense.where(F.col("source") == baseline_source).select(
-        "bin", F.col("p").alias("q")
-    )
-    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
-    return (
-        dense.join(F.broadcast(base), "bin")
-        .groupBy("source")
-        .agg(F.round(F.sum(term), 6).alias("psi"))
-    )
+    return dist.crossJoin(F.broadcast(base)).select("source", fold.alias("psi"))
 
 
 def source_drift_psi_oracle(baseline_source: str = "src0") -> str:
     b = _tok_bin("duckdb")
     nb = len(PSI_BINS)
+    comps = ", ".join(
+        f"(CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / count(*) + {PSI_SMOOTH})"
+        for i in range(nb)
+    )
     return f"""
-        WITH counts AS (
-          SELECT source, {b} AS bin, count(*) AS n
-          FROM documents GROUP BY source, {b}),
-        totals AS (SELECT source, sum(n) AS tot FROM counts GROUP BY source),
-        grid AS (SELECT t.source, g.bin FROM totals t
-                 CROSS JOIN generate_series(0, {nb - 1}) g(bin)),
-        dense AS (
-          SELECT g.source, g.bin,
-                 COALESCE(c.n / t.tot, 0.0) + {PSI_SMOOTH} AS p
-          FROM grid g
-          JOIN totals t ON t.source = g.source
-          LEFT JOIN counts c ON c.source = g.source AND c.bin = g.bin),
-        base AS (SELECT bin, p AS q FROM dense WHERE source = '{baseline_source}')
-        SELECT d.source, ROUND(sum((d.p - b.q) * ln(d.p / b.q)), 6) AS psi
-        FROM dense d JOIN base b USING (bin)
-        GROUP BY d.source
+        WITH binned AS (SELECT source, {b} AS bin FROM documents),
+        dist AS (SELECT source, [{comps}] AS p FROM binned GROUP BY source),
+        base AS (SELECT p AS q FROM dist WHERE source = '{baseline_source}')
+        SELECT d.source,
+               ROUND(list_sum(list_transform(generate_series(1, {nb}),
+                     j -> (d.p[j] - b.q[j]) * ln(d.p[j] / b.q[j]))), 6) AS psi
+        FROM dist d CROSS JOIN base b
     """
 
 
