@@ -257,3 +257,72 @@ def winsorized_stats_oracle(col: str = "l_extendedprice") -> str:
                ROUND(stddev_pop({clip}), 6) AS std_winsor
         FROM lineitem CROSS JOIN b
     """
+
+
+# -- declarative constraint validation --------------------------------------
+
+
+def constraint_violations(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(check_name, n_violations): the data-contract check a pipeline runs
+    on every snapshot — NOT-NULL and range constraints as scan-stage
+    filtered counts sharing ONE pass over orders, plus referential
+    integrity (every o_custkey resolves in customer) as a broadcast
+    anti-join count. A violation count of zero per row is the contract;
+    the row stays in the report so silence is distinguishable from a
+    missing check."""
+    checks = {
+        "o_orderkey_not_null": F.col("o_orderkey").isNull(),
+        "o_totalprice_positive": ~(F.col("o_totalprice") > 0),
+        "o_orderstatus_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderdate_in_range": ~F.col("o_orderdate").between(
+            "1990-01-01", "2100-01-01"
+        ),
+    }
+    scan = orders.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in checks.items()
+        ]
+    )
+    stack = ", ".join(f"'{n}', {n}" for n in checks)
+    per_col = scan.select(
+        F.expr(f"stack({len(checks)}, {stack}) AS (check_name, n_violations)")
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("o_custkey_references_customer").alias("check_name"), "n_violations")
+    )
+    return per_col.unionAll(orphans)
+
+
+def constraint_violations_oracle() -> str:
+    return """
+        SELECT 'o_orderkey_not_null' AS check_name,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_positive',
+               CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus_in_domain',
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+                    AS BIGINT)
+          FROM orders
+        UNION ALL
+        SELECT 'o_orderdate_in_range',
+               CAST(sum(CASE WHEN o_orderdate NOT BETWEEN TIMESTAMP '1990-01-01'
+                                  AND TIMESTAMP '2100-01-01' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+          FROM orders
+        UNION ALL
+        SELECT 'o_custkey_references_customer',
+               CAST(count(*) AS BIGINT)
+          FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """

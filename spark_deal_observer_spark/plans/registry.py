@@ -2315,6 +2315,40 @@ from ..operators.sessions import (  # noqa: E402
 )
 
 
+@register("constraint_violations", pf.constraint_violations_oracle())
+def q_constraint_violations(spark, sf_dir):
+    """Data-contract validation: NOT-NULL / range / domain checks as
+    filtered counts sharing one scan of orders, plus referential integrity
+    (o_custkey resolves in customer) as a broadcast anti-join count — the
+    per-snapshot quality gate of a production pipeline."""
+    return pf.constraint_violations(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "percentile_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+             AS price_pct_rank
+    FROM orders
+    """,
+)
+def q_percentile_rank_orders(spark, sf_dir):
+    """Per-customer percentile rank of each order's price: the rank-based
+    window family (percent_rank) — one shuffle on the partition key, an
+    in-partition sort, never a global order. Deterministic via the
+    orderkey tiebreak; ROUND for the (n-1) division parity."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
 @register("funnel_conversion", funnel_conversion_oracle())
 def q_funnel_conversion(spark, sf_dir):
     """Ordered view→click→purchase funnel within 24h windows: a ladder of
@@ -2541,6 +2575,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "running_totals",
     "funnel_conversion",
     "cohort_retention",
+    "constraint_violations",
+    "percentile_rank_orders",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
