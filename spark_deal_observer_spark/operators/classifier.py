@@ -304,3 +304,59 @@ def classifier_scores_oracle() -> str:
                f.y AS label
         FROM feats f CROSS JOIN w{N_ITER} w
     """
+
+
+def classifier_eval(docs: DataFrame) -> DataFrame:
+    """One-row eval report of the trained model on its training set:
+    (n, accuracy, precision, recall, f1) — the confusion-matrix summary
+    every model publish step logs next to the weights.
+
+    One pass over the scored output (itself one pass over the checkpointed
+    feature table): the four confusion cells are filtered counts sharing a
+    single aggregate; the metrics are driver-free arithmetic on that row.
+    ROUND(6) for cross-engine division parity. Precision/recall guard the
+    zero-denominator case with NULL (honest: undefined, not 0)."""
+    scored = classifier_scores(docs)
+    cells = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("predicted") & (F.col("label") == 1.0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("predicted") & (F.col("label") == 0.0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("predicted") & (F.col("label") == 1.0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("predicted") & (F.col("label") == 0.0), 1).otherwise(0)).alias("tn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def classifier_eval_oracle() -> str:
+    prec = "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END"
+    rec = "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END"
+    return f"""
+        WITH scored AS ({classifier_scores_oracle()}),
+        cells AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN predicted AND label = 1.0 THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN predicted AND label = 0.0 THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN NOT predicted AND label = 1.0 THEN 1 ELSE 0 END) AS fn,
+                 sum(CASE WHEN NOT predicted AND label = 0.0 THEN 1 ELSE 0 END) AS tn
+          FROM scored)
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+               ROUND({prec}, 6) AS precision,
+               ROUND({rec}, 6) AS recall,
+               ROUND(CASE WHEN ({prec}) IS NOT NULL AND ({rec}) IS NOT NULL
+                           AND ({prec}) + ({rec}) > 0
+                     THEN 2 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END, 6) AS f1
+        FROM cells
+    """

@@ -2315,6 +2315,15 @@ from ..operators.sessions import (  # noqa: E402
 )
 
 
+@register("classifier_eval", clf.classifier_eval_oracle())
+def q_classifier_eval(spark, sf_dir):
+    """Confusion-matrix eval of the trained quality classifier on its
+    training set (n, accuracy, precision, recall, f1) — the report a model
+    publish step logs next to the weights; one filtered-count aggregate
+    over the scored output, published model reused."""
+    return clf.classifier_eval(_t(spark, sf_dir, "documents"))
+
+
 @register("constraint_violations", pf.constraint_violations_oracle())
 def q_constraint_violations(spark, sf_dir):
     """Data-contract validation: NOT-NULL / range / domain checks as
@@ -2577,6 +2586,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cohort_retention",
     "constraint_violations",
     "percentile_rank_orders",
+    "classifier_eval",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",

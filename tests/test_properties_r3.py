@@ -309,3 +309,39 @@ def test_cohort_offset_zero_covers_every_user(spark):
     assert all(r.day_offset >= 0 for r in rows)
     day0 = sum(r.n_users for r in rows if r.day_offset == 0)
     assert day0 == ev.select("user_id").distinct().count()
+
+
+def test_psi_of_baseline_against_itself_is_zero(spark):
+    """PSI(q ‖ q) = 0 exactly: every term is (p−p)·ln(p/p). The baseline
+    source's own row in the drift report must be 0.0."""
+    from spark_deal_observer_spark.operators.profile import source_drift_psi
+    from spark_deal_observer_spark.sources.tables import load_table
+    from conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = {r.source: r.psi for r in source_drift_psi(docs).collect()}
+    assert rows["src0"] == 0.0
+    assert all(v >= 0.0 for v in rows.values())  # PSI is nonnegative
+
+
+def test_classifier_eval_consistent_with_scores(spark):
+    """The eval report's cells must recompute exactly from the scored rows."""
+    from spark_deal_observer_spark.operators.classifier import (
+        classifier_eval,
+        classifier_scores,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+    from conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ev = classifier_eval(docs).collect()[0]
+    rows = classifier_scores(docs).collect()
+    n = len(rows)
+    tp = sum(1 for r in rows if r.predicted and r.label == 1.0)
+    fp = sum(1 for r in rows if r.predicted and r.label == 0.0)
+    fn = sum(1 for r in rows if not r.predicted and r.label == 1.0)
+    tn = sum(1 for r in rows if not r.predicted and r.label == 0.0)
+    assert ev.n == n == tp + fp + fn + tn
+    assert ev.accuracy == round((tp + tn) / n, 6)
+    assert ev.precision == round(tp / (tp + fp), 6)
+    assert ev.recall == round(tp / (tp + fn), 6)
