@@ -293,3 +293,31 @@ def test_artifact_store_is_lru_bounded(spark):
     assert sorted(r.cell for r in again.collect()) == sorted(
         r.cell for r in first.collect()
     )
+
+
+def test_drift_monitor_flags_shifted_batches_only(spark, tmp_path):
+    """A batch drawn from the baseline corpus scores ≈0 PSI; a batch whose
+    texts are truncated (token-count distribution shifted hard left)
+    scores much higher; replay is idempotent; baseline is published once."""
+    import pyspark.sql.functions as F
+
+    from spark_deal_observer_spark.streaming.drift import DriftMonitorSink
+
+    docs = _docs(spark)
+    sink = DriftMonitorSink(spark, docs, str(tmp_path / "drift"))
+    sink2 = DriftMonitorSink(spark, docs, str(tmp_path / "drift2"))
+    assert sink.baseline is sink2.baseline  # published artifact
+
+    ok_batch = docs.where("doc_id < 250")
+    shifted = docs.withColumn(
+        "text", F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
+    )
+    sink.process_batch(ok_batch, 0)
+    sink.process_batch(shifted, 1)
+    rep = {r.batch_id: r for r in sink.read_report().collect()}
+    assert rep[0].psi < 0.05, rep[0]
+    assert rep[1].psi > 0.5, rep[1]
+    assert rep[0].n_docs == 250 and rep[1].n_docs == 500
+
+    sink.process_batch(ok_batch, 0)  # replay
+    assert sink.read_report().count() == 2
