@@ -624,9 +624,12 @@ def difficulty_bins(docs: DataFrame) -> DataFrame:
     it would be checked against."""
     q = quality_sql("spark", "text")
     scored = docs.select("doc_id", F.expr(q["quality_score"]).alias("score"))
+    qlist = ", ".join(str(p) for p in BIN_QUANTILES)
+    # one array-argument percentile buffer, not one per quantile — the
+    # exact percentile's cost IS its value buffer (see winsorized_stats)
     thresholds = scored.agg(
-        *[F.percentile("score", p).alias(f"t{i}") for i, p in enumerate(BIN_QUANTILES)]
-    )
+        F.expr(f"percentile(score, array({qlist}))").alias("ts")
+    ).select(*[F.col("ts")[i].alias(f"t{i}") for i in range(len(BIN_QUANTILES))])
     b = (
         F.lit(1)
         + F.when(F.col("score") > F.col("t0"), 1).otherwise(0)

@@ -1271,10 +1271,19 @@ def q_quantiles_by_flag(spark, sf_dir):
     swap in approx_percentile (t-digest sketch, fixed state) — this is the
     exact baseline it's checked against."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    # one array-argument buffer per group, not three scalar ones — the
+    # exact percentile's cost IS its value buffer (see winsorized_stats)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
     )
 
 
