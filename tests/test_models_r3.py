@@ -321,3 +321,40 @@ def test_drift_monitor_flags_shifted_batches_only(spark, tmp_path):
 
     sink.process_batch(ok_batch, 0)  # replay
     assert sink.read_report().count() == 2
+
+
+def test_drift_monitor_wiring_end_to_end(spark, tmp_path):
+    """DriftMonitorSink through a real Structured Streaming query:
+    checkpointed restart monitors only new arrivals; the shifted arrival
+    is the one that alarms."""
+    import pyspark.sql.functions as F
+
+    from spark_deal_observer_spark.streaming.drift import DriftMonitorSink
+
+    docs = _docs(spark)
+    sink = DriftMonitorSink(spark, docs, str(tmp_path / "drift"))
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    docs.where("doc_id < 200").coalesce(1).write.parquet(str(src / "a1"))
+    run()
+    shifted = docs.withColumn(
+        "text", F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
+    )
+    shifted.coalesce(1).write.parquet(str(src / "a2"))
+    run()  # restart from checkpoint → only a2 is monitored
+    rep = sorted(sink.read_report().collect(), key=lambda r: r.batch_id)
+    assert len(rep) == 2
+    assert rep[0].psi < 0.05 < rep[1].psi
