@@ -2324,6 +2324,56 @@ from ..operators.sessions import (  # noqa: E402
 )
 
 
+@register(
+    "ann_recall_report",
+    f"""
+    WITH bf AS (SELECT vec_id FROM ({sim.brute_force_topk_oracle()}) t),
+    ivf AS (SELECT vec_id FROM ({sim.ivf_kmeans_topk_oracle()}) t),
+    lsh AS (SELECT vec_id FROM ({sim.lsh_multiprobe_topk_oracle()}) t),
+    pqm AS (SELECT vec_id FROM ({pq.pq_adc_topk_oracle()}) t)
+    SELECT 'ivf_kmeans' AS method,
+           ROUND(CAST((SELECT count(*) FROM ivf JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+             AS recall
+    UNION ALL
+    SELECT 'lsh_multiprobe',
+           ROUND(CAST((SELECT count(*) FROM lsh JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+    UNION ALL
+    SELECT 'pq_adc',
+           ROUND(CAST((SELECT count(*) FROM pqm JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+    """,
+)
+def q_ann_recall_report(spark, sf_dir):
+    """(method, recall): recall@10 of every ANN tier against the exact
+    brute-force cosine ground truth for the standard probe vector — the
+    eval report a vector-search deployment runs before trusting an index.
+    Each method's top-k is a bounded list, so the report is three tiny
+    joins; the trained quantizer/codebook artifacts are reused, not
+    retrained (PQ's L2-metric recall against a cosine ground truth is the
+    honest mixed-metric number, reported as-is)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 10
+    bf = sim.brute_force_topk(emb, 0, k).select("vec_id")
+    methods = [
+        ("ivf_kmeans", sim.ivf_kmeans_topk(emb, 0, k)),
+        ("lsh_multiprobe", sim.lsh_multiprobe_topk(emb, 0, k)),
+        ("pq_adc", pq.pq_adc_topk(emb, 0, k)),
+    ]
+    parts = []
+    for name, df in methods:
+        parts.append(
+            df.select("vec_id")
+            .join(bf, "vec_id")
+            .agg(
+                F.lit(name).alias("method"),
+                F.round(F.count("*") / k, 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 @register("classifier_eval", clf.classifier_eval_oracle())
 def q_classifier_eval(spark, sf_dir):
     """Confusion-matrix eval of the trained quality classifier on its
@@ -2596,6 +2646,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "constraint_violations",
     "percentile_rank_orders",
     "classifier_eval",
+    "ann_recall_report",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
