@@ -742,3 +742,109 @@ def random_projection_oracle(out_dim: int = RP_DIM) -> str:
                        / {scale!r}, 6)) AS proj
         FROM embeddings e CROSS JOIN rmat r
     """
+
+
+# -- contrastive negative sampling ------------------------------------------
+
+NEG_BUCKETS = 50  # candidate-pool buckets (bounds the per-anchor join)
+NEG_K = 3  # negatives per anchor
+
+
+def contrastive_negatives(
+    emb: DataFrame,
+    k: int = NEG_K,
+    n_buckets: int = NEG_BUCKETS,
+    n_cells: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """(anchor_id, neg_id, rank): k deterministic negative examples per
+    anchor for contrastive/embedding training — candidates drawn from a
+    hash bucket of the corpus, excluding the anchor itself and everything
+    in the anchor's TRAINED quantizer cell (same-cell vectors are likely
+    semantic positives; the published kmeans artifact supplies the cells,
+    not a retrain).
+
+    Scale shape: the candidate pool for an anchor is ONE bucket of
+    ~n/n_buckets vectors (an equi-join on the bucket id — never
+    anchor × corpus), the per-anchor ranking hash is a scan-stage
+    expression, and the top-k is a bounded window inside the
+    (anchor-bucket) join output. Both the bucket assignment and the
+    ranking come from the portable hash, so resampling is reproducible
+    and the oracle replays it exactly."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import hash32_sql
+
+    cents, _ = _kmeans_fit(emb, n_cells, n_iter)
+    # FINAL assignment against the trained centroids (the a{n_iter} pass of
+    # the oracle ladder), not the in-training last-round assignment.
+    cells = _kmeans_assign(emb.select("vec_id", "embedding"), cents).select(
+        "vec_id", "cell"
+    )
+    h_bucket = F.expr(
+        f"{hash32_sql('CAST(vec_id AS STRING)', 'spark')} % {n_buckets}"
+    )
+    pool = cells.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("cell").alias("neg_cell"),
+        h_bucket.cast("int").alias("bucket"),
+    )
+    anchors = cells.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("cell").alias("anchor_cell"),
+        F.expr(
+            f"CAST({hash32_sql('CAST(vec_id AS STRING)', 'spark')} % {n_buckets} AS INT)"
+        ).alias("bucket"),
+    )
+    rank_h = F.expr(
+        hash32_sql(
+            "concat(CAST(anchor_id AS STRING), '|', CAST(neg_id AS STRING))", "spark"
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("rh", "neg_id")
+    return (
+        anchors.join(pool, "bucket")
+        .where(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_cell") != F.col("anchor_cell"))
+        )
+        .select("anchor_id", "neg_id", rank_h.alias("rh"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank")
+    )
+
+
+def contrastive_negatives_oracle(
+    k: int = NEG_K,
+    n_buckets: int = NEG_BUCKETS,
+    n_cells: int = 8,
+    n_iter: int = 2,
+) -> str:
+    from ..functions.hashing import hash32_sql
+
+    joined = ",\n        ".join(
+        _kmeans_ctes(n_cells, n_iter, with_final_assign=True)
+    )
+    hb = lambda col: (
+        f"CAST({hash32_sql(f'CAST({col} AS VARCHAR)', 'duckdb')} % {n_buckets} AS INT)"
+    )
+    rh = hash32_sql(
+        "concat(CAST(anchor_id AS VARCHAR), '|', CAST(neg_id AS VARCHAR))", "duckdb"
+    )
+    return f"""
+        WITH {joined},
+        cells AS (SELECT vec_id, cell FROM a{n_iter}),
+        pool AS (SELECT vec_id AS neg_id, cell AS neg_cell,
+                        {hb('vec_id')} AS bucket FROM cells),
+        anchors AS (SELECT vec_id AS anchor_id, cell AS anchor_cell,
+                           {hb('vec_id')} AS bucket FROM cells),
+        ranked AS (
+          SELECT anchor_id, neg_id,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY {rh}, neg_id) AS rank
+          FROM anchors JOIN pool USING (bucket)
+          WHERE neg_id != anchor_id AND neg_cell != anchor_cell)
+        SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -2374,6 +2374,15 @@ def q_ann_recall_report(spark, sf_dir):
     return out
 
 
+@register("contrastive_negatives", sim.contrastive_negatives_oracle())
+def q_contrastive_negatives(spark, sf_dir):
+    """Training-pair construction for contrastive/embedding learning: k
+    deterministic negatives per anchor from a bounded hash bucket,
+    excluding the anchor's trained-quantizer cell (likely positives).
+    Published kmeans artifact supplies the cells; never anchor × corpus."""
+    return sim.contrastive_negatives(_t(spark, sf_dir, "embeddings"))
+
+
 @register("classifier_eval", clf.classifier_eval_oracle())
 def q_classifier_eval(spark, sf_dir):
     """Confusion-matrix eval of the trained quality classifier on its
@@ -2647,6 +2656,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "percentile_rank_orders",
     "classifier_eval",
     "ann_recall_report",
+    "contrastive_negatives",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
