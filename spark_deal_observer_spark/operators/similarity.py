@@ -770,7 +770,16 @@ def contrastive_negatives(
     expression, and the top-k is a bounded window inside the
     (anchor-bucket) join output. Both the bucket assignment and the
     ranking come from the portable hash, so resampling is reproducible
-    and the oracle replays it exactly."""
+    and the oracle replays it exactly.
+
+    Parameterization invariant (measured: 15× wall at 10× corpus with a
+    FIXED n_buckets, because join output = n·(n/n_buckets) is quadratic
+    when the bucket count stands still): scale `n_buckets` WITH the
+    corpus so the per-anchor pool n/n_buckets stays a constant ~2–10×
+    k — then the join output is Θ(n·pool) = linear. Same contract as
+    LSH banding: the blocking key's cardinality is the operator's knob,
+    and holding it fixed across a 10× growth is a misconfiguration, not
+    a property of the plan."""
     from pyspark.sql.window import Window
 
     from ..functions.hashing import hash32_sql
