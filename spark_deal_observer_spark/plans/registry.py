@@ -2539,9 +2539,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_embedding",
     "dedup_semantic",        # SemDeDup: trained-quantizer clustering + rep cosine
     # training-data pipeline: similarity search
-    "ann_brute_force",
+    "ann_recall_report",     # brute force + trained IVF + multiprobe LSH + PQ, one slot
     "ann_ivf_centroid",
-    "ann_lsh_multiprobe",
+    "funnel_conversion",     # event-analytics family representative
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
     "ann_pq_adc",            # product-quantized ADC search (codes-only scan)
@@ -2650,13 +2650,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_containment",
     "winsorized_stats",
     "running_totals",
-    "funnel_conversion",
     "cohort_retention",
     "constraint_violations",
     "percentile_rank_orders",
     "classifier_eval",
-    "ann_recall_report",
     "contrastive_negatives",
+    "ann_brute_force",       # single-op forms inside ann_recall_report
+    "ann_lsh_multiprobe",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
     "approx_distinct_users",
     "approx_quantiles_by_type",
