@@ -283,14 +283,25 @@ def hashed_doc_embeddings(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     dims = toks.select(
         "doc_id", F.expr(f"{hash32_sql('token', 'spark')} % {dim}").alias("d")
     )
-    sums = dims.groupBy("doc_id").agg(
+    # Two-level aggregate so the L2 norm is a PLAIN aggregate, never an
+    # unrolled dim²-term expression: the unrolled form puts dim² multiply
+    # terms (plus a sqrt tree per component) into one generated Java class,
+    # which OOMs janino on a default-heap driver. sum(cnt*cnt) over INTEGER
+    # bucket counts is exactly associative, so the arbitrary row order of
+    # the aggregate lands on the identical double as the oracle's ordered
+    # c0²+c1²+… chain (integer-valued doubles add exactly below 2^53).
+    cnts = dims.groupBy("doc_id", "d").agg(F.count("*").alias("cnt"))
+    sums = cnts.groupBy("doc_id").agg(
         *[
-            F.sum(F.when(F.col("d") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+            F.sum(F.when(F.col("d") == i, F.col("cnt")).otherwise(0))
+            .cast("double")
+            .alias(f"c{i}")
             for i in range(dim)
-        ]
+        ],
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm"),
     )
-    nrm = F.sqrt(sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(dim)))
-    vec = F.array(*[F.round(F.col(f"c{i}") / nrm, 6) for i in range(dim)])
+    arr = F.array(*[F.col(f"c{i}") for i in range(dim)])
+    vec = F.transform(arr, lambda x: F.round(x / F.col("nrm"), 6))
     return sums.select("doc_id", vec.alias("embedding"))
 
 

@@ -716,16 +716,47 @@ def random_projection(emb: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
     partial sums; ROUND(…, 6) is belt-and-braces). A lambda-based variant
     (broadcast matrix + nested higher-order functions) computed the same
     values ~4× slower: Spark interprets HOF lambdas per element, while the
-    unrolled form stays in generated code."""
+    unrolled form stays in generated code.
+
+    Codegen-size discipline: the ±1 multiplies are folded into SIGNED
+    ADDITION (`+x` / `-x`, IEEE-identical to `±1.0*x` with the same
+    left-to-right accumulation) — the multiply form's DIM·out_dim extra
+    Literal/Multiply nodes pushed the generated processNext() past janino's
+    method limit, silently degrading the whole stage to interpreted eval on
+    every run."""
+    return emb.select(
+        "vec_id", F.expr(f"array({', '.join(_rp_comps(out_dim))})").alias("proj")
+    )
+
+
+def _rp_comps(out_dim: int) -> list[str]:
+    """The out_dim projected-component SQL expressions (signed-add form)."""
     scale = out_dim ** 0.5
     cols = []
     for j in range(out_dim):
-        terms = " + ".join(
-            f"({_rp_sign_py(i, j)!r} * CAST(embedding[{i}] AS DOUBLE))"
+        terms = " ".join(
+            ("+" if _rp_sign_py(i, j) > 0 else "-") + f" CAST(embedding[{i}] AS DOUBLE)"
             for i in range(DIM)
         )
+        # normalize the leading sign: "+ x…" -> "x…", "- x…" -> "0.0D - x…"
+        terms = terms[2:] if terms.startswith("+ ") else "0.0D " + terms
         cols.append(f"ROUND(({terms}) / {scale!r}, 6)")
-    return emb.select("vec_id", F.expr(f"array({', '.join(cols)})").alias("proj"))
+    return cols
+
+
+def random_projection_flat(emb: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
+    """(vec_id, pos, val): the driver-gate (atomic-columns) form of
+    `random_projection`. The components are projected as out_dim SEPARATE
+    columns first and the posexplode generator consumes plain attribute
+    refs — fusing the full unrolled arithmetic INTO the Generate stage
+    overflows janino's method limit and drops the stage to interpreted
+    eval (~4× slower, re-attempting the failed compile on every run)."""
+    comps = _rp_comps(out_dim)
+    cols = emb.select("vec_id", *[F.expr(c).alias(f"p{j}") for j, c in enumerate(comps)])
+    return cols.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"p{j}" for j in range(out_dim)])).alias("pos", "val"),
+    )
 
 
 def random_projection_oracle(out_dim: int = RP_DIM) -> str:

@@ -59,6 +59,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _flatten_vec(df: DataFrame, col: str, pos: str = "pos", val: str = "val") -> DataFrame:
+    """Driver-gate boundary normalization: the driver's canonicalizer (pandas
+    sort + hash) cannot sort list-valued cells, so no REGISTERED query may
+    emit an ARRAY/STRUCT/MAP column — any operator whose natural output is a
+    vector is exploded to (pos, val) rows at the registration boundary.
+    Operators themselves keep returning arrays (ANN search, ADC, dedup
+    compose on the array form); only the catalog-facing result is flattened.
+    tests/test_plans.py::test_no_registered_query_emits_non_atomic_columns
+    locks this in for all registered queries."""
+    keys = [c for c in df.columns if c != col]
+    return df.select(*keys, F.posexplode(col).alias(pos, val))
+
+
+def _flatten_vec_sql(oracle: str, col: str, pos: str = "pos", val: str = "val") -> str:
+    """DuckDB twin of `_flatten_vec`: unnest + generate_subscripts zip
+    positionally in the same SELECT (Postgres set-returning semantics)."""
+    return (
+        f"SELECT * EXCLUDE ({col}), "
+        f"CAST(generate_subscripts({col}, 1) - 1 AS INT) AS {pos}, "
+        f"unnest({col}) AS {val} FROM ({oracle}) _fv"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / sources / sinks
 # ---------------------------------------------------------------------------
@@ -1578,8 +1601,15 @@ def q_approx_quantiles_by_type(spark, sf_dir):
     sketches. Accuracy is tolerance-checked against the exact interpolated
     percentiles in tests/test_sketches.py."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("q50_90_99")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("qs"))
+        .select(
+            "event_type",
+            F.element_at("qs", 1).alias("q50"),
+            F.element_at("qs", 2).alias("q90"),
+            F.element_at("qs", 3).alias("q99"),
+        )
     )
 
 
@@ -1648,13 +1678,15 @@ def q_knn_join(spark, sf_dir):
     return sim.knn_join(_t(spark, sf_dir, "embeddings"))
 
 
-@register("kmeans_cells", sim.kmeans_cells_oracle())
+@register("kmeans_cells", _flatten_vec_sql(sim.kmeans_cells_oracle(), "centroid"))
 def q_kmeans_cells(spark, sf_dir):
     """Distributed Lloyd k-means training the IVF coarse quantizer: broadcast
     assign (argmax cosine) + two-phase per-component mean per round, with
     inter-round rounding pinning both engines to identical doubles. The
-    iterative-algorithm showcase with an exact fixed-iteration oracle."""
-    return sim.kmeans_cells(_t(spark, sf_dir, "embeddings"))
+    iterative-algorithm showcase with an exact fixed-iteration oracle.
+    Centroid vectors are exploded to (cell, n_members, pos, val) rows at the
+    catalog boundary (driver canonicalizer requires atomic columns)."""
+    return _flatten_vec(sim.kmeans_cells(_t(spark, sf_dir, "embeddings")), "centroid")
 
 
 @register("ann_ivf_kmeans", sim.ivf_kmeans_topk_oracle())
@@ -1668,13 +1700,18 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 from ..operators import quantization as pq  # noqa: E402
 
 
-@register("pq_codes", pq.pq_codes_oracle())
+@register(
+    "pq_codes", _flatten_vec_sql(pq.pq_codes_oracle(), "codes", pos="subspace", val="code")
+)
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode: per-subspace Lloyd-trained codebooks
     (all M subspaces in one plan), then argmin-L2 assignment — each 64-dim
     float vector compressed to 4 small ints, the scan side of a 100 TB ANN
-    index shrunk ~64×."""
-    return pq.pq_codes(_t(spark, sf_dir, "embeddings"))
+    index shrunk ~64×. Code arrays exploded to (vec_id, subspace, code) at
+    the catalog boundary (driver canonicalizer requires atomic columns)."""
+    return _flatten_vec(
+        pq.pq_codes(_t(spark, sf_dir, "embeddings")), "codes", pos="subspace", val="code"
+    )
 
 
 @register("ann_pq_adc", pq.pq_adc_topk_oracle())
@@ -1760,13 +1797,14 @@ def q_bpe_encode(spark, sf_dir):
     return cp.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
-@register("doc_embeddings", rk.hashed_doc_embeddings_oracle())
+@register("doc_embeddings", _flatten_vec_sql(rk.hashed_doc_embeddings_oracle(), "embedding"))
 def q_doc_embeddings(spark, sf_dir):
     """Feature-hashed bag-of-words document embeddings (hashing trick,
     Weinberger et al. 2009): text → L2-normalized 64-dim vector entirely in
     generated SQL — the embedding generator feeding the ANN/kNN/k-means
-    family; one (doc_id) shuffle of map-side-combined partial sums."""
-    return rk.hashed_doc_embeddings(_t(spark, sf_dir, "documents"))
+    family; one (doc_id) shuffle of map-side-combined partial sums.
+    Vectors exploded to (doc_id, pos, val) at the catalog boundary."""
+    return _flatten_vec(rk.hashed_doc_embeddings(_t(spark, sf_dir, "documents")), "embedding")
 
 
 @register("unigram_logprob", rk.unigram_logprob_scores_oracle())
@@ -2183,12 +2221,15 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
     )
 
 
-@register("embedding_random_projection", sim.random_projection_oracle())
+@register("embedding_random_projection", _flatten_vec_sql(sim.random_projection_oracle(), "proj"))
 def q_embedding_random_projection(spark, sf_dir):
     """Johnson–Lindenstrauss sign-matrix projection 64→16 dims: the
     dim-reduction front end for ANN/clustering, zero shuffles — broadcast
-    ±1 matrix from hash parities, per-row multiply-adds in the scan."""
-    return sim.random_projection(_t(spark, sf_dir, "embeddings"))
+    ±1 matrix from hash parities, per-row multiply-adds in the scan.
+    Projected vectors exploded to (vec_id, pos, val) at the catalog boundary
+    via the split-column form (posexplode over attribute refs) so the
+    unrolled arithmetic never fuses into the Generate's codegen method."""
+    return sim.random_projection_flat(_t(spark, sf_dir, "embeddings"))
 
 
 @register("ngram_heavy_hitters", rk.ngram_heavy_hitters_oracle())

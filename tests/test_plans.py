@@ -221,17 +221,17 @@ def test_pq_adc_scan_reads_codes_only(spark):
 
 
 def test_pq_codes_shapes(spark):
-    """Every vector gets exactly M_SUB codes, each within [0, K_CODES)."""
+    """Every vector gets exactly M_SUB codes, each within [0, K_CODES).
+    The registered query emits the exploded (vec_id, subspace, code) shape."""
     from pyspark.sql import functions as F
 
     from spark_deal_observer_spark.operators.quantization import K_CODES, M_SUB
 
     df = q(spark, "pq_codes")
-    bad = df.where(
-        (F.size("codes") != M_SUB)
-        | (F.array_min("codes") < 0)
-        | (F.array_max("codes") >= K_CODES)
+    per_vec = df.groupBy("vec_id").agg(
+        F.count("*").alias("m"), F.min("code").alias("lo"), F.max("code").alias("hi")
     )
+    bad = per_vec.where((F.col("m") != M_SUB) | (F.col("lo") < 0) | (F.col("hi") >= K_CODES))
     assert bad.count() == 0
 
 
@@ -257,3 +257,21 @@ def test_trained_assign_is_aggregate_not_window(spark):
         p = plan(q(spark, name))
         assert "Window" not in p, f"{name}: window-based argmin\n{p}"
         assert "partial_min" in p, f"{name}: no map-side combine\n{p}"
+
+
+def test_no_registered_query_emits_non_atomic_columns(spark):
+    """Driver-canonicalizer contract: the driver gate sorts/hashes results
+    with pandas, which cannot sort list-valued cells (r3: kmeans_cells red
+    on its ARRAY<DOUBLE> centroid). Every registered query must therefore
+    emit only atomic column types — vector-valued operators explode to
+    (pos, val) rows at the registration boundary (registry._flatten_vec)."""
+    from conftest import SF_SMALL
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, qd in REGISTRY.items():
+        df = qd.fn(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

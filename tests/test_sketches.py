@@ -32,7 +32,7 @@ def test_hll_within_tolerance(spark):
 
 def test_quantile_sketch_within_tolerance(spark):
     approx = {
-        r["event_type"]: r["q50_90_99"]
+        r["event_type"]: (r["q50"], r["q90"], r["q99"])
         for r in REGISTRY["approx_quantiles_by_type"].fn(spark, SF_ORACLE).collect()
     }
     ev = load_table(spark, SF_ORACLE, "events")
