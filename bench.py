@@ -70,6 +70,11 @@ HEADLINE = [
     # r3: event analytics
     "funnel_conversion",
     "cohort_retention",
+    # r4: shared BPE training run (learn-once), gate compound suites
+    "bpe_encode",
+    "profile_suite",
+    "event_analytics_suite",
+    "sketch_suite",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -333,8 +333,33 @@ def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
     ONE row (the same driver-polled-loop discipline as connected
     components' convergence check); everything heavy stays distributed.
     """
-    toks = tokens_sql("spark", "text")
-    seqs = docs.select("doc_id", F.expr(toks).alias("seq"))
+    merges, _ = _bpe_fit(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "step INT, left_sym STRING, right_sym STRING, merged STRING, freq BIGINT"
+    )
+
+
+def _bpe_fit(docs: DataFrame, n_merges: int):
+    """The BPE training run, PUBLISHED per (corpus, n_merges) through the
+    session artifact registry (operators/models.py) like every other
+    trained artifact (minhash sigs, k-means centroids, PQ codebooks):
+    returns (merges, final_seqs) where `merges` is the driver-held
+    [(step, a, b, merged, freq), …] ladder and `final_seqs` the
+    (doc_id, seq) sequences after all merges. `bpe_merges` (the ladder)
+    and `bpe_encode` (the applied tokenizer) share ONE learn loop per
+    logical input — re-training in encode doubled the most expensive
+    tokenizer pass (n_merges full-corpus pair-count aggregations) per
+    session."""
+    from .models import published
+
+    seqs0 = docs.select("doc_id", F.expr(tokens_sql("spark", "text")).alias("seq"))
+    return published(seqs0, "bpe", (n_merges,), lambda: _bpe_learn(seqs0, n_merges))
+
+
+def _bpe_learn(seqs: DataFrame, n_merges: int):
+    """The driver-polled learn loop: one pair-count aggregation + ONE-row
+    collect per merge step, each round's sequences lazily checkpointed so
+    merge k+1's plan doesn't replay merges 1..k."""
     merges = []
     for step in range(n_merges):
         pairs = (
@@ -361,9 +386,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
             "doc_id",
             F.expr(_merge_seq_sql("spark", "seq", f"'{lit_a}'", f"'{lit_b}'")).alias("seq"),
         ).localCheckpoint(eager=False)
-    return docs.sparkSession.createDataFrame(
-        merges, "step INT, left_sym STRING, right_sym STRING, merged STRING, freq BIGINT"
-    )
+    return merges, seqs
 
 
 def _bpe_ctes(n_merges: int) -> str:
@@ -403,35 +426,11 @@ def bpe_merges_oracle(n_merges: int = N_BPE_MERGES) -> str:
 def bpe_encode(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
     """Apply the learned merges: per-document symbol counts before/after —
     the tokenizer-application half of bpe_merges (the compression the
-    learned vocabulary buys, measured on the corpus that trained it)."""
+    learned vocabulary buys, measured on the corpus that trained it).
+    Consumes the PUBLISHED `_bpe_fit` run — learn once, encode forever."""
+    _, seqs = _bpe_fit(docs, n_merges)
     toks = tokens_sql("spark", "text")
-    seqs = docs.select("doc_id", F.expr(toks).alias("seq"))
-    before = seqs.select("doc_id", F.size("seq").alias("n_before"))
-    for step in range(n_merges):
-        # re-learn the step's top pair exactly as bpe_merges does
-        pairs = (
-            seqs.select(
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(seq, 1, size(seq) - 1), slice(seq, 2, size(seq) - 1), "
-                        "(a, b) -> struct(a, b))"
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("freq"))
-        )
-        top = pairs.orderBy(F.col("freq").desc(), F.col("a"), F.col("b")).limit(1).collect()
-        if not top:
-            break
-        lit_a = top[0]["a"].replace("'", "''")
-        lit_b = top[0]["b"].replace("'", "''")
-        seqs = seqs.select(
-            "doc_id",
-            F.expr(_merge_seq_sql("spark", "seq", f"'{lit_a}'", f"'{lit_b}'")).alias("seq"),
-        ).localCheckpoint(eager=False)
+    before = docs.select("doc_id", F.size(F.expr(toks)).alias("n_before"))
     return before.join(
         seqs.select("doc_id", F.size("seq").alias("n_after")), "doc_id"
     ).select("doc_id", "n_before", "n_after")

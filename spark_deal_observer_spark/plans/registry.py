@@ -2535,6 +2535,176 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# gate-prefix compound suites
+#
+# The driver's correctness gate snapshots a fixed 50-row prefix of the
+# catalog, so families that would each burn a slot are melted to a shared
+# (section, key, metric, value) long format and unioned into ONE slot —
+# the same curation as filter_suite / dedup_pair_verify_suite. Components
+# stay registered (and locally oracle-verified) in their natural shapes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_suite",
+    f"""
+    WITH tp AS ({pf.table_profile_oracle()}),
+         co AS ({pf.column_correlations_oracle()}),
+         wi AS ({pf.winsorized_stats_oracle()})
+    SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
+           CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
+    UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
+    UNION ALL SELECT 'profile', "column", 'n_distinct', CAST(n_distinct AS DOUBLE), NULL FROM tp
+    UNION ALL SELECT 'profile', "column", 'min_num', min_num, NULL FROM tp
+    UNION ALL SELECT 'profile', "column", 'max_num', max_num, NULL FROM tp
+    UNION ALL SELECT 'profile', "column", 'min_str', CAST(NULL AS DOUBLE), min_str FROM tp
+    UNION ALL SELECT 'profile', "column", 'max_str', CAST(NULL AS DOUBLE), max_str FROM tp
+    UNION ALL SELECT 'corr', col_a || '~' || col_b, 'corr', corr, NULL FROM co
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'p_lo', p_lo, NULL FROM wi
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'p_hi', p_hi, NULL FROM wi
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'mean_raw', mean_raw, NULL FROM wi
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'mean_winsor', mean_winsor, NULL FROM wi
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'std_raw', std_raw, NULL FROM wi
+    UNION ALL SELECT 'winsor', 'l_extendedprice', 'std_winsor', std_winsor, NULL FROM wi
+    """,
+)
+def q_profile_suite(spark, sf_dir):
+    """Dataset-profiling family in one gate slot: per-column profile of
+    orders (nulls/distinct/bounds) + pairwise Pearson correlations of
+    lineitem's numerics + winsorized robust moments, melted to a common
+    (section, key, metric, value_num, value_str) long format. Each
+    component remains a one-scan two-phase aggregate; the union is
+    plan-level only (no extra shuffle beyond the components' own)."""
+    tp = pf.table_profile(_t(spark, sf_dir, "orders"))
+    co = pf.column_correlations(_t(spark, sf_dir, "lineitem"))
+    wi = pf.winsorized_stats(_t(spark, sf_dir, "lineitem"))
+    tp_m = tp.selectExpr(
+        "'profile' AS section",
+        "`column` AS key",
+        "stack(7, 'n_rows', CAST(n_rows AS DOUBLE), CAST(NULL AS STRING), "
+        "'n_nulls', CAST(n_nulls AS DOUBLE), CAST(NULL AS STRING), "
+        "'n_distinct', CAST(n_distinct AS DOUBLE), CAST(NULL AS STRING), "
+        "'min_num', min_num, CAST(NULL AS STRING), "
+        "'max_num', max_num, CAST(NULL AS STRING), "
+        "'min_str', CAST(NULL AS DOUBLE), min_str, "
+        "'max_str', CAST(NULL AS DOUBLE), max_str) AS (metric, value_num, value_str)",
+    )
+    co_m = co.selectExpr(
+        "'corr' AS section",
+        "concat(col_a, '~', col_b) AS key",
+        "'corr' AS metric",
+        "corr AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    wi_m = wi.selectExpr(
+        "'winsor' AS section",
+        "'l_extendedprice' AS key",
+        "stack(6, 'p_lo', p_lo, 'p_hi', p_hi, 'mean_raw', mean_raw, "
+        "'mean_winsor', mean_winsor, 'std_raw', std_raw, 'std_winsor', std_winsor) "
+        "AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return tp_m.unionByName(co_m).unionByName(wi_m)
+
+
+@register("event_analytics_suite", None)  # oracle assembled below from components
+def q_event_analytics_suite(spark, sf_dir):
+    """Event-analytics family in one gate slot: per-customer running
+    totals + percentile ranks (shared window partitioning), data-contract
+    violation counts, and the cohort-retention triangle, melted to
+    (section, key, metric, value). Window keys are concatenated to a
+    string key; cohort days normalized through DATE so both engines render
+    the identical key text."""
+    okey = "concat(CAST(o_custkey AS STRING), ':', CAST(o_orderkey AS STRING))"
+    rt = REGISTRY["running_totals"].fn(spark, sf_dir)
+    pr = REGISTRY["percentile_rank_orders"].fn(spark, sf_dir)
+    cv = REGISTRY["constraint_violations"].fn(spark, sf_dir)
+    cr = REGISTRY["cohort_retention"].fn(spark, sf_dir)
+    rt_m = rt.selectExpr(
+        "'running' AS section",
+        f"{okey} AS key",
+        "stack(2, 'running_total', running_total, 'order_seq', CAST(order_seq AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+    pr_m = pr.selectExpr(
+        "'pct_rank' AS section",
+        f"{okey} AS key",
+        "'price_pct_rank' AS metric",
+        "price_pct_rank AS value",
+    )
+    cv_m = cv.selectExpr(
+        "'constraint' AS section",
+        "check_name AS key",
+        "'n_violations' AS metric",
+        "CAST(n_violations AS DOUBLE) AS value",
+    )
+    cr_m = cr.selectExpr(
+        "'cohort' AS section",
+        "concat(CAST(CAST(cohort_day AS DATE) AS STRING), ':', CAST(day_offset AS STRING)) AS key",
+        "'n_users' AS metric",
+        "CAST(n_users AS DOUBLE) AS value",
+    )
+    return rt_m.unionByName(pr_m).unionByName(cv_m).unionByName(cr_m)
+
+
+@register("sketch_suite", None)  # oracle assembled below from components
+def q_sketch_suite(spark, sf_dir):
+    """Sketch family in one gate slot: count-min probe audit (exact vs
+    one-sided estimate) + corpus-wide trigram heavy hitters, melted to
+    (section, key, metric, value). Both components keep their
+    fixed-size-state shuffle shapes; the union adds no exchange."""
+    cms = sk.cms_token_counts(_t(spark, sf_dir, "documents"))
+    hh = rk.ngram_heavy_hitters(_t(spark, sf_dir, "documents"))
+    cms_m = cms.selectExpr(
+        "'cms' AS section",
+        "token AS key",
+        "stack(2, 'true_cnt', true_cnt, 'cms_est', cms_est) AS (metric, value)",
+    )
+    hh_m = hh.selectExpr(
+        "'heavy_hitters' AS section", "ngram AS key", "'cnt' AS metric", "cnt AS value"
+    )
+    return cms_m.unionByName(hh_m)
+
+
+# the two suites above need oracle strings assembled from already-registered
+# component oracles — patch them in now that REGISTRY holds the components
+REGISTRY["event_analytics_suite"] = QueryDef(
+    REGISTRY["event_analytics_suite"].fn,
+    f"""
+    WITH rt AS ({REGISTRY["running_totals"].oracle}),
+         pr AS ({REGISTRY["percentile_rank_orders"].oracle}),
+         cv AS ({REGISTRY["constraint_violations"].oracle}),
+         cr AS ({REGISTRY["cohort_retention"].oracle})
+    SELECT 'running' AS section,
+           CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
+           'running_total' AS metric, running_total AS value FROM rt
+    UNION ALL SELECT 'running',
+           CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           'order_seq', CAST(order_seq AS DOUBLE) FROM rt
+    UNION ALL SELECT 'pct_rank',
+           CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           'price_pct_rank', price_pct_rank FROM pr
+    UNION ALL SELECT 'constraint', check_name, 'n_violations',
+           CAST(n_violations AS DOUBLE) FROM cv
+    UNION ALL SELECT 'cohort',
+           CAST(CAST(cohort_day AS DATE) AS VARCHAR) || ':' || CAST(day_offset AS VARCHAR),
+           'n_users', CAST(n_users AS DOUBLE) FROM cr
+    """,
+)
+REGISTRY["sketch_suite"] = QueryDef(
+    REGISTRY["sketch_suite"].fn,
+    f"""
+    WITH cms AS ({REGISTRY["cms_token_counts"].oracle}),
+         hh AS ({REGISTRY["ngram_heavy_hitters"].oracle})
+    SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
+           CAST(true_cnt AS BIGINT) AS value FROM cms
+    UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
+    UNION ALL SELECT 'heavy_hitters', ngram, 'cnt', CAST(cnt AS BIGINT) FROM hh
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # driver ordering
 #
 # The driver's correctness gate snapshots a bounded prefix of this catalog
@@ -2562,7 +2732,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     # joins
     "dim_lookup_join",       # J3
     "composite_key_join",    # J4
-    "anti_join_dedup",       # J5 (J1 covered by mark_submitted)
     # aggregation / dedup / ordering
     "agg_counters",          # A1+A2+A4 compound
     "argmax_row",            # A3
@@ -2581,11 +2750,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_semantic",        # SemDeDup: trained-quantizer clustering + rep cosine
     # training-data pipeline: similarity search
     "ann_recall_report",     # brute force + trained IVF + multiprobe LSH + PQ, one slot
-    "ann_ivf_centroid",
     "funnel_conversion",     # event-analytics family representative
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
-    "ann_pq_adc",            # product-quantized ADC search (codes-only scan)
     # training-data pipeline: ranking / scoring / tokenization
     "tfidf_top_terms",       # ranking-family lead
     "hybrid_retrieval_rrf",  # BM25 + vector cosine fused by RRF (covers bm25_scores)
@@ -2611,7 +2778,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "interval_range_join",
     "hypertable_rollup",
     "windowed_counts",       # S11 + T2 (event-time window agg)
+    # r4 compounds: three families melted into one slot each so the 50-row
+    # gate verifies more of the catalog (components stay registered below)
+    "profile_suite",         # table_profile + column_correlations + winsorized_stats
+    "event_analytics_suite", # running_totals + percentile_rank + constraints + cohort
+    "sketch_suite",          # cms_token_counts + ngram_heavy_hitters
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
+    "anti_join_dedup",       # J5 (dedup_insert row above covers it)
+    "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
+    "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
     "filter_isnull",         # P1 (suite row above)
     "filter_bool",           # P2 + T4 revert flag
     "filter_enum_eq",        # P3

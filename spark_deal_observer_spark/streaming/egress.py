@@ -151,17 +151,26 @@ def submit_eligible_distributed(
     deals = sink.read()
     todo = eligible(deals)
     ok = todo.mapInPandas(post_partition, "id long, ingested int, skipped int")
-    # one small action: ids + response counters come back, nothing else
-    ok_rows = ok.collect()
+    # Materialize the POSTing pass exactly ONCE and truncate its lineage:
+    # both downstream consumers (the counter aggregate and the mark-submitted
+    # semi-join) read the checkpointed result, so the poster can never fire
+    # twice for one tick — and nothing row-shaped ever crosses to the driver
+    # (per-row collect() here would bottleneck the driver at 100× the
+    # reference's eligible-deal volume; only three counters come back).
+    ok = ok.localCheckpoint(eager=True)
+    counters = ok.agg(
+        F.count("*").alias("submitted"),
+        F.coalesce(F.sum("ingested"), F.lit(0)).alias("ingested"),
+        F.coalesce(F.sum("skipped"), F.lit(0)).alias("skipped"),
+    ).collect()[0]
     result = {
-        "submitted": len(ok_rows),
-        "ingested": sum(r["ingested"] for r in ok_rows),
-        "skipped": sum(r["skipped"] for r in ok_rows),
+        "submitted": int(counters["submitted"]),
+        "ingested": int(counters["ingested"]),
+        "skipped": int(counters["skipped"]),
     }
-    if ok_rows:
-        ids_df = sink.spark.createDataFrame([(int(r["id"]),) for r in ok_rows], "id LONG")
+    if result["submitted"]:
         flag = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
-        updates = deals.join(F.broadcast(ids_df), "id", "left_semi").withColumn(
+        updates = deals.join(F.broadcast(ok.select("id")), "id", "left_semi").withColumn(
             "submitted_at", flag
         )
         sink.merge_overwrite(updates.select(*deals.columns), ["id"])

@@ -325,3 +325,32 @@ def test_telemetry_listener_records_observed_metrics(spark, dirs):
         assert emitted  # the fire-and-forget emit seam saw the same points
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_egress_distributed_posts_exactly_once_per_tick(spark, dirs, tmp_path):
+    """The distributed egress materializes the POSTing mapInPandas ONCE
+    (localCheckpoint): the counter aggregate and the mark-submitted
+    semi-join are both actions over the checkpointed result, so neither
+    re-executes the poster — no deal is ever POSTed twice in one tick."""
+    from spark_deal_observer_spark.streaming.egress import submit_eligible_distributed
+
+    deals = deals_df(spark, SF_SMALL)
+    sink = DealTableSink(spark, dirs["table"])
+    sink.append_dedup(deals)
+    now = F.lit(REF_TS).cast("timestamp_ntz")
+    log = str(tmp_path / "posts.log")
+
+    def poster(payload):
+        with open(log, "a") as f:
+            for p in payload:
+                f.write(f"{p['minerId']}/{p['pieceCid']}\n")
+        return {"ingested": len(payload), "skipped": 0}
+
+    res = submit_eligible_distributed(sink, poster, now=now, batch_size=7)
+    assert res["submitted"] > 0
+    with open(log) as f:
+        posted = [ln for ln in f.read().splitlines() if ln]
+    # a re-executed poster stage would double the log relative to the counter
+    assert len(posted) == res["submitted"], (len(posted), res["submitted"])
+    flagged = sink.read().where(F.col("submitted_at") == now).count()
+    assert flagged == res["submitted"]
