@@ -38,8 +38,26 @@ DEFAULT_QUERIES = [
 ]
 
 
+COPY_TARGETS = ("documents", "events", "embeddings", "orders", "lineitem")
+
+
+def _clean_copy_targets(dst: str) -> None:
+    """Remove any pre-existing COPY target in `dst` BEFORE writing.
+
+    Earlier revisions symlinked orders/lineitem into the scale dir; a COPY
+    through such a stale symlink would follow it and silently overwrite the
+    SOURCE fixture with scaled data. Unlinking first (os.remove removes the
+    link itself, never the target) makes that impossible regardless of what
+    a previous run left behind."""
+    for t in COPY_TARGETS:
+        p = os.path.join(dst, f"{t}.parquet")
+        if os.path.lexists(p):
+            os.remove(p)
+
+
 def synthesize(con) -> None:
     os.makedirs(DST, exist_ok=True)
+    _clean_copy_targets(DST)
     n_docs = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
@@ -100,11 +118,70 @@ def synthesize(con) -> None:
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
 
 
+SKEW_DST = os.environ.get("SCALE10X_SKEW_DIR", "/tmp/scale10x_skew")
+
+# queries whose skew defenses the stress case exercises: the chunked
+# hot-bucket fan-out (dedup_minhash_lsh), the salt-spread join
+# (salted_join_dim), and the per-key window family (sessionize_events)
+SKEW_QUERIES = ["dedup_minhash_lsh", "salted_join_dim", "sessionize_events"]
+
+
+def synthesize_skew(con) -> None:
+    """10× corpus with DELIBERATE hot keys (SCALE.md §4 skew stress):
+    every 20th document (across all copies) carries one identical
+    boilerplate text — minhash signatures collide exactly, so all its
+    occurrences land in ONE LSH bucket per band (~5% of the corpus in a
+    single bucket); and every 5th event is reassigned to user_id 7 (~20%
+    of events on one session/join key)."""
+    os.makedirs(SKEW_DST, exist_ok=True)
+    _clean_copy_targets(SKEW_DST)
+    boiler = (
+        "terms and conditions apply all rights reserved unsubscribe here "
+        "this message was sent automatically do not reply to this email "
+        "copyright notice privacy policy cookie settings contact support"
+    )
+    con.execute(
+        f"""COPY (
+          SELECT doc_id, CASE WHEN doc_id % 20 = 3 THEN '{boiler}' ELSE text END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{DST}/documents.parquet')
+        ) TO '{SKEW_DST}/documents.parquet' (FORMAT parquet)"""
+    )
+    con.execute(
+        f"""COPY (
+          SELECT event_id, ts,
+                 CASE WHEN event_id % 5 = 0 THEN 7 ELSE user_id END AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{DST}/events.parquet')
+        ) TO '{SKEW_DST}/events.parquet' (FORMAT parquet)"""
+    )
+    for t in ("embeddings", "orders", "lineitem", "region", "nation", "customer",
+              "supplier", "part"):
+        dst = os.path.join(SKEW_DST, f"{t}.parquet")
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(DST, f"{t}.parquet"), dst)
+
+
+def _time(spark, fn, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
 def main() -> None:
     import duckdb
 
-    names = sys.argv[1:] or DEFAULT_QUERIES
-    synthesize(duckdb.connect())
+    args = sys.argv[1:]
+    skew = "--skew" in args
+    args = [a for a in args if a != "--skew"]
+    names = args or (SKEW_QUERIES if skew else DEFAULT_QUERIES)
+    con = duckdb.connect()
+    synthesize(con)
+    if skew:
+        synthesize_skew(con)
 
     from spark_deal_observer_spark.plans.registry import REGISTRY
     from spark_deal_observer_spark.session import get_spark
@@ -113,24 +190,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    dirs = [("1x", SRC), ("10x", DST)] + ([("10x-skew", SKEW_DST)] if skew else [])
     rows = []
     for name in names:
         fn = REGISTRY[name].fn
-        timing = {}
-        for label, sf_dir in (("1x", SRC), ("10x", DST)):
-            best = float("inf")
-            for _ in range(2):
-                t = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t)
-            timing[label] = best
-        rows.append((name, timing["1x"], timing["10x"]))
-        print(f"DONE {name} 1x={timing['1x']:.2f} 10x={timing['10x']:.2f}", flush=True)
+        timing = {label: _time(spark, fn, sf_dir) for label, sf_dir in dirs}
+        rows.append((name, timing))
+        print(
+            "DONE " + name + " " + " ".join(f"{k}={v:.2f}" for k, v in timing.items()),
+            flush=True,
+        )
 
-    print("\n| query | 1× sec | 10× sec | ratio |")
-    print("|---|---|---|---|")
-    for name, t1, t10 in rows:
-        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f} |")
+    labels = [label for label, _ in dirs]
+    print("\n| query | " + " | ".join(f"{la} sec" for la in labels) + " | ratio |"
+          + (" skew ratio |" if skew else ""))
+    print("|---|" + "---|" * (len(labels) + 1 + (1 if skew else 0)))
+    for name, t in rows:
+        cells = " | ".join(f"{t[la]:.2f}" for la in labels)
+        line = f"| {name} | {cells} | {t['10x'] / t['1x']:.1f} |"
+        if skew:
+            line += f" {t['10x-skew'] / t['1x']:.1f} |"
+        print(line)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,17 @@ def published(
     `build` must return already-checkpointed (lineage-truncated) values —
     this registry stores whatever it returns (a DataFrame or a tuple of
     them) without re-materializing.
+
+    IMMUTABLE-SNAPSHOT ASSUMPTION: the cache key is the Catalyst semantic
+    hash of `source`'s ANALYZED plan — for a file source that is the path,
+    not the bytes behind it. If files under a cached path are rewritten
+    within one session, lookups silently serve the artifact trained on the
+    OLD snapshot; call `clear()` (or point at a new snapshot path — the
+    production layout) after any in-place rewrite. Checkpointed blocks also
+    die with lost executors: a cache hit whose blocks are gone fails on its
+    next action rather than retraining — `clear()` and re-request to
+    rebuild. Both are deliberate: keying on content or verifying block
+    liveness would cost a scan per lookup, defeating the registry's point.
     """
     key = (source.sparkSession, name, _plan_key(source), params)
     got = _STORE.get(key)

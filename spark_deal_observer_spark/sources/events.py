@@ -258,8 +258,14 @@ def decode_raw_events_routed(raw: DataFrame) -> DataFrame:
                         record[key] = cbor_decode(b64pad_decode(value))
                     etype = record.get("$type")
                     if etype != "claim":
+                        # keep the raw row's envelope fields (they decoded
+                        # fine) so quarantined events can be triaged without
+                        # re-reading the raw stream
                         rows.append(
                             {**empty_claim,
+                             "height": int(r.height),
+                             "emitter": r.emitter,
+                             "reverted": bool(r.reverted),
                              "dlq_reason": f"unknown event type {etype!r}",
                              "msg_cid": r.msg_cid}
                         )
@@ -286,6 +292,9 @@ def decode_raw_events_routed(raw: DataFrame) -> DataFrame:
                 except Exception as exc:  # noqa: BLE001 — quarantine, never crash
                     rows.append(
                         {**empty_claim,
+                         "height": int(r.height),
+                         "emitter": r.emitter,
+                         "reverted": bool(r.reverted),
                          "dlq_reason": f"{type(exc).__name__}: {exc}",
                          "msg_cid": r.msg_cid}
                     )

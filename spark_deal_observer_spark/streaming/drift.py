@@ -63,6 +63,14 @@ class DriftMonitorSink:
         self.baseline = baseline_distribution(baseline_docs)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if batch.isEmpty():
+            # an empty micro-batch has no distribution: tot=0 would divide
+            # to a NULL psi row that pollutes downstream alert filters —
+            # record the tick explicitly as (0 docs, psi 0.0) instead
+            self.spark.createDataFrame([(0, 0.0)], "n_docs BIGINT, psi DOUBLE").write.mode(
+                "overwrite"
+            ).parquet(f"{self.out_path}/batch_id={batch_id}")
+            return
         q = self.baseline.select(F.col("p").alias("q"))
         fold = F.expr(
             "ROUND(aggregate(zip_with(p, q, (pv, qv) -> (pv - qv) * ln(pv / qv)), "

@@ -224,6 +224,16 @@ def test_dlq_decode_routes_instead_of_dropping(spark):
     assert dlq.count() == n_raw - good.count() > 0
     assert dlq.where(F.col("msg_cid").isNull()).count() == 0
     assert dlq.where(F.col("dlq_reason").like("unknown event type%")).count() == dlq.count()
+    # quarantined rows keep the raw envelope (height/emitter/reverted) so
+    # they can be triaged without re-reading the raw stream
+    assert (
+        dlq.where(
+            F.col("height").isNull()
+            | F.col("emitter").isNull()
+            | F.col("reverted").isNull()
+        ).count()
+        == 0
+    )
 
     # poison-pill payload: corrupt one entry's base64 so CBOR decode throws
     bad = raw.limit(1).withColumn(

@@ -1,0 +1,46 @@
+"""Round-4 property tests: published quality floors for the trained ANN
+tiers, and the empty-batch contract of the drift monitor."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE
+
+from spark_deal_observer_spark.plans.registry import REGISTRY
+
+# Published minimum recall@10 (vs exact brute-force cosine, probe vec 0,
+# sf0.01). Training, hashing, and tie-breaks are all deterministic, so the
+# measured values (ivf 0.7, lsh 0.7, pq 0.5 at r4) cannot drift with
+# partitioning — a drop below these floors means an index REGRESSION, not
+# noise. PQ's floor is lowest by design: its L2-metric search is scored
+# against a cosine ground truth (the honest mixed-metric number).
+RECALL_FLOORS = {
+    "ivf_kmeans": 0.6,
+    "lsh_multiprobe": 0.5,
+    "pq_adc": 0.3,
+}
+
+
+def test_ann_tiers_meet_published_recall_floors(spark):
+    rows = {
+        r["method"]: r["recall"]
+        for r in REGISTRY["ann_recall_report"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(RECALL_FLOORS)
+    for method, floor in RECALL_FLOORS.items():
+        assert rows[method] >= floor, (method, rows[method], floor)
+
+
+def test_drift_monitor_skips_empty_batch_division(spark, tmp_path):
+    """An empty micro-batch must produce an explicit (0, 0.0) report row,
+    never a NULL psi from the tot=0 division."""
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.drift import DriftMonitorSink
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sink = DriftMonitorSink(spark, docs, str(tmp_path / "drift"))
+    sink.process_batch(docs.limit(50), batch_id=0)
+    sink.process_batch(docs.limit(0), batch_id=1)
+    rows = {r["batch_id"]: r for r in sink.read_report().collect()}
+    assert rows[1]["n_docs"] == 0
+    assert rows[1]["psi"] == 0.0
+    assert rows[0]["psi"] is not None
