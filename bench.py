@@ -70,11 +70,13 @@ HEADLINE = [
     # r3: event analytics
     "funnel_conversion",
     "cohort_retention",
-    # r4: shared BPE training run (learn-once), gate compound suites
+    # r4: shared BPE training run (learn-once), gate compound suites,
+    # published-graph pagerank (min-of-2 = steady-state iteration cost)
     "bpe_encode",
     "profile_suite",
     "event_analytics_suite",
     "sketch_suite",
+    "pagerank_entities",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -44,6 +44,28 @@ def _edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _graph_structure(orders: DataFrame, lineitem: DataFrame):
+    """(degree-weighted edge list, node set), PUBLISHED per logical input.
+
+    The graph build (fact join + distinct + degree attach) is a one-off
+    index pass — 1.17 M edges at sf0.1, the dominant cost of a pagerank
+    call. Like signatures/centroids/codebooks it goes through the session
+    artifact registry: every iterative consumer on the same input reuses
+    one snapshotted build. The out-degree is attached HERE because it is
+    loop-invariant — the r3 shape re-joined edges⋈outdeg every round."""
+    from .models import published
+
+    edges = _edges(orders, lineitem)
+
+    def build():
+        e = edges.localCheckpoint()
+        nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+        return e.join(deg, "src").localCheckpoint(), nodes
+
+    return published(edges, "pagerank_graph", (), build)
+
+
 def pagerank(
     orders: DataFrame,
     lineitem: DataFrame,
@@ -56,22 +78,26 @@ def pagerank(
     # edge list (orders⋈lineitem + distinct) for edges, nodes, AND outdeg,
     # multiplying the dominant join by 2+2·n_iter. Same lineage-truncation
     # discipline as connected_components.
-    edges = _edges(orders, lineitem).localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    wedges, nodes = _graph_structure(orders, lineitem)
     scal = nodes.agg(F.count("*").cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     pr = nodes.crossJoin(F.broadcast(scal)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), ROUND_DP).alias("pr")
     )
     for _ in range(n_iter):
+        # The rank vector is NODE-sized (here: the customer+supplier
+        # dimension) while the edge list is fact-sized — broadcast the
+        # small side so the edge table never shuffles; each round is one
+        # broadcast join + one map-side-combinable aggregate onto dst.
+        # On a graph whose node set itself outgrows broadcast (web-scale
+        # entity graphs) this reverts to the shuffle join — that switch is
+        # the standard Pregel-vs-broadcast decision, made per graph.
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(outdeg, "src")
+            wedges.join(F.broadcast(pr), wedges.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
         )
         pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(scal))
             .select(
                 "node",
