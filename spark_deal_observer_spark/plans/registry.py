@@ -1531,8 +1531,44 @@ def q_sessionize_events(spark, sf_dir):
     """Per-user inactivity-gap sessions (30 min) via gaps-and-islands: flag
     + running sum + aggregate in ONE shuffle on user_id (both windows and
     the groupBy share the partitioning). The streaming twin is Spark's
-    native session_window aggregation (tests/test_streaming_sessions.py)."""
+    native session_window aggregation (registered as session_window_stats;
+    streaming semantics in tests/test_streaming.py)."""
     return sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 1800 SECOND AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_n
+    """,
+)
+def q_session_window_stats(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation run in batch mode,
+    cross-checked against an independent gaps-and-islands SQL derivation —
+    two different sessionization mechanisms, one oracle. The same operator
+    (streaming/windows.py::session_window_stats) runs unmodified on a
+    stream, where state is O(open sessions) and the watermark finalizes
+    sessions (merge/finalize/drop-late semantics in tests/test_streaming.py);
+    `withWatermark` is a no-op in batch, so one definition serves both."""
+    from ..streaming.windows import session_window_stats
+
+    return session_window_stats(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -2785,6 +2821,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sketch_suite",          # cms_token_counts + ngram_heavy_hitters
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
+    "session_window_stats",  # native session_window vs gaps-and-islands oracle
     "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
     "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
     "filter_isnull",         # P1 (suite row above)

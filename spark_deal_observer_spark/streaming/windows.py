@@ -46,3 +46,42 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = FINALITY_WATERMARK,
+) -> DataFrame:
+    """Streaming sessionization: per-key activity sessions that close after
+    `gap` of inactivity, via the native `session_window` aggregation.
+
+    This is the unbounded-stream form of the batch gaps-and-islands
+    operator (`operators/sessions.py::sessionize`, the oracle-checked
+    twin): the batch form needs the full history sorted per key, while
+    here state is O(OPEN sessions) — Spark merges an arriving event into
+    its key's open session (extending `end` to event+gap), and the session
+    finalizes exactly when the watermark passes its end, after which late
+    events for it are dropped rather than re-opening it. That bound is
+    what lets sessionization run forever: a key's finished sessions cost
+    nothing, no matter how long the stream has been up — and it is also
+    the honest answer to the batch operator's documented hot-key
+    degenerate case (one key's FULL event history exceeding a partition):
+    the streaming form never holds more than the open session per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

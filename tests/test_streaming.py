@@ -354,3 +354,88 @@ def test_egress_distributed_posts_exactly_once_per_tick(spark, dirs, tmp_path):
     assert len(posted) == res["submitted"], (len(posted), res["submitted"])
     flagged = sink.read().where(F.col("submitted_at") == now).count()
     assert flagged == res["submitted"]
+
+
+def test_streaming_session_windows_merge_finalize_drop_late(spark, tmp_path):
+    """Native session_window sessionization: events within `gap` merge into
+    one session per key, sessions finalize when the watermark passes their
+    end, and late events for finalized sessions are dropped instead of
+    re-opening them (state stays O(open sessions) forever)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_deal_observer_spark.streaming.windows import session_window_stats
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t = dt.datetime(2026, 8, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    collected = []
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            session_window_stats(stream, gap="30 minutes", watermark="5 minutes")
+            .writeStream.foreachBatch(
+                lambda b, _id: collected.extend(r.asDict() for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    # session A (user 1): two events 10 min apart -> ONE merged session;
+    # user 2 opens a parallel session
+    write_batch("b1", [(1, t, 1.0), (1, t + dt.timedelta(minutes=10), 2.0),
+                       (2, t + dt.timedelta(minutes=5), 5.0)])
+    run("s1")
+    assert collected == []  # nothing finalized yet (watermark at 10:05)
+
+    # a much later event advances the watermark past both open sessions'
+    # ends (A ends 10:40, B ends 10:35; watermark -> 11:55) and opens C
+    write_batch("b2", [(1, t + dt.timedelta(hours=2), 10.0)])
+    run("s2")
+    done = {(r["user_id"], r["session_start"]): r for r in collected}
+    a = done[(1, t)]
+    assert a["session_end"] == t + dt.timedelta(minutes=40)
+    assert a["n_events"] == 2 and a["total_value"] == 3.0
+    b = done[(2, t + dt.timedelta(minutes=5))]
+    assert b["n_events"] == 1 and b["total_value"] == 5.0
+
+    # late event inside finalized session A: behind the watermark -> dropped,
+    # A is NOT re-opened or re-emitted
+    n_before = len(collected)
+    write_batch("b3", [(1, t + dt.timedelta(minutes=20), 99.0)])
+    run("s3")
+    assert len(collected) == n_before
+
+    # closing event finalizes session C with only its own rows
+    write_batch("b4", [(1, t + dt.timedelta(hours=4), 0.5)])
+    run("s4")
+    c = {(r["user_id"], r["session_start"]): r for r in collected}[
+        (1, t + dt.timedelta(hours=2))
+    ]
+    assert c["n_events"] == 1 and c["total_value"] == 10.0
