@@ -1572,6 +1572,31 @@ def q_session_window_stats(spark, sf_dir):
 
 
 @register(
+    "view_click_attribution",
+    """
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT v.view_id, v.user_id, v.view_ts, c.click_id, c.click_ts
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+      AND c.click_ts >= v.view_ts
+      AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTES
+    """,
+)
+def q_view_click_attribution(spark, sf_dir):
+    """Stream-stream join surface in batch mode: every view left-outer
+    joined to same-user clicks within the 60-minute attribution horizon —
+    user equi-join + event-time range residual (shuffle on user_id, never
+    a product). The identical definition runs on two live streams where
+    the dual watermarks + range condition bound the join state
+    (streaming/joins.py; streaming semantics in tests/test_streaming.py)."""
+    from ..streaming.joins import view_click_attribution
+
+    return view_click_attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
     "salted_join_dim",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
@@ -2822,6 +2847,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
     "session_window_stats",  # native session_window vs gaps-and-islands oracle
+    "view_click_attribution",  # stream-stream join surface, batch twin
     "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
     "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
     "filter_isnull",         # P1 (suite row above)

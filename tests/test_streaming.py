@@ -439,3 +439,88 @@ def test_streaming_session_windows_merge_finalize_drop_late(spark, tmp_path):
         (1, t + dt.timedelta(hours=2))
     ]
     assert c["n_events"] == 1 and c["total_value"] == 10.0
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Stream-stream left-outer join with dual watermarks + time-range
+    condition: matches emit as clicks arrive; an unmatched view emits its
+    NULL row only after the watermark proves no click can still arrive;
+    clicks behind the watermark never resurrect a closed view."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_deal_observer_spark.streaming.joins import view_click_attribution
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t = dt.datetime(2026, 8, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    collected = []
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            view_click_attribution(stream, horizon_minutes=60, watermark="30 minutes")
+            .writeStream.foreachBatch(
+                lambda b, _id: collected.extend(r.asDict() for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    # user 1: view + click 20 min later (inside horizon) -> inner match;
+    # user 2: view with no click (outer row must WAIT for the watermark)
+    write_batch("b1", [(1, t, 1, "view"), (2, t + dt.timedelta(minutes=20), 1, "click"),
+                       (3, t + dt.timedelta(minutes=5), 2, "view")])
+    run("j1")
+    matched = [r for r in collected if r["click_id"] is not None]
+    assert [(r["view_id"], r["click_id"]) for r in matched] == [(1, 2)]
+    assert not [r for r in collected if r["click_id"] is None]
+
+    # advance event time on BOTH sides (the join's global watermark is the
+    # MIN of the two input watermarks — views alone cannot move it) far
+    # enough that view 3's horizon + watermark lag is exhausted; the
+    # watermark commits at the END of a batch, so the NULL outer row emits
+    # in the batch AFTER it advances (standard outer-join deferral)
+    write_batch("b2", [(4, t + dt.timedelta(hours=3), 9, "view"),
+                       (5, t + dt.timedelta(hours=3), 8, "click")])
+    run("j2")
+    write_batch("b3", [(6, t + dt.timedelta(hours=3, minutes=10), 9, "view"),
+                       (7, t + dt.timedelta(hours=3, minutes=10), 8, "click")])
+    run("j3")
+    outer = [r for r in collected if r["click_id"] is None]
+    assert [r["view_id"] for r in outer] == [3]  # emitted exactly once
+
+    # a click for view 3 arriving FAR behind the watermark cannot resurrect
+    # the closed attribution: the view's buffered state was evicted when
+    # its outer row emitted, and an unmatched right row produces nothing
+    # in a left-outer join — view 3 stays a single NULL-click row forever
+    write_batch("b4", [(8, t + dt.timedelta(minutes=30), 2, "click")])
+    run("j4")
+    assert [r["view_id"] for r in collected if r["click_id"] is None] == [3]
+    assert len([r for r in collected if r["user_id"] == 2]) == 1
