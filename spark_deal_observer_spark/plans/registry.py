@@ -59,6 +59,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give a CPU-heavy scan stage parallelism ≥ cores when the input is a
+    handful of small splits (sf0.1's documents table is ONE 5 MB parquet
+    split, so regex/n-gram projections would run one-core no matter how
+    many executors exist). The repartition moves trivial bytes here; at
+    100 TB the scan's own splits provide the parallelism and this is a
+    no-op — the pathology is specifically small-input × expensive-row,
+    the CPU twin of the AQE-coalesce note in SCALE.md §5."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def _flatten_vec(df: DataFrame, col: str, pos: str = "pos", val: str = "val") -> DataFrame:
     """Driver-gate boundary normalization: the driver's canonicalizer (pandas
     sort + hash) cannot sort list-valued cells, so no REGISTERED query may
@@ -1719,8 +1731,9 @@ def q_text_pii_scrub(spark, sf_dir):
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signal: duplicate token-3-gram fraction per
     document (high ⇒ boilerplate/looping text) — positional n-grams over
-    one tokenize pass, scan-stage only."""
-    return with_repetition(_t(spark, sf_dir, "documents"))
+    one tokenize pass, scan-stage only (spread wide: expensive per-row
+    work must not ride a single small input split)."""
+    return with_repetition(_spread(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -1864,8 +1877,13 @@ def q_doc_embeddings(spark, sf_dir):
     Weinberger et al. 2009): text → L2-normalized 64-dim vector entirely in
     generated SQL — the embedding generator feeding the ANN/kNN/k-means
     family; one (doc_id) shuffle of map-side-combined partial sums.
-    Vectors exploded to (doc_id, pos, val) at the catalog boundary."""
-    return _flatten_vec(rk.hashed_doc_embeddings(_t(spark, sf_dir, "documents")), "embedding")
+    Vectors exploded to (doc_id, pos, val) at the catalog boundary; input
+    spread wide (hash-per-token work must not ride one small split —
+    cheap-tokenize rankers measured FASTER unspread, so only the
+    hash-heavy generator gets it)."""
+    return _flatten_vec(
+        rk.hashed_doc_embeddings(_spread(_t(spark, sf_dir, "documents"))), "embedding"
+    )
 
 
 @register("unigram_logprob", rk.unigram_logprob_scores_oracle())
@@ -2135,8 +2153,9 @@ def q_text_metrics(spark, sf_dir):
     stopword-vote language ID, and the md5 content fingerprint. All
     generated-SQL column expressions (functions/text.py) — at 100 TB this is
     a zero-shuffle scan-stage projection; computing the six families
-    separately would cost six scans of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    separately would cost six scans of the corpus (spread wide: this much
+    per-row work must not ride a single small input split)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     tok = token_count_sql("spark", "text")
     qual = quality_sql("spark", "text")
     pii = {k: e for k, e in pii_scrub_sql("spark", "text").items() if k.startswith("n_")}
