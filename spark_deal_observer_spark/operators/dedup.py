@@ -404,6 +404,108 @@ def _hashed_shingle_sets(docs: DataFrame) -> DataFrame:
     return published(docs, "shingle_sets", (), build)
 
 
+def lsh_candidate_recall(
+    docs: DataFrame,
+    probe_mod: int = 10,
+    thresholds: tuple[float, ...] = (0.35, 0.5, 0.7),
+) -> DataFrame:
+    """(threshold, n_true, n_hit, recall): candidate recall of the banded
+    MinHash LSH against EXACT Jaccard ground truth, per threshold — the
+    dedup family's analog of `ann_recall_report`: the eval a pipeline runs
+    before trusting its blocking to not silently drop duplicate mass.
+
+    Ground truth for a deterministic probe subset (doc_id % probe_mod == 3)
+    comes from an inverted-index EQUI-join: probe shingles ⋈ corpus
+    shingles on the shingle value, counted per (probe, doc) — exact
+    |A∩B| for every pair sharing ≥1 shingle (pairs sharing none have
+    Jaccard 0 and can't reach any threshold), with NO product join
+    anywhere. Cost is Σ over probe shingles of df(shingle): linear in the
+    corpus for a fixed probe fraction — the same probe-audit scale shape
+    as the CMS sketch audit. The banded index (4 bands × 2 rows over 8
+    minhashes) targets Jaccard ≳ 0.5; measuring recall AT 0.35 as well
+    documents what the blocking is expected to miss."""
+    sh = _hashed_shingle_sets(docs)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    pe = (
+        sh.where(F.col("doc_id") % probe_mod == 3)
+        .select(F.col("doc_id").alias("probe"), F.explode("sh").alias("g"))
+    )
+    de = sh.select(F.col("doc_id").alias("doc"), F.explode("sh").alias("g"))
+    inter = (
+        pe.join(de, "g")
+        .where(F.col("doc") != F.col("probe"))
+        .groupBy("probe", "doc")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("probe"), F.col("n").alias("np")), "probe"
+        )
+        .join(sizes.select(F.col("doc_id").alias("doc"), F.col("n").alias("nd")), "doc")
+        .select(
+            F.least("probe", "doc").alias("doc_a"),
+            F.greatest("probe", "doc").alias("doc_b"),
+            (F.col("c") / (F.col("np") + F.col("nd") - F.col("c"))).alias("jac"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = minhash_lsh_pairs(docs).withColumn("hit", F.lit(1))
+    scored = jac.join(cands, ["doc_a", "doc_b"], "left")
+    parts = []
+    for t in thresholds:
+        parts.append(
+            scored.where(F.col("jac") >= t).agg(
+                F.lit(float(t)).alias("threshold"),
+                F.count("*").alias("n_true"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    recall = F.when(
+        F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
+    )
+    return out.select("threshold", "n_true", "n_hit", recall.alias("recall"))
+
+
+def lsh_candidate_recall_oracle(
+    probe_mod: int = 10, thresholds: tuple[float, ...] = (0.35, 0.5, 0.7)
+) -> str:
+    sh = hashed_shingles_sql("duckdb", "text")
+    per_t = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_hit,
+               CASE WHEN count(*) > 0
+                    THEN ROUND(CAST(COALESCE(sum(hit), 0) AS DOUBLE) / count(*), 6)
+               END AS recall
+           FROM scored WHERE jac >= {t}"""
+        for t in thresholds
+    )
+    return f"""
+        WITH shs AS (SELECT doc_id, {sh} AS sh FROM documents),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shs),
+        pe AS (SELECT doc_id AS probe, unnest(sh) AS g FROM shs
+               WHERE doc_id % {probe_mod} = 3),
+        de AS (SELECT doc_id AS doc, unnest(sh) AS g FROM shs),
+        inter AS (SELECT probe, doc, count(*) AS c FROM pe JOIN de USING (g)
+                  WHERE doc != probe GROUP BY probe, doc),
+        jac AS (SELECT DISTINCT least(probe, doc) AS doc_a,
+                       greatest(probe, doc) AS doc_b,
+                       CAST(c AS DOUBLE) / (np + nd - c) AS jac
+                FROM inter
+                JOIN (SELECT doc_id AS probe, n AS np FROM sizes) USING (probe)
+                JOIN (SELECT doc_id AS doc, n AS nd FROM sizes) USING (doc)),
+        cands AS ({minhash_lsh_pairs_oracle()}),
+        scored AS (SELECT j.doc_a, j.doc_b, j.jac,
+                          CASE WHEN c2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                   FROM jac j LEFT JOIN cands c2
+                     ON j.doc_a = c2.doc_a AND j.doc_b = c2.doc_b)
+        {per_t}
+    """
+
+
 def ngram_jaccard_pairs_oracle(threshold: float = 0.35) -> str:
     sh = hashed_shingles_sql("duckdb", "text")
     return f"""

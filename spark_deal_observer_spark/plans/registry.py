@@ -63,12 +63,14 @@ def _spread(df: DataFrame) -> DataFrame:
     """Give a CPU-heavy scan stage parallelism ≥ cores when the input is a
     handful of small splits (sf0.1's documents table is ONE 5 MB parquet
     split, so regex/n-gram projections would run one-core no matter how
-    many executors exist). The repartition moves trivial bytes here; at
-    100 TB the scan's own splits provide the parallelism and this is a
-    no-op — the pathology is specifically small-input × expensive-row,
-    the CPU twin of the AQE-coalesce note in SCALE.md §5."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    many executors exist) — operators.dedup.spread_cpu, re-exported for
+    the catalog queries whose heavy work lives in the registered
+    projection itself rather than inside an operator. Applied only where
+    measured faster: the cheap-tokenize rankers lose more to the text
+    shuffle than their scans cost (SCALE.md §5)."""
+    from ..operators.dedup import spread_cpu
+
+    return spread_cpu(df)
 
 
 def _flatten_vec(df: DataFrame, col: str, pos: str = "pos", val: str = "val") -> DataFrame:
@@ -947,6 +949,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 5-gram Jaccard (threshold 0.35) as a verify stage over the
     MinHash-LSH candidate pairs — LSH proposes, exact Jaccard disposes."""
     return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_lsh_recall", dd.lsh_candidate_recall_oracle())
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Candidate recall of the banded MinHash LSH vs EXACT Jaccard ground
+    truth for a deterministic probe subset, per threshold — the dedup
+    family's `ann_recall_report`: honest accounting of what the blocking
+    keeps and what it is designed to miss (the 4×2 banding targets
+    Jaccard ≳ 0.5). Ground truth by inverted-index equi-join (probe-audit
+    shape — linear in corpus for a fixed probe fraction, no product
+    join)."""
+    return dd.lsh_candidate_recall(_t(spark, sf_dir, "documents"))
 
 
 @register("dedup_embedding", sim.embedding_near_pairs_oracle())
@@ -2867,6 +2881,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
     "session_window_stats",  # native session_window vs gaps-and-islands oracle
     "view_click_attribution",  # stream-stream join surface, batch twin
+    "dedup_lsh_recall",      # LSH candidate recall vs exact Jaccard truth
     "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
     "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
     "filter_isnull",         # P1 (suite row above)

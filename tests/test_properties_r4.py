@@ -44,3 +44,18 @@ def test_drift_monitor_skips_empty_batch_division(spark, tmp_path):
     assert rows[1]["n_docs"] == 0
     assert rows[1]["psi"] == 0.0
     assert rows[0]["psi"] is not None
+
+
+def test_lsh_candidate_recall_floor(spark):
+    """The banded MinHash blocking must keep ALL high-confidence duplicate
+    mass: recall vs exact Jaccard ground truth at the banding's design
+    point (>= 0.5) and above must stay 1.0 (everything is deterministic —
+    any drop is an index regression, not noise). The 0.35 row is reported
+    for honesty but unpinned: the 4x2 banding does not promise it."""
+    rows = {
+        r["threshold"]: r
+        for r in REGISTRY["dedup_lsh_recall"].fn(spark, SF_ORACLE).collect()
+    }
+    for t in (0.5, 0.7):
+        assert rows[t]["n_true"] > 0
+        assert rows[t]["recall"] == 1.0, (t, rows[t])
