@@ -419,11 +419,15 @@ def lsh_candidate_recall(
     shingles on the shingle value, counted per (probe, doc) — exact
     |A∩B| for every pair sharing ≥1 shingle (pairs sharing none have
     Jaccard 0 and can't reach any threshold), with NO product join
-    anywhere. Cost is Σ over probe shingles of df(shingle): linear in the
-    corpus for a fixed probe fraction — the same probe-audit scale shape
-    as the CMS sketch audit. The banded index (4 bands × 2 rows over 8
-    minhashes) targets Jaccard ≳ 0.5; measuring recall AT 0.35 as well
-    documents what the blocking is expected to miss."""
+    anywhere. Cost is Σ over probe shingles of df(shingle) — so the scale
+    CONTRACT is a fixed probe COUNT: scale `probe_mod` with the corpus
+    (same knob discipline as contrastive_negatives' n_buckets). Held as a
+    fixed FRACTION, probes×df grows quadratically with corpus size
+    (measured: the 10× run at probe_mod=10 was terminated; at
+    probe_mod=100 — same ~500 probes — it tracks df growth, SCALE.md §4).
+    The banded index (4 bands × 2 rows over 8 minhashes) targets Jaccard
+    ≳ 0.5; measuring recall AT 0.35 as well documents what the blocking
+    is expected to miss."""
     sh = _hashed_shingle_sets(docs)
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     pe = (
