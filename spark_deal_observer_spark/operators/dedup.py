@@ -455,18 +455,22 @@ def lsh_candidate_recall(
     )
     cands = minhash_lsh_pairs(docs).withColumn("hit", F.lit(1))
     scored = jac.join(cands, ["doc_a", "doc_b"], "left")
-    parts = []
-    for t in thresholds:
-        parts.append(
-            scored.where(F.col("jac") >= t).agg(
-                F.lit(float(t)).alias("threshold"),
-                F.count("*").alias("n_true"),
-                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
-            )
+    # ONE conditional-sum aggregate for every threshold (a union of
+    # per-threshold aggregates would re-execute the ground-truth join once
+    # per threshold — 3× the dominant cost), unpivoted with stack().
+    aggs = []
+    for i, t in enumerate(thresholds):
+        above = F.when(F.col("jac") >= t, 1).otherwise(0)
+        aggs.append(F.sum(above).cast("bigint").alias(f"t{i}"))
+        aggs.append(
+            F.sum(above * F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(f"h{i}")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+    stack = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), t{i}, h{i}" for i, t in enumerate(thresholds)
+    )
+    out = scored.agg(*aggs).selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS (threshold, n_true, n_hit)"
+    )
     recall = F.when(
         F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
     )
