@@ -191,6 +191,98 @@ def q_state_update_merge(spark, sf_dir):
     return merge_update(deals, resolved, ["id"])
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: classify every key as added / removed /
+    changed between two states of the deal table (an earlier snapshot
+    missing the recently-activated deals, and the current state with
+    payload transitions applied and expired rows cleaned up) — the
+    observer pattern's "what changed since the last tick" as ONE
+    declarative query: full-outer join on the key, IS DISTINCT FROM
+    change detection, changed field names reported. At scale both sides
+    shuffle once on the key; unchanged rows never leave the join."""
+    cols = ["payload_retrievability_state", "last_payload_retrieval_attempt"]
+    full = deals_df(spark, sf_dir)
+    old = full.where(F.col("activated_at_epoch") < SEASONED_EPOCH).select(
+        "id", *[F.col(c).alias(f"o_{c}") for c in cols]
+    ).withColumn("o_present", F.lit(1))
+    alive = full.where(
+        epoch_to_timestamp(F.col("term_start_epoch") + F.col("term_min"))
+        > F.lit(REF_TS).cast("timestamp_ntz")
+    ).select("id")
+    new = (
+        REGISTRY["state_update_merge"].fn(spark, sf_dir)
+        .join(alive, "id", "left_semi")
+        .select("id", *[F.col(c).alias(f"n_{c}") for c in cols])
+        .withColumn("n_present", F.lit(1))
+    )
+    j = old.join(new, "id", "full_outer")
+    diffs = [
+        F.when(~F.col(f"n_{c}").eqNullSafe(F.col(f"o_{c}")), F.lit(c)) for c in cols
+    ]
+    any_diff = F.concat_ws(",", *diffs) != ""
+    op = (
+        F.when(F.col("o_present").isNull(), "added")
+        .when(F.col("n_present").isNull(), "removed")
+        .when(any_diff, "changed")
+    )
+    changed_fields = F.when(
+        F.col("o_present").isNotNull() & F.col("n_present").isNotNull(),
+        F.concat_ws(",", *diffs),
+    )
+    return (
+        j.select("id", op.alias("op"), changed_fields.alias("changed_fields"))
+        .where(F.col("op").isNotNull())
+    )
+
+
+REGISTRY["snapshot_diff"] = QueryDef(
+    q_snapshot_diff,
+    oracle_with_deals(
+        f"""
+        , old AS (
+          SELECT id, payload_retrievability_state AS s,
+                 last_payload_retrieval_attempt AS a
+          FROM deals WHERE activated_at_epoch < {SEASONED_EPOCH}),
+        mrg AS (
+          SELECT id,
+                 CASE WHEN payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+                           AND payload_cid IS NOT NULL
+                      THEN 'PAYLOAD_CID_RESOLVED'
+                      ELSE payload_retrievability_state END AS s,
+                 CASE WHEN payload_retrievability_state = 'PAYLOAD_CID_UNRESOLVED'
+                           AND payload_cid IS NOT NULL
+                      THEN TIMESTAMP '{REF_TS}'
+                      ELSE last_payload_retrieval_attempt END AS a
+          FROM deals),
+        alive AS (
+          SELECT id FROM deals
+          WHERE (TIMESTAMP '1970-01-01 00:00:00'
+                 + INTERVAL ((term_start_epoch + term_min) * {EPOCH_SECONDS}
+                             + {GENESIS_UNIX}) SECOND) > TIMESTAMP '{REF_TS}'),
+        new AS (SELECT m.* FROM mrg m JOIN alive USING (id)),
+        j AS (
+          SELECT COALESCE(o.id, n.id) AS id,
+                 o.id IS NOT NULL AS op_, n.id IS NOT NULL AS np_,
+                 o.s AS os, o.a AS oa, n.s AS ns, n.a AS na
+          FROM old o FULL JOIN new n ON o.id = n.id)
+        SELECT id,
+               CASE WHEN NOT op_ THEN 'added'
+                    WHEN NOT np_ THEN 'removed'
+                    ELSE 'changed' END AS op,
+               CASE WHEN op_ AND np_ THEN concat_ws(',',
+                    CASE WHEN ns IS DISTINCT FROM os
+                         THEN 'payload_retrievability_state' END,
+                    CASE WHEN na IS DISTINCT FROM oa
+                         THEN 'last_payload_retrieval_attempt' END) END AS changed_fields
+        FROM j
+        WHERE (NOT op_) OR (NOT np_)
+           OR ns IS DISTINCT FROM os OR na IS DISTINCT FROM oa
+        """
+    ),
+)
+
+
+
 @register(
     "mark_submitted",
     oracle_with_deals(
@@ -2882,6 +2974,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "session_window_stats",  # native session_window vs gaps-and-islands oracle
     "view_click_attribution",  # stream-stream join surface, batch twin
     "dedup_lsh_recall",      # LSH candidate recall vs exact Jaccard truth
+    "snapshot_diff",         # CDC added/removed/changed between table states
     "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
     "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
     "filter_isnull",         # P1 (suite row above)
