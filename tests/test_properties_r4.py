@@ -59,3 +59,27 @@ def test_lsh_candidate_recall_floor(spark):
     for t in (0.5, 0.7):
         assert rows[t]["n_true"] > 0
         assert rows[t]["recall"] == 1.0, (t, rows[t])
+
+
+def test_exact_quantiles_edges(spark):
+    """The sketch-bracket + exact-refine quantile must agree with Spark's
+    exact percentile aggregate on the awkward inputs: boundary p, constant
+    columns, NULLs, tiny n, and exact-interpolation points."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.operators.profile import exact_quantiles
+
+    cases = [
+        ("plain", [float(v) for v in range(101)], [0.0, 0.05, 0.5, 0.95, 1.0]),
+        ("tiny", [3.0, 1.0], [0.0, 0.25, 0.5, 1.0]),
+        ("constant", [7.5] * 40, [0.05, 0.95]),
+        ("with_nulls", [None, 1.0, None, 2.0, 3.0, None], [0.5, 0.95]),
+        ("duplicates", [1.0] * 30 + [2.0] * 30 + [9.0], [0.05, 0.5, 0.95]),
+    ]
+    for name, vals, ps in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_quantiles(df, "x", ps)
+        want = df.agg(
+            F.expr(f"percentile(x, array({', '.join(map(repr, ps))}))")
+        ).collect()[0][0]
+        assert got == [float(w) for w in want], (name, got, want)
