@@ -242,7 +242,10 @@ def exact_quantiles(df: DataFrame, col: str, ps: list[float]) -> list[float]:
         F.count(F.col(col)).alias("n"),
         F.percentile_approx(col, probe, acc).alias("qs"),
     ).collect()[0]
-    n, qs = row["n"], dict(zip(probe, row["qs"]))
+    n = row["n"]
+    if n == 0:  # no non-null values: every quantile is NULL (as percentile's)
+        return [None] * len(ps)
+    qs = dict(zip(probe, row["qs"]))
     aggs = []
     for i, (lo_p, hi_p) in enumerate(brackets):
         lo_v, hi_v = qs[lo_p], qs[hi_p]

@@ -6,8 +6,9 @@ delegating the write, and appends it to an audit log partitioned by
 batch_id. `snapshot_diff` (plans/registry.py) is the batch form of the same
 classification over two full table states; this is the continuous form over
 the write path, which is the reference's whole reason to exist (the observe
-loop turns chain state into table changes; an auditable pipeline also needs
-the reverse record of what each tick did to the table).
+loop turns chain state into table changes — deal-observer.js:67-122,
+INSERT/UPDATE per tick; an auditable pipeline also needs the reverse record
+of what each tick did to the table).
 
 Scale posture:
   * the diff reads the stored table ONCE per tick through a semi-join on

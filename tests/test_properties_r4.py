@@ -83,3 +83,11 @@ def test_exact_quantiles_edges(spark):
             F.expr(f"percentile(x, array({', '.join(map(repr, ps))}))")
         ).collect()[0][0]
         assert got == [float(w) for w in want], (name, got, want)
+
+
+def test_exact_quantiles_empty_input(spark):
+    from spark_deal_observer_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    assert exact_quantiles(df, "x", [0.05, 0.95]) == [None, None]
+    assert exact_quantiles(df.limit(0), "x", [0.5]) == [None]
