@@ -2890,6 +2890,97 @@ REGISTRY["sketch_suite"] = QueryDef(
 )
 
 
+@register("diff_session_recall_suite", None)  # oracle assembled below
+def q_diff_session_recall_suite(spark, sf_dir):
+    """The round-4 flagship families in one gate slot: CDC snapshot diff,
+    native-session_window sessionization, stream-stream attribution (batch
+    form), and LSH candidate recall — melted to a common
+    (section, key, metric, value_num, value_str, value_ts) long format.
+    Session identity uses a per-user rank instead of a stringified
+    timestamp (timestamp RENDERING differs across engines; timestamp
+    VALUES compare fine, so starts/ends ride the typed value_ts column)."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    null_ts = "CAST(NULL AS TIMESTAMP_NTZ) AS value_ts"
+    diff = REGISTRY["snapshot_diff"].fn(spark, sf_dir).selectExpr(
+        "'diff' AS section",
+        "CAST(id AS STRING) AS key",
+        "op AS metric",
+        null_num,
+        "changed_fields AS value_str",
+        null_ts,
+    )
+    sess = REGISTRY["session_window_stats"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    sess_m = (
+        sess.withColumn("rn", F.row_number().over(w))
+        .selectExpr(
+            "'session' AS section",
+            "concat(CAST(user_id AS STRING), ':', CAST(rn AS STRING)) AS key",
+            "stack(4, 'n_events', CAST(n_events AS DOUBLE), CAST(NULL AS STRING), "
+            "CAST(NULL AS TIMESTAMP_NTZ), "
+            "'total_value', total_value, CAST(NULL AS STRING), CAST(NULL AS TIMESTAMP_NTZ), "
+            "'session_start', CAST(NULL AS DOUBLE), CAST(NULL AS STRING), session_start, "
+            "'session_end', CAST(NULL AS DOUBLE), CAST(NULL AS STRING), session_end) "
+            "AS (metric, value_num, value_str, value_ts)",
+        )
+    )
+    attr = REGISTRY["view_click_attribution"].fn(spark, sf_dir).selectExpr(
+        "'attribution' AS section",
+        "concat(CAST(view_id AS STRING), ':', coalesce(CAST(click_id AS STRING), '-')) AS key",
+        "'pair' AS metric",
+        "CAST(user_id AS DOUBLE) AS value_num",
+        null_str,
+        "click_ts AS value_ts",
+    )
+    recall = REGISTRY["dedup_lsh_recall"].fn(spark, sf_dir).selectExpr(
+        "'lsh_recall' AS section",
+        "concat('t', CAST(CAST(ROUND(threshold * 100) AS INT) AS STRING)) AS key",
+        "stack(4, 'threshold', threshold, 'n_true', CAST(n_true AS DOUBLE), "
+        "'n_hit', CAST(n_hit AS DOUBLE), 'recall', recall) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
+    return diff.unionByName(sess_m).unionByName(attr).unionByName(recall)
+
+
+REGISTRY["diff_session_recall_suite"] = QueryDef(
+    REGISTRY["diff_session_recall_suite"].fn,
+    f"""
+    WITH diff AS ({REGISTRY["snapshot_diff"].oracle}),
+         sess0 AS ({REGISTRY["session_window_stats"].oracle}),
+         sess AS (SELECT s.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY session_start) AS rn FROM sess0 s),
+         attr AS ({REGISTRY["view_click_attribution"].oracle}),
+         rec AS ({REGISTRY["dedup_lsh_recall"].oracle})
+    SELECT 'diff' AS section, CAST(id AS VARCHAR) AS key, op AS metric,
+           CAST(NULL AS DOUBLE) AS value_num, changed_fields AS value_str,
+           CAST(NULL AS TIMESTAMP) AS value_ts FROM diff
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'total_value', total_value, NULL, NULL FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'session_start', NULL, NULL, CAST(session_start AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'session_end', NULL, NULL, CAST(session_end AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'attribution',
+           CAST(view_id AS VARCHAR) || ':' || COALESCE(CAST(click_id AS VARCHAR), '-'),
+           'pair', CAST(user_id AS DOUBLE), NULL, CAST(click_ts AS TIMESTAMP) FROM attr
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'threshold', threshold, NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'n_true', CAST(n_true AS DOUBLE), NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'n_hit', CAST(n_hit AS DOUBLE), NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'recall', recall, NULL, NULL FROM rec
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # driver ordering
 #
@@ -2928,7 +3019,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cbor_decode_pipeline",  # F4+F5+F6+F7+F15+P8 (decode, rename, CID, pivot, validate)
     "event_to_deal",         # F8
     # training-data pipeline: dedup family
-    "dedup_exact",
     "dedup_minhash_lsh",     # covers signature stage + banded candidate join
     "dedup_clusters",
     "dedup_pair_verify_suite",  # simhash hamming + n-gram Jaccard verifies, one slot
@@ -2969,7 +3059,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "profile_suite",         # table_profile + column_correlations + winsorized_stats
     "event_analytics_suite", # running_totals + percentile_rank + constraints + cohort
     "sketch_suite",          # cms_token_counts + ngram_heavy_hitters
+    "diff_session_recall_suite",  # snapshot diff + session windows + attribution + LSH recall
     # ---- fold: entries below rarely get a driver row (local-oracle-only) --
+    "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
     "session_window_stats",  # native session_window vs gaps-and-islands oracle
     "view_click_attribution",  # stream-stream join surface, batch twin
