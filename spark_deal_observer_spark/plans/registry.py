@@ -2981,6 +2981,101 @@ REGISTRY["diff_session_recall_suite"] = QueryDef(
 )
 
 
+@register("split_leakage_audit", None)  # oracle assembled below
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/val LEAKAGE audit: every verified near-duplicate pair
+    annotated with each side's deterministic split assignment and a
+    `leaks` flag for pairs that straddle the boundary — the eval-integrity
+    check a pretraining pipeline runs before trusting its held-out loss
+    (a val doc whose near-twin sits in train is measuring memorization,
+    not generalization).
+
+    Composition, not recompute: the pair set IS `dedup_ngram_jaccard`'s
+    output (LSH candidates + exact hashed-shingle Jaccard, published
+    signature artifacts) and the split IS `corpus_train_val_split`'s
+    hash-bucket assignment — the audit adds two narrow doc_id equi-joins
+    on top. The split side is one scan-stage expression per doc (no
+    shuffle); the pair side is |verified pairs|, already bounded by the
+    banding design. At 100 TB the joins shuffle on doc_id like every
+    verify stage; nothing new scales with corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs)
+    split = cp.train_val_split(docs).select("doc_id", "split")
+    a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            "jaccard",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+    )
+
+
+REGISTRY["split_leakage_audit"] = QueryDef(
+    REGISTRY["split_leakage_audit"].fn,
+    f"""
+    WITH pairs AS ({dd.ngram_jaccard_pairs_oracle()}),
+         split AS ({cp.train_val_split_oracle()})
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard, sa.split <> sb.split AS leaks
+    FROM pairs p
+    JOIN split sa ON p.doc_a = sa.doc_id
+    JOIN split sb ON p.doc_b = sb.doc_id
+    """,
+)
+
+
+@register("tokenizer_stats", None)  # oracle assembled below
+def q_tokenizer_stats(spark, sf_dir):
+    """Per-language tokenizer evaluation over the PUBLISHED BPE ladder:
+    (lang, n_docs, sum_before, sum_after, compression, chars_per_symbol)
+    — the fertility report a tokenizer trainer publishes alongside the
+    vocabulary (a language whose compression ratio lags the corpus mean is
+    under-served by the learned merges and over-pays tokens per character
+    at training time).
+
+    `bpe_encode` already produces per-doc symbol counts before/after the
+    merges from the one shared training run (operators/models.py); this
+    aggregates them against the documents' language column — one narrow
+    doc_id join plus a ~|langs|-key map-side-combined aggregate, nothing
+    corpus-sized past the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = cp.bpe_encode(docs)
+    return (
+        enc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_before").cast("bigint").alias("sum_before"),
+            F.sum("n_after").cast("bigint").alias("sum_after"),
+            F.round(F.sum("n_before") / F.sum("n_after"), 6).alias("compression"),
+            F.round(F.sum("n_chars") / F.sum("n_after"), 6).alias("chars_per_symbol"),
+        )
+    )
+
+
+REGISTRY["tokenizer_stats"] = QueryDef(
+    REGISTRY["tokenizer_stats"].fn,
+    f"""
+    WITH enc AS ({cp.bpe_encode_oracle()})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_before) AS BIGINT) AS sum_before,
+           CAST(sum(e.n_after) AS BIGINT) AS sum_after,
+           ROUND(CAST(sum(e.n_before) AS DOUBLE) / sum(e.n_after), 6) AS compression,
+           ROUND(CAST(sum(d.n_chars) AS DOUBLE) / sum(e.n_after), 6) AS chars_per_symbol
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # driver ordering
 #
@@ -3156,6 +3251,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_brute_force",       # single-op forms inside ann_recall_report
     "ann_lsh_multiprobe",
     "corpus_quality_gate",   # single-op form inside corpus_e2e_pipeline
+    "split_leakage_audit",   # near-dup pairs straddling the train/val split
+    "tokenizer_stats",       # per-lang compression over the published BPE ladder
     "approx_distinct_users",
     "approx_quantiles_by_type",
 )

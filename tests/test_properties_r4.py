@@ -91,3 +91,40 @@ def test_exact_quantiles_empty_input(spark):
     df = spark.createDataFrame([(None,), (None,)], "x double")
     assert exact_quantiles(df, "x", [0.05, 0.95]) == [None, None]
     assert exact_quantiles(df.limit(0), "x", [0.5]) == [None]
+
+
+def test_split_leakage_audit_consistency(spark):
+    """The audit must be exactly the verified near-dup pair set annotated
+    with the deterministic split: same pairs as dedup_ngram_jaccard, split
+    labels identical to corpus_train_val_split, and `leaks` true iff the
+    two sides' splits differ."""
+    audit = REGISTRY["split_leakage_audit"].fn(spark, SF_ORACLE).collect()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).collect()
+    }
+    split = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["corpus_train_val_split"].fn(spark, SF_ORACLE).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in audit} == pairs
+    for r in audit:
+        assert r["split_a"] == split[r["doc_a"]]
+        assert r["split_b"] == split[r["doc_b"]]
+        assert r["leaks"] == (r["split_a"] != r["split_b"])
+
+
+def test_tokenizer_stats_invariants(spark):
+    """Merges only ever shrink a sequence (compression >= 1), every
+    language in the corpus gets a row, and doc counts tile the corpus."""
+    rows = REGISTRY["tokenizer_stats"].fn(spark, SF_ORACLE).collect()
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} == langs
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["sum_after"] <= r["sum_before"]
+        assert r["compression"] >= 1.0
+        assert r["chars_per_symbol"] > 0
