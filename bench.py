@@ -77,6 +77,13 @@ HEADLINE = [
     "event_analytics_suite",
     "sketch_suite",
     "pagerank_entities",
+    # r4 late: CDC/session/attribution/recall gate suite + tokenizer
+    # fertility over the shared BPE run. split_leakage_audit stays off the
+    # list by the standing pair-output exclusion (SCALE.md §4): its wall
+    # tracks verified-pair cardinality, which is quadratic in duplicate
+    # density by semantics.
+    "diff_session_recall_suite",
+    "tokenizer_stats",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays
