@@ -427,34 +427,50 @@ def lsh_candidate_recall(
     probe_mod=100 — same ~500 probes — it tracks df growth, SCALE.md §4).
     The banded index (4 bands × 2 rows over 8 minhashes) targets Jaccard
     ≳ 0.5; measuring recall AT 0.35 as well documents what the blocking
-    is expected to miss."""
-    sh = _hashed_shingle_sets(docs)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    pe = (
-        sh.where(F.col("doc_id") % probe_mod == 3)
-        .select(F.col("doc_id").alias("probe"), F.explode("sh").alias("g"))
-    )
-    de = sh.select(F.col("doc_id").alias("doc"), F.explode("sh").alias("g"))
-    inter = (
-        pe.join(de, "g")
-        .where(F.col("doc") != F.col("probe"))
-        .groupBy("probe", "doc")
-        .agg(F.count("*").alias("c"))
-    )
-    jac = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("probe"), F.col("n").alias("np")), "probe"
+    is expected to miss.
+
+    The scored ground-truth table (exact jaccard + candidate-hit flag per
+    probe pair) is PUBLISHED per (corpus, probe_mod) through the artifact
+    registry: it is probe-BOUNDED — |ground-truth pairs|, never corpus- or
+    candidate-sized — so unlike the 1.5 M-row candidate table (the
+    recorded negative result, SCALE.md §5) it falls on the
+    row-sized-artifacts-always-pay side of the rule. Every consumer after
+    the first (the gate suite, per-threshold re-reports, min-of-2 bench
+    passes) aggregates the published rows instead of re-running the
+    ground-truth equi-join and the candidate enumeration."""
+    from .models import published
+
+    def build() -> DataFrame:
+        sh = _hashed_shingle_sets(docs)
+        sizes = sh.select("doc_id", F.size("sh").alias("n"))
+        pe = (
+            sh.where(F.col("doc_id") % probe_mod == 3)
+            .select(F.col("doc_id").alias("probe"), F.explode("sh").alias("g"))
         )
-        .join(sizes.select(F.col("doc_id").alias("doc"), F.col("n").alias("nd")), "doc")
-        .select(
-            F.least("probe", "doc").alias("doc_a"),
-            F.greatest("probe", "doc").alias("doc_b"),
-            (F.col("c") / (F.col("np") + F.col("nd") - F.col("c"))).alias("jac"),
+        de = sh.select(F.col("doc_id").alias("doc"), F.explode("sh").alias("g"))
+        inter = (
+            pe.join(de, "g")
+            .where(F.col("doc") != F.col("probe"))
+            .groupBy("probe", "doc")
+            .agg(F.count("*").alias("c"))
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    cands = minhash_lsh_pairs(docs).withColumn("hit", F.lit(1))
-    scored = jac.join(cands, ["doc_a", "doc_b"], "left")
+        jac = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("probe"), F.col("n").alias("np")),
+                "probe",
+            )
+            .join(sizes.select(F.col("doc_id").alias("doc"), F.col("n").alias("nd")), "doc")
+            .select(
+                F.least("probe", "doc").alias("doc_a"),
+                F.greatest("probe", "doc").alias("doc_b"),
+                (F.col("c") / (F.col("np") + F.col("nd") - F.col("c"))).alias("jac"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cands = minhash_lsh_pairs(docs).withColumn("hit", F.lit(1))
+        return jac.join(cands, ["doc_a", "doc_b"], "left").localCheckpoint(eager=True)
+
+    scored = published(docs, "lsh_recall_scored", (probe_mod,), build)
     # ONE conditional-sum aggregate for every threshold (a union of
     # per-threshold aggregates would re-execute the ground-truth join once
     # per threshold — 3× the dominant cost), unpivoted with stack().
