@@ -340,6 +340,26 @@ def simhash_near_pairs_oracle(max_hamming: int = 3) -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """PUBLISHED verified near-dup pair set: `ngram_jaccard_pairs_plan`'s
+    output checkpointed once per (corpus, threshold) through the artifact
+    registry. The verify verdict is output-sized (|true near-dups| —
+    row-bounded, unlike the candidate table whose publication is the
+    recorded negative result), and three in-session consumers re-derive
+    it otherwise: the gate pair-verify suite, the single-op catalog form,
+    and the train/val leakage audit. Plan-shape assertions
+    (tests/test_plans.py) target `ngram_jaccard_pairs_plan` — the logical
+    form this checkpoint materializes."""
+    from .models import published
+
+    return published(
+        docs,
+        "ngram_jaccard_pairs",
+        (threshold,),
+        lambda: ngram_jaccard_pairs_plan(docs, threshold).localCheckpoint(eager=True),
+    )
+
+
+def ngram_jaccard_pairs_plan(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Exact Jaccard over HASHED distinct 5-gram sets as a VERIFY stage
     over the MinHash-LSH candidate pairs (doc_a < doc_b, jaccard rounded
     to 6 dp).

@@ -2576,10 +2576,23 @@ def q_ann_recall_report(spark, sf_dir):
     Each method's top-k is a bounded list, so the report is three tiny
     joins; the trained quantizer/codebook artifacts are reused, not
     retrained (PQ's L2-metric recall against a cosine ground truth is the
-    honest mixed-metric number, reported as-is)."""
+    honest mixed-metric number, reported as-is). The k-row brute-force
+    ground-truth id set is PUBLISHED per (corpus, probe, k) — without
+    that, each tier's union branch re-executes the exact full scan
+    (row-sized artifact, same rule as the LSH-recall scored table) — and
+    broadcast into the three tiny hit joins."""
+    from ..operators.models import published
+
     emb = _t(spark, sf_dir, "embeddings")
     k = 10
-    bf = sim.brute_force_topk(emb, 0, k).select("vec_id")
+    bf = published(
+        emb,
+        "bf_topk_ids",
+        (0, k),
+        lambda: sim.brute_force_topk(emb, 0, k)
+        .select("vec_id")
+        .localCheckpoint(eager=True),
+    )
     methods = [
         ("ivf_kmeans", sim.ivf_kmeans_topk(emb, 0, k)),
         ("lsh_multiprobe", sim.lsh_multiprobe_topk(emb, 0, k)),
@@ -2589,7 +2602,7 @@ def q_ann_recall_report(spark, sf_dir):
     for name, df in methods:
         parts.append(
             df.select("vec_id")
-            .join(bf, "vec_id")
+            .join(F.broadcast(bf), "vec_id")
             .agg(
                 F.lit(name).alias("method"),
                 F.round(F.count("*") / k, 6).alias("recall"),
