@@ -340,33 +340,16 @@ def simhash_near_pairs_oracle(max_hamming: int = 3) -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """PUBLISHED verified near-dup pair set: `ngram_jaccard_pairs_plan`'s
-    output checkpointed once per (corpus, threshold) through the artifact
-    registry. The verify verdict is output-sized (|true near-dups| —
-    row-bounded, unlike the candidate table whose publication is the
-    recorded negative result), and three in-session consumers re-derive
-    it otherwise: the gate pair-verify suite, the single-op catalog form,
-    and the train/val leakage audit. Plan-shape assertions
-    (tests/test_plans.py) target `ngram_jaccard_pairs_plan` — the logical
-    form this checkpoint materializes."""
-    from .models import published
-
-    return published(
-        docs,
-        "ngram_jaccard_pairs",
-        (threshold,),
-        lambda: ngram_jaccard_pairs_plan(docs, threshold).localCheckpoint(eager=True),
-    )
-
-
-def ngram_jaccard_pairs_plan(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Exact Jaccard over HASHED distinct 5-gram sets as a VERIFY stage
     over the MinHash-LSH candidate pairs (doc_a < doc_b, jaccard rounded
     to 6 dp).
 
     This is the production dedup pipeline shape: LSH proposes (bounded per
     band bucket), exact Jaccard disposes. Pairwise work is |candidates|,
-    not any block², and each side re-joins its shingle set by doc_id.
+    not any block², and each side re-joins its shingle set by doc_id —
+    all of it inside the PUBLISHED `pair_intersections` table, so this
+    function (and every other verify policy) is arithmetic + a filter
+    over the one shared verify pass.
 
     The sets are the 31-bit hashed shingles MinHash itself consumes
     (`hashed_shingles_sql` — md5 paid once per doc, published per input),
@@ -377,17 +360,58 @@ def ngram_jaccard_pairs_plan(docs: DataFrame, threshold: float = 0.35) -> DataFr
     31-bit collisions — BOTH engines hash identically (portable md5), so
     the value-level oracle parity is exact, collisions included.
     |A∪B| = |A|+|B|−|A∩B| avoids building the union array."""
+    inter = pair_intersections(docs)
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def pair_intersections(docs: DataFrame) -> DataFrame:
+    """PUBLISHED per-candidate intersection table
+    (doc_a, doc_b, i=|A∩B|, na=|A|, nb=|B|): `pair_intersections_plan`
+    checkpointed once per corpus input.
+
+    This is the SHARED dominant compute of the whole verify family —
+    Jaccard (i/(na+nb−i)) and both containment directions (i/na, i/nb)
+    are arithmetic over the same three integers, so jaccard/containment/
+    suite/audit consumers re-ran identical candidate⋈shingle joins and
+    array_intersect passes. Distinct from the recorded negative result
+    (publishing the RAW candidate table, whose re-derivation was cheaper
+    than its materialization): here the build contains the verify compute
+    every consumer needs anyway, and the checkpoint adds only the write
+    of |candidates| five-integer rows. At 100 TB this is the materialized
+    verify table a dedup pipeline persists next to its signature store —
+    candidate-bounded, written once, filtered by every policy
+    (threshold / direction) downstream."""
+    from .models import published
+
+    return published(
+        docs,
+        "pair_intersections",
+        (),
+        lambda: pair_intersections_plan(docs).localCheckpoint(eager=True),
+    )
+
+
+def pair_intersections_plan(docs: DataFrame) -> DataFrame:
+    """The logical verify build: LSH candidates re-joined to the published
+    hashed-shingle sets by primary key, one array_intersect per candidate.
+    Plan-shape assertions (tests/test_plans.py) target this form — the
+    published checkpoint's plan is a scan by design."""
     cands = minhash_lsh_pairs(docs)
     with_sh = _hashed_shingle_sets(docs)
     a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    return (
-        _verify_join(cands, a, b)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return _verify_join(cands, a, b).select(
+        "doc_a",
+        "doc_b",
+        inter.alias("i"),
+        F.size("sh_a").alias("na"),
+        F.size("sh_b").alias("nb"),
     )
 
 
@@ -914,15 +938,11 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     Emits both directions per candidate pair that clear `threshold`:
     (contained_doc, container_doc, containment). Same scale posture as the
     Jaccard verify — |candidates| work over the published hashed-shingle
-    sets, never any block²."""
-    cands = minhash_lsh_pairs(docs)
-    with_sh = _hashed_shingle_sets(docs)
-    a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    joined = _verify_join(cands, a, b).select(
-        "doc_a", "doc_b", inter.alias("i"),
-        F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+    sets, never any block²; the (i, na, nb) integers come from the SHARED
+    published `pair_intersections` table, so the Jaccard and containment
+    policies price one verify pass between them."""
+    joined = pair_intersections(docs).select(
+        "doc_a", "doc_b", F.col("i").cast("double").alias("i"), "na", "nb"
     )
     ab = joined.select(
         F.col("doc_a").alias("contained_doc"),

@@ -123,13 +123,14 @@ def test_simhash_pairs_block_on_band_prefix(spark):
 def test_jaccard_is_candidate_verify(spark):
     """n-gram Jaccard runs over LSH candidates joined back by primary key:
     equality joins only, no product-shaped join anywhere in the plan.
-    Asserted on the logical builder (`ngram_jaccard_pairs_plan`) — the
+    Asserted on the logical builder (`pair_intersections_plan`, the shared
+    verify build behind the Jaccard and containment policies) — the
     registered query returns its published checkpoint, whose plan is a
     scan by design."""
-    from spark_deal_observer_spark.operators.dedup import ngram_jaccard_pairs_plan
+    from spark_deal_observer_spark.operators.dedup import pair_intersections_plan
     from spark_deal_observer_spark.sources.tables import load_table
 
-    p = plan(ngram_jaccard_pairs_plan(load_table(spark, SF_ORACLE, "documents")))
+    p = plan(pair_intersections_plan(load_table(spark, SF_ORACLE, "documents")))
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in p, f"{marker} in plan:\n{p}"
     assert "hashpartitioning(band" in p, p  # the LSH bucket stage is inside
