@@ -2907,7 +2907,8 @@ REGISTRY["sketch_suite"] = QueryDef(
 def q_diff_session_recall_suite(spark, sf_dir):
     """The round-4 flagship families in one gate slot: CDC snapshot diff,
     native-session_window sessionization, stream-stream attribution (batch
-    form), and LSH candidate recall — melted to a common
+    form), LSH candidate recall, the train/val leakage audit, and the
+    per-language tokenizer fertility report — melted to a common
     (section, key, metric, value_num, value_str, value_ts) long format.
     Session identity uses a per-user rank instead of a stringified
     timestamp (timestamp RENDERING differs across engines; timestamp
@@ -2952,46 +2953,30 @@ def q_diff_session_recall_suite(spark, sf_dir):
         "stack(4, 'threshold', threshold, 'n_true', CAST(n_true AS DOUBLE), "
         "'n_hit', CAST(n_hit AS DOUBLE), 'recall', recall) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
-    return diff.unionByName(sess_m).unionByName(attr).unionByName(recall)
-
-
-REGISTRY["diff_session_recall_suite"] = QueryDef(
-    REGISTRY["diff_session_recall_suite"].fn,
-    f"""
-    WITH diff AS ({REGISTRY["snapshot_diff"].oracle}),
-         sess0 AS ({REGISTRY["session_window_stats"].oracle}),
-         sess AS (SELECT s.*, row_number() OVER (PARTITION BY user_id
-                    ORDER BY session_start) AS rn FROM sess0 s),
-         attr AS ({REGISTRY["view_click_attribution"].oracle}),
-         rec AS ({REGISTRY["dedup_lsh_recall"].oracle})
-    SELECT 'diff' AS section, CAST(id AS VARCHAR) AS key, op AS metric,
-           CAST(NULL AS DOUBLE) AS value_num, changed_fields AS value_str,
-           CAST(NULL AS TIMESTAMP) AS value_ts FROM diff
-    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
-           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM sess
-    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
-           'total_value', total_value, NULL, NULL FROM sess
-    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
-           'session_start', NULL, NULL, CAST(session_start AS TIMESTAMP) FROM sess
-    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
-           'session_end', NULL, NULL, CAST(session_end AS TIMESTAMP) FROM sess
-    UNION ALL SELECT 'attribution',
-           CAST(view_id AS VARCHAR) || ':' || COALESCE(CAST(click_id AS VARCHAR), '-'),
-           'pair', CAST(user_id AS DOUBLE), NULL, CAST(click_ts AS TIMESTAMP) FROM attr
-    UNION ALL SELECT 'lsh_recall',
-           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
-           'threshold', threshold, NULL, NULL FROM rec
-    UNION ALL SELECT 'lsh_recall',
-           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
-           'n_true', CAST(n_true AS DOUBLE), NULL, NULL FROM rec
-    UNION ALL SELECT 'lsh_recall',
-           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
-           'n_hit', CAST(n_hit AS DOUBLE), NULL, NULL FROM rec
-    UNION ALL SELECT 'lsh_recall',
-           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
-           'recall', recall, NULL, NULL FROM rec
-    """,
-)
+    leak = REGISTRY["split_leakage_audit"].fn(spark, sf_dir).selectExpr(
+        "'leakage' AS section",
+        "concat(CAST(doc_a AS STRING), ':', CAST(doc_b AS STRING)) AS key",
+        "concat(split_a, '>', split_b) AS metric",
+        "jaccard AS value_num",
+        "CAST(leaks AS STRING) AS value_str",
+        null_ts,
+    )
+    tok = REGISTRY["tokenizer_stats"].fn(spark, sf_dir).selectExpr(
+        "'tokenizer' AS section",
+        "lang AS key",
+        "stack(5, 'n_docs', CAST(n_docs AS DOUBLE), "
+        "'sum_before', CAST(sum_before AS DOUBLE), "
+        "'sum_after', CAST(sum_after AS DOUBLE), "
+        "'compression', compression, "
+        "'chars_per_symbol', chars_per_symbol) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
+    return (
+        diff.unionByName(sess_m)
+        .unionByName(attr)
+        .unionByName(recall)
+        .unionByName(leak)
+        .unionByName(tok)
+    )
 
 
 @register("split_leakage_audit", None)  # oracle assembled below
@@ -3085,6 +3070,60 @@ REGISTRY["tokenizer_stats"] = QueryDef(
            ROUND(CAST(sum(d.n_chars) AS DOUBLE) / sum(e.n_after), 6) AS chars_per_symbol
     FROM enc e JOIN documents d USING (doc_id)
     GROUP BY d.lang
+    """,
+)
+
+
+REGISTRY["diff_session_recall_suite"] = QueryDef(
+    REGISTRY["diff_session_recall_suite"].fn,
+    f"""
+    WITH diff AS ({REGISTRY["snapshot_diff"].oracle}),
+         sess0 AS ({REGISTRY["session_window_stats"].oracle}),
+         sess AS (SELECT s.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY session_start) AS rn FROM sess0 s),
+         attr AS ({REGISTRY["view_click_attribution"].oracle}),
+         rec AS ({REGISTRY["dedup_lsh_recall"].oracle}),
+         leak AS ({REGISTRY["split_leakage_audit"].oracle}),
+         tok AS ({REGISTRY["tokenizer_stats"].oracle})
+    SELECT 'diff' AS section, CAST(id AS VARCHAR) AS key, op AS metric,
+           CAST(NULL AS DOUBLE) AS value_num, changed_fields AS value_str,
+           CAST(NULL AS TIMESTAMP) AS value_ts FROM diff
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'total_value', total_value, NULL, NULL FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'session_start', NULL, NULL, CAST(session_start AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'session', CAST(user_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+           'session_end', NULL, NULL, CAST(session_end AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'attribution',
+           CAST(view_id AS VARCHAR) || ':' || COALESCE(CAST(click_id AS VARCHAR), '-'),
+           'pair', CAST(user_id AS DOUBLE), NULL, CAST(click_ts AS TIMESTAMP) FROM attr
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'threshold', threshold, NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'n_true', CAST(n_true AS DOUBLE), NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'n_hit', CAST(n_hit AS DOUBLE), NULL, NULL FROM rec
+    UNION ALL SELECT 'lsh_recall',
+           't' || CAST(CAST(ROUND(threshold * 100) AS INT) AS VARCHAR),
+           'recall', recall, NULL, NULL FROM rec
+    UNION ALL SELECT 'leakage',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           split_a || '>' || split_b, jaccard, CAST(leaks AS VARCHAR), NULL FROM leak
+    UNION ALL SELECT 'tokenizer', lang, 'n_docs',
+           CAST(n_docs AS DOUBLE), NULL, NULL FROM tok
+    UNION ALL SELECT 'tokenizer', lang, 'sum_before',
+           CAST(sum_before AS DOUBLE), NULL, NULL FROM tok
+    UNION ALL SELECT 'tokenizer', lang, 'sum_after',
+           CAST(sum_after AS DOUBLE), NULL, NULL FROM tok
+    UNION ALL SELECT 'tokenizer', lang, 'compression',
+           compression, NULL, NULL FROM tok
+    UNION ALL SELECT 'tokenizer', lang, 'chars_per_symbol',
+           chars_per_symbol, NULL, NULL FROM tok
     """,
 )
 
