@@ -84,6 +84,15 @@ HEADLINE = [
     # density by semantics.
     "diff_session_recall_suite",
     "tokenizer_stats",
+    # r4 final gate curation: the remaining melted compound suites (each is
+    # several below-the-fold families in one slot; component queries remain
+    # individually timed by the full-catalog sweep)
+    "temporal_history_suite",
+    "tpch_agg_suite",
+    "multimodal_suite",
+    "text_scoring_suite",
+    "ann_tier_suite",
+    "ml_eval_suite",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -2819,6 +2819,7 @@ def q_event_analytics_suite(spark, sf_dir):
     pr = REGISTRY["percentile_rank_orders"].fn(spark, sf_dir)
     cv = REGISTRY["constraint_violations"].fn(spark, sf_dir)
     cr = REGISTRY["cohort_retention"].fn(spark, sf_dir)
+    fu = REGISTRY["funnel_conversion"].fn(spark, sf_dir)
     rt_m = rt.selectExpr(
         "'running' AS section",
         f"{okey} AS key",
@@ -2843,7 +2844,18 @@ def q_event_analytics_suite(spark, sf_dir):
         "'n_users' AS metric",
         "CAST(n_users AS DOUBLE) AS value",
     )
-    return rt_m.unionByName(pr_m).unionByName(cv_m).unionByName(cr_m)
+    fu_m = fu.selectExpr(
+        "'funnel' AS section",
+        "concat(CAST(step_n AS STRING), ':', step) AS key",
+        "'n_users' AS metric",
+        "CAST(n_users AS DOUBLE) AS value",
+    )
+    return (
+        rt_m.unionByName(pr_m)
+        .unionByName(cv_m)
+        .unionByName(cr_m)
+        .unionByName(fu_m)
+    )
 
 
 @register("sketch_suite", None)  # oracle assembled below from components
@@ -2873,7 +2885,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
     WITH rt AS ({REGISTRY["running_totals"].oracle}),
          pr AS ({REGISTRY["percentile_rank_orders"].oracle}),
          cv AS ({REGISTRY["constraint_violations"].oracle}),
-         cr AS ({REGISTRY["cohort_retention"].oracle})
+         cr AS ({REGISTRY["cohort_retention"].oracle}),
+         fu AS ({REGISTRY["funnel_conversion"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -2888,6 +2901,9 @@ REGISTRY["event_analytics_suite"] = QueryDef(
     UNION ALL SELECT 'cohort',
            CAST(CAST(cohort_day AS DATE) AS VARCHAR) || ':' || CAST(day_offset AS VARCHAR),
            'n_users', CAST(n_users AS DOUBLE) FROM cr
+    UNION ALL SELECT 'funnel',
+           CAST(step_n AS VARCHAR) || ':' || step,
+           'n_users', CAST(n_users AS DOUBLE) FROM fu
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -3129,6 +3145,509 @@ REGISTRY["diff_session_recall_suite"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
+# late round-4 compounds: five more below-the-fold families melted into one
+# gate slot each (same curation as profile_suite et al.). Timestamp-bearing
+# KEYS use epoch seconds (engine-neutral integer arithmetic on
+# TIMESTAMP_NTZ — timestamp RENDERING differs across engines); timestamp
+# VALUES ride a typed value_ts column. Components stay registered (and
+# locally oracle-verified) in their natural shapes below the fold.
+# ---------------------------------------------------------------------------
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+@register("temporal_history_suite", None)  # oracle assembled below
+def q_temporal_history_suite(spark, sf_dir):
+    """Event-time/history family in one gate slot: as-of join, gap
+    sessionization, interval (range) join, hypertable rollup, and SCD2
+    deal history, melted to (section, key, metric, value_num, value_str,
+    value_ts). The union is plan-level only — each component keeps its own
+    exchange shape, so the suite's cost is the sum of its parts."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    null_ts = "CAST(NULL AS TIMESTAMP_NTZ) AS value_ts"
+    asof = (
+        REGISTRY["asof_join_last_view"].fn(spark, sf_dir)
+        .selectExpr(
+            "'asof' AS section",
+            "CAST(purchase_id AS STRING) AS key",
+            "stack(3, 'user_id', CAST(user_id AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ), "
+            "'purchase_ts', CAST(NULL AS DOUBLE), purchase_ts, "
+            "'last_view_ts', CAST(NULL AS DOUBLE), last_view_ts) "
+            "AS (metric, value_num, value_ts)",
+        )
+        .selectExpr("section", "key", "metric", "value_num", null_str, "value_ts")
+    )
+    sess = (
+        REGISTRY["sessionize_events"].fn(spark, sf_dir)
+        .selectExpr(
+            "'session' AS section",
+            "concat(CAST(user_id AS STRING), ':', CAST(session_n AS STRING)) AS key",
+            "stack(3, 'n_events', CAST(n_events AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ), "
+            "'session_start', CAST(NULL AS DOUBLE), session_start, "
+            "'session_end', CAST(NULL AS DOUBLE), session_end) "
+            "AS (metric, value_num, value_ts)",
+        )
+        .selectExpr("section", "key", "metric", "value_num", null_str, "value_ts")
+    )
+    iv = REGISTRY["interval_range_join"].fn(spark, sf_dir).selectExpr(
+        "'interval' AS section",
+        "concat(CAST(error_event_id AS STRING), ':', CAST(event_id AS STRING)) AS key",
+        "'user_id' AS metric",
+        "CAST(user_id AS DOUBLE) AS value_num",
+        null_str,
+        null_ts,
+    )
+    roll = (
+        REGISTRY["hypertable_rollup"].fn(spark, sf_dir)
+        .selectExpr(
+            "'rollup' AS section",
+            f"concat(grain, ':', event_type, ':', CAST(timestampdiff(SECOND, "
+            f"{_EPOCH_NTZ}, bucket_ts) AS STRING)) AS key",
+            "stack(2, 'n_events', CAST(n_events AS DOUBLE), 'sum_value', sum_value) "
+            "AS (metric, value_num)",
+        )
+        .selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
+    )
+    scd = REGISTRY["scd2_deal_history"].fn(spark, sf_dir).selectExpr(
+        "'scd2' AS section",
+        f"concat(CAST(id AS STRING), ':', CAST(timestampdiff(SECOND, "
+        f"{_EPOCH_NTZ}, valid_from) AS STRING)) AS key",
+        "stack(3, 'state', CAST(NULL AS DOUBLE), state, CAST(NULL AS TIMESTAMP_NTZ), "
+        "'is_current', CAST(CAST(is_current AS INT) AS DOUBLE), CAST(NULL AS STRING), "
+        "CAST(NULL AS TIMESTAMP_NTZ), "
+        "'valid_to', CAST(NULL AS DOUBLE), CAST(NULL AS STRING), valid_to) "
+        "AS (metric, value_num, value_str, value_ts)",
+    )
+    return asof.unionByName(sess).unionByName(iv).unionByName(roll).unionByName(scd)
+
+
+REGISTRY["temporal_history_suite"] = QueryDef(
+    REGISTRY["temporal_history_suite"].fn,
+    f"""
+    WITH aof AS ({REGISTRY["asof_join_last_view"].oracle}),
+         sess AS ({REGISTRY["sessionize_events"].oracle}),
+         iv AS ({REGISTRY["interval_range_join"].oracle}),
+         roll AS ({REGISTRY["hypertable_rollup"].oracle}),
+         scd AS ({REGISTRY["scd2_deal_history"].oracle})
+    SELECT 'asof' AS section, CAST(purchase_id AS VARCHAR) AS key,
+           'user_id' AS metric, CAST(user_id AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str,
+           CAST(NULL AS TIMESTAMP) AS value_ts FROM aof
+    UNION ALL SELECT 'asof', CAST(purchase_id AS VARCHAR), 'purchase_ts',
+           NULL, NULL, CAST(purchase_ts AS TIMESTAMP) FROM aof
+    UNION ALL SELECT 'asof', CAST(purchase_id AS VARCHAR), 'last_view_ts',
+           NULL, NULL, CAST(last_view_ts AS TIMESTAMP) FROM aof
+    UNION ALL SELECT 'session',
+           CAST(user_id AS VARCHAR) || ':' || CAST(session_n AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM sess
+    UNION ALL SELECT 'session',
+           CAST(user_id AS VARCHAR) || ':' || CAST(session_n AS VARCHAR),
+           'session_start', NULL, NULL, CAST(session_start AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'session',
+           CAST(user_id AS VARCHAR) || ':' || CAST(session_n AS VARCHAR),
+           'session_end', NULL, NULL, CAST(session_end AS TIMESTAMP) FROM sess
+    UNION ALL SELECT 'interval',
+           CAST(error_event_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR),
+           'user_id', CAST(user_id AS DOUBLE), NULL, NULL FROM iv
+    UNION ALL SELECT 'rollup',
+           grain || ':' || event_type || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM roll
+    UNION ALL SELECT 'rollup',
+           grain || ':' || event_type || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
+           'sum_value', sum_value, NULL, NULL FROM roll
+    UNION ALL SELECT 'scd2',
+           CAST(id AS VARCHAR) || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', valid_from) AS VARCHAR),
+           'state', NULL, state, NULL FROM scd
+    UNION ALL SELECT 'scd2',
+           CAST(id AS VARCHAR) || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', valid_from) AS VARCHAR),
+           'is_current', CAST(CAST(is_current AS INT) AS DOUBLE), NULL, NULL FROM scd
+    UNION ALL SELECT 'scd2',
+           CAST(id AS VARCHAR) || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', valid_from) AS VARCHAR),
+           'valid_to', NULL, NULL, CAST(valid_to AS TIMESTAMP) FROM scd
+    """,
+)
+
+
+@register("tpch_agg_suite", None)  # oracle assembled below
+def q_tpch_agg_suite(spark, sf_dir):
+    """Classic analytics family in one gate slot: pricing summary
+    (TPC-H Q1 shape), revenue by nation (Q5 shape), top order per
+    customer, ROLLUP grouping sets, pivot counts, set ops, and exact
+    grouped quantiles — melted to (section, key, metric, value). All
+    numeric; ROLLUP's NULL grouping keys normalize through COALESCE so
+    both engines render identical key text."""
+    pricing = REGISTRY["agg_pricing_summary"].fn(spark, sf_dir).selectExpr(
+        "'pricing' AS section",
+        "concat(l_returnflag, ':', l_linestatus) AS key",
+        "stack(5, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price, "
+        "'sum_disc_price', sum_disc_price, 'avg_disc', avg_disc, "
+        "'count_order', CAST(count_order AS DOUBLE)) AS (metric, value)",
+    )
+    rev = REGISTRY["agg_revenue_by_nation"].fn(spark, sf_dir).selectExpr(
+        "'revenue' AS section", "n_name AS key", "'revenue' AS metric",
+        "revenue AS value",
+    )
+    topo = REGISTRY["window_top_order_per_cust"].fn(spark, sf_dir).selectExpr(
+        "'top_order' AS section",
+        "CAST(o_custkey AS STRING) AS key",
+        "stack(2, 'o_orderkey', CAST(o_orderkey AS DOUBLE), "
+        "'o_totalprice', o_totalprice) AS (metric, value)",
+    )
+    roll = REGISTRY["agg_rollup"].fn(spark, sf_dir).selectExpr(
+        "'rollup' AS section",
+        "concat(coalesce(event_type, '(all)'), ':', "
+        "coalesce(CAST(hr AS STRING), '(all)')) AS key",
+        "'n' AS metric",
+        "CAST(n AS DOUBLE) AS value",
+    )
+    piv = REGISTRY["pivot_counts"].fn(spark, sf_dir).selectExpr(
+        "'pivot' AS section",
+        "CAST(user_id AS STRING) AS key",
+        "stack(3, 'purchase', CAST(purchase AS DOUBLE), "
+        "'view', CAST(view AS DOUBLE), 'error', CAST(error AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+    so = REGISTRY["set_ops"].fn(spark, sf_dir).selectExpr(
+        "'set_ops' AS section", "CAST(user_id AS STRING) AS key",
+        "'present' AS metric", "CAST(1 AS DOUBLE) AS value",
+    )
+    qf = REGISTRY["quantiles_by_flag"].fn(spark, sf_dir).selectExpr(
+        "'quantiles' AS section",
+        "l_returnflag AS key",
+        "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)",
+    )
+    return (
+        pricing.unionByName(rev)
+        .unionByName(topo)
+        .unionByName(roll)
+        .unionByName(piv)
+        .unionByName(so)
+        .unionByName(qf)
+    )
+
+
+REGISTRY["tpch_agg_suite"] = QueryDef(
+    REGISTRY["tpch_agg_suite"].fn,
+    f"""
+    WITH pricing AS ({REGISTRY["agg_pricing_summary"].oracle}),
+         rev AS ({REGISTRY["agg_revenue_by_nation"].oracle}),
+         topo AS ({REGISTRY["window_top_order_per_cust"].oracle}),
+         roll AS ({REGISTRY["agg_rollup"].oracle}),
+         piv AS ({REGISTRY["pivot_counts"].oracle}),
+         so AS ({REGISTRY["set_ops"].oracle}),
+         qf AS ({REGISTRY["quantiles_by_flag"].oracle})
+    SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
+           'sum_qty' AS metric, sum_qty AS value FROM pricing
+    UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
+           'sum_base_price', sum_base_price FROM pricing
+    UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
+           'sum_disc_price', sum_disc_price FROM pricing
+    UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
+           'avg_disc', avg_disc FROM pricing
+    UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
+           'count_order', CAST(count_order AS DOUBLE) FROM pricing
+    UNION ALL SELECT 'revenue', n_name, 'revenue', revenue FROM rev
+    UNION ALL SELECT 'top_order', CAST(o_custkey AS VARCHAR),
+           'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM topo
+    UNION ALL SELECT 'top_order', CAST(o_custkey AS VARCHAR),
+           'o_totalprice', o_totalprice FROM topo
+    UNION ALL SELECT 'rollup',
+           COALESCE(event_type, '(all)') || ':' ||
+           COALESCE(CAST(hr AS VARCHAR), '(all)'),
+           'n', CAST(n AS DOUBLE) FROM roll
+    UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR),
+           'purchase', CAST(purchase AS DOUBLE) FROM piv
+    UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR),
+           'view', CAST(view AS DOUBLE) FROM piv
+    UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR),
+           'error', CAST(error AS DOUBLE) FROM piv
+    UNION ALL SELECT 'set_ops', CAST(user_id AS VARCHAR),
+           'present', CAST(1 AS DOUBLE) FROM so
+    UNION ALL SELECT 'quantiles', l_returnflag, 'p50', p50 FROM qf
+    UNION ALL SELECT 'quantiles', l_returnflag, 'p90', p90 FROM qf
+    UNION ALL SELECT 'quantiles', l_returnflag, 'p99', p99 FROM qf
+    """,
+)
+
+
+@register("multimodal_suite", None)  # oracle assembled below
+def q_multimodal_suite(spark, sf_dir):
+    """Multimodal family in one gate slot: the 1:N Arrow frame-sample
+    shape plus the 1:1 feature-extract and resize kernels and the
+    content-hash dedup — melted to (section, key, metric, value_num,
+    value_str). All four components share the mapInPandas Arrow batch
+    plumbing; the union adds no exchange."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    fr = REGISTRY["multimodal_frame_sample"].fn(spark, sf_dir).selectExpr(
+        "'frames' AS section",
+        "concat(CAST(doc_id AS STRING), ':', CAST(frame_idx AS STRING)) AS key",
+        "'frame_md5' AS metric",
+        null_num,
+        "frame_md5 AS value_str",
+    )
+    fe = REGISTRY["multimodal_features"].fn(spark, sf_dir).selectExpr(
+        "'features' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(3, 'num_bytes', CAST(num_bytes AS DOUBLE), CAST(NULL AS STRING), "
+        "'first_byte', CAST(first_byte AS DOUBLE), CAST(NULL AS STRING), "
+        "'content_md5', CAST(NULL AS DOUBLE), content_md5) "
+        "AS (metric, value_num, value_str)",
+    )
+    rs = REGISTRY["multimodal_resize"].fn(spark, sf_dir).selectExpr(
+        "'resize' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'num_bytes', CAST(num_bytes AS DOUBLE), CAST(NULL AS STRING), "
+        "'content_md5', CAST(NULL AS DOUBLE), content_md5) "
+        "AS (metric, value_num, value_str)",
+    )
+    dd_ = REGISTRY["multimodal_dedup"].fn(spark, sf_dir).selectExpr(
+        "'dedup' AS section",
+        "content_hash AS key",
+        "stack(2, 'n_copies', CAST(n_copies AS DOUBLE), "
+        "'keep_doc_id', CAST(keep_doc_id AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return fr.unionByName(fe).unionByName(rs).unionByName(dd_)
+
+
+REGISTRY["multimodal_suite"] = QueryDef(
+    REGISTRY["multimodal_suite"].fn,
+    f"""
+    WITH fr AS ({REGISTRY["multimodal_frame_sample"].oracle}),
+         fe AS ({REGISTRY["multimodal_features"].oracle}),
+         rs AS ({REGISTRY["multimodal_resize"].oracle}),
+         dd AS ({REGISTRY["multimodal_dedup"].oracle})
+    SELECT 'frames' AS section,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
+           'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
+           frame_md5 AS value_str FROM fr
+    UNION ALL SELECT 'features', CAST(doc_id AS VARCHAR), 'num_bytes',
+           CAST(num_bytes AS DOUBLE), NULL FROM fe
+    UNION ALL SELECT 'features', CAST(doc_id AS VARCHAR), 'first_byte',
+           CAST(first_byte AS DOUBLE), NULL FROM fe
+    UNION ALL SELECT 'features', CAST(doc_id AS VARCHAR), 'content_md5',
+           NULL, content_md5 FROM fe
+    UNION ALL SELECT 'resize', CAST(doc_id AS VARCHAR), 'num_bytes',
+           CAST(num_bytes AS DOUBLE), NULL FROM rs
+    UNION ALL SELECT 'resize', CAST(doc_id AS VARCHAR), 'content_md5',
+           NULL, content_md5 FROM rs
+    UNION ALL SELECT 'dedup', content_hash, 'n_copies',
+           CAST(n_copies AS DOUBLE), NULL FROM dd
+    UNION ALL SELECT 'dedup', content_hash, 'keep_doc_id',
+           CAST(keep_doc_id AS DOUBLE), NULL FROM dd
+    """,
+)
+
+
+@register("text_scoring_suite", None)  # oracle assembled below
+def q_text_scoring_suite(spark, sf_dir):
+    """Text-scoring family in one gate slot: unigram-LM mean log-prob,
+    PII scrub counts + scrubbed text, duplicate-n-gram repetition, the
+    per-language quality top-k, and the hashed doc-embedding projection
+    (pos/val rows) — melted to (section, key, metric, value_num,
+    value_str). Each component is a scan-stage expression or one bounded
+    aggregate; the union is plan-level only."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    ug = REGISTRY["unigram_logprob"].fn(spark, sf_dir).selectExpr(
+        "'unigram' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'mean_logprob' AS metric",
+        "mean_logprob AS value_num",
+        null_str,
+    )
+    pii = REGISTRY["text_pii_scrub"].fn(spark, sf_dir).selectExpr(
+        "'pii' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(4, 'n_email', CAST(n_email AS DOUBLE), CAST(NULL AS STRING), "
+        "'n_phone', CAST(n_phone AS DOUBLE), CAST(NULL AS STRING), "
+        "'n_ipv4', CAST(n_ipv4 AS DOUBLE), CAST(NULL AS STRING), "
+        "'scrubbed', CAST(NULL AS DOUBLE), scrubbed) "
+        "AS (metric, value_num, value_str)",
+    )
+    rep = REGISTRY["text_repetition"].fn(spark, sf_dir).selectExpr(
+        "'repetition' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'n_grams', CAST(n_grams AS DOUBLE), "
+        "'dup_ngram_frac', dup_ngram_frac) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    topk = REGISTRY["grouped_topk_docs"].fn(spark, sf_dir).selectExpr(
+        "'topk' AS section",
+        "concat(lang, ':', CAST(rank AS STRING)) AS key",
+        "stack(2, 'doc_id', CAST(doc_id AS DOUBLE), "
+        "'quality_score', quality_score) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    emb = REGISTRY["doc_embeddings"].fn(spark, sf_dir).selectExpr(
+        "'embedding' AS section",
+        "concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING)) AS key",
+        "'val' AS metric",
+        "val AS value_num",
+        null_str,
+    )
+    return ug.unionByName(pii).unionByName(rep).unionByName(topk).unionByName(emb)
+
+
+REGISTRY["text_scoring_suite"] = QueryDef(
+    REGISTRY["text_scoring_suite"].fn,
+    f"""
+    WITH ug AS ({REGISTRY["unigram_logprob"].oracle}),
+         pii AS ({REGISTRY["text_pii_scrub"].oracle}),
+         rep AS ({REGISTRY["text_repetition"].oracle}),
+         topk AS ({REGISTRY["grouped_topk_docs"].oracle}),
+         emb AS ({REGISTRY["doc_embeddings"].oracle})
+    SELECT 'unigram' AS section, CAST(doc_id AS VARCHAR) AS key,
+           'mean_logprob' AS metric, mean_logprob AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str FROM ug
+    UNION ALL SELECT 'pii', CAST(doc_id AS VARCHAR), 'n_email',
+           CAST(n_email AS DOUBLE), NULL FROM pii
+    UNION ALL SELECT 'pii', CAST(doc_id AS VARCHAR), 'n_phone',
+           CAST(n_phone AS DOUBLE), NULL FROM pii
+    UNION ALL SELECT 'pii', CAST(doc_id AS VARCHAR), 'n_ipv4',
+           CAST(n_ipv4 AS DOUBLE), NULL FROM pii
+    UNION ALL SELECT 'pii', CAST(doc_id AS VARCHAR), 'scrubbed',
+           NULL, scrubbed FROM pii
+    UNION ALL SELECT 'repetition', CAST(doc_id AS VARCHAR), 'n_grams',
+           CAST(n_grams AS DOUBLE), NULL FROM rep
+    UNION ALL SELECT 'repetition', CAST(doc_id AS VARCHAR), 'dup_ngram_frac',
+           dup_ngram_frac, NULL FROM rep
+    UNION ALL SELECT 'topk', lang || ':' || CAST(rank AS VARCHAR), 'doc_id',
+           CAST(doc_id AS DOUBLE), NULL FROM topk
+    UNION ALL SELECT 'topk', lang || ':' || CAST(rank AS VARCHAR),
+           'quality_score', quality_score, NULL FROM topk
+    UNION ALL SELECT 'embedding',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+           'val', val, NULL FROM emb
+    """,
+)
+
+
+@register("ann_tier_suite", None)  # oracle assembled below
+def q_ann_tier_suite(spark, sf_dir):
+    """ANN tier outputs in one gate slot: the brute-force cosine top-k
+    ground truth, the trained-IVF pruned top-k, the sign-LSH multiprobe
+    top-k, and the PQ/ADC top-k — value-level (not just the recall
+    report's summary), melted to (section, key, metric, value). All four
+    reuse published index artifacts; the union adds no training pass."""
+    bf = REGISTRY["ann_brute_force"].fn(spark, sf_dir).selectExpr(
+        "'brute_force' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value)",
+    )
+    ivf = REGISTRY["ann_ivf_centroid"].fn(spark, sf_dir).selectExpr(
+        "'ivf' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(3, 'label', CAST(label AS DOUBLE), 'cell', CAST(cell AS DOUBLE), "
+        "'cosine', cosine) AS (metric, value)",
+    )
+    mp = REGISTRY["ann_lsh_multiprobe"].fn(spark, sf_dir).selectExpr(
+        "'multiprobe' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value)",
+    )
+    pq_ = REGISTRY["ann_pq_adc"].fn(spark, sf_dir).selectExpr(
+        "'pq_adc' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'adc_dist', adc_dist) "
+        "AS (metric, value)",
+    )
+    return bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
+
+
+REGISTRY["ann_tier_suite"] = QueryDef(
+    REGISTRY["ann_tier_suite"].fn,
+    f"""
+    WITH bf AS ({REGISTRY["ann_brute_force"].oracle}),
+         ivf AS ({REGISTRY["ann_ivf_centroid"].oracle}),
+         mp AS ({REGISTRY["ann_lsh_multiprobe"].oracle}),
+         pq AS ({REGISTRY["ann_pq_adc"].oracle})
+    SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
+           'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
+    UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
+    UNION ALL SELECT 'ivf', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM ivf
+    UNION ALL SELECT 'ivf', CAST(vec_id AS VARCHAR), 'cell',
+           CAST(cell AS DOUBLE) FROM ivf
+    UNION ALL SELECT 'ivf', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM ivf
+    UNION ALL SELECT 'multiprobe', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM mp
+    UNION ALL SELECT 'multiprobe', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM mp
+    UNION ALL SELECT 'pq_adc', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM pq
+    UNION ALL SELECT 'pq_adc', CAST(vec_id AS VARCHAR), 'adc_dist', adc_dist FROM pq
+    """,
+)
+
+
+@register("ml_eval_suite", None)  # oracle assembled below
+def q_ml_eval_suite(spark, sf_dir):
+    """Model-evaluation family in one gate slot: the held-out classifier
+    metrics report, contrastive negative sampling, and the deterministic
+    train/val split assignment — melted to (section, key, metric,
+    value_num, value_str)."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    ev = REGISTRY["classifier_eval"].fn(spark, sf_dir).selectExpr(
+        "'eval' AS section",
+        "'overall' AS key",
+        "stack(5, 'n', CAST(n AS DOUBLE), 'accuracy', accuracy, "
+        "'precision', precision, 'recall', recall, 'f1', f1) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    neg = REGISTRY["contrastive_negatives"].fn(spark, sf_dir).selectExpr(
+        "'negatives' AS section",
+        "concat(CAST(anchor_id AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "'neg_id' AS metric",
+        "CAST(neg_id AS DOUBLE) AS value_num",
+        null_str,
+    )
+    sp = REGISTRY["corpus_train_val_split"].fn(spark, sf_dir).selectExpr(
+        "'split' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'split_bucket', CAST(split_bucket AS DOUBLE), CAST(NULL AS STRING), "
+        "'split', CAST(NULL AS DOUBLE), split) "
+        "AS (metric, value_num, value_str)",
+    )
+    return ev.unionByName(neg).unionByName(sp)
+
+
+REGISTRY["ml_eval_suite"] = QueryDef(
+    REGISTRY["ml_eval_suite"].fn,
+    f"""
+    WITH ev AS ({REGISTRY["classifier_eval"].oracle}),
+         neg AS ({REGISTRY["contrastive_negatives"].oracle}),
+         sp AS ({REGISTRY["corpus_train_val_split"].oracle})
+    -- ev's training SQL is expensive: reference the CTE ONCE (DuckDB
+    -- inlines per reference) and unpivot via a metric-name cross join
+    SELECT 'eval' AS section, 'overall' AS key, m.metric,
+           CASE m.metric
+             WHEN 'n' THEN CAST(ev.n AS DOUBLE)
+             WHEN 'accuracy' THEN ev.accuracy
+             WHEN 'precision' THEN ev.precision
+             WHEN 'recall' THEN ev.recall
+             ELSE ev.f1 END AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM ev CROSS JOIN (VALUES ('n'), ('accuracy'), ('precision'),
+                               ('recall'), ('f1')) m(metric)
+    UNION ALL SELECT 'negatives',
+           CAST(anchor_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'neg_id', CAST(neg_id AS DOUBLE), NULL FROM neg
+    UNION ALL SELECT 'split', CAST(doc_id AS VARCHAR), 'split_bucket',
+           CAST(split_bucket AS DOUBLE), NULL FROM sp
+    UNION ALL SELECT 'split', CAST(doc_id AS VARCHAR), 'split',
+           NULL, split FROM sp
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # driver ordering
 #
 # The driver's correctness gate snapshots a bounded prefix of this catalog
@@ -3173,7 +3692,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_semantic",        # SemDeDup: trained-quantizer clustering + rep cosine
     # training-data pipeline: similarity search
     "ann_recall_report",     # brute force + trained IVF + multiprobe LSH + PQ, one slot
-    "funnel_conversion",     # event-analytics family representative
+    "ann_tier_suite",        # the four tiers' VALUE-level outputs, one slot
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
     # training-data pipeline: ranking / scoring / tokenization
@@ -3184,9 +3703,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # training-data pipeline: text analysis
     "text_metrics",          # token counts + quality + lang-ID + PII + repetition
     "text_winnow_fingerprints",
+    "text_scoring_suite",    # unigram LM + PII scrub + repetition + top-k + embeddings
     # training-data pipeline: multimodal
-    "multimodal_frame_sample",  # covers the Arrow 1:N batch shape; the 1:1
-                                # variants sit below the fold
+    "multimodal_suite",      # 1:N frame sample + 1:1 features/resize + content dedup
     # training-data pipeline: corpus preparation
     "corpus_e2e_pipeline",   # gate ∩ dedup survivors → shard layout, composed
     "corpus_decontaminate",
@@ -3196,18 +3715,25 @@ DRIVER_ORDER: tuple[str, ...] = (
     "pagerank_entities",     # fixed-iteration link analysis
     "fuzzy_name_pairs",      # PassJoin-blocked edit-distance join
     # event-time / history operators
-    "asof_join_last_view",
+    "temporal_history_suite",  # as-of + sessionize + interval join + rollup + SCD2
+    "windowed_counts",       # S11 + T2 (event-time window agg)
+    # r4 compounds: families melted into one slot each so the 50-row
+    # gate verifies more of the catalog (components stay registered below)
+    "profile_suite",         # table_profile + column_correlations + winsorized_stats
+    "event_analytics_suite", # running_totals + pct_rank + constraints + cohort + funnel
+    "sketch_suite",          # cms_token_counts + ngram_heavy_hitters
+    "diff_session_recall_suite",  # CDC diff + session windows + attribution + LSH
+                                  # recall + leakage audit + tokenizer stats
+    "tpch_agg_suite",        # pricing + revenue + top-order + rollup + pivot +
+                             # set ops + grouped quantiles
+    "ml_eval_suite",         # classifier eval + contrastive negatives + train/val split
+    # ---- fold: entries below rarely get a driver row (local-oracle-only) --
+    "funnel_conversion",     # event_analytics_suite melts it above
+    "asof_join_last_view",   # temporal_history_suite melts these four
     "sessionize_events",
     "interval_range_join",
     "hypertable_rollup",
-    "windowed_counts",       # S11 + T2 (event-time window agg)
-    # r4 compounds: three families melted into one slot each so the 50-row
-    # gate verifies more of the catalog (components stay registered below)
-    "profile_suite",         # table_profile + column_correlations + winsorized_stats
-    "event_analytics_suite", # running_totals + percentile_rank + constraints + cohort
-    "sketch_suite",          # cms_token_counts + ngram_heavy_hitters
-    "diff_session_recall_suite",  # snapshot diff + session windows + attribution + LSH recall
-    # ---- fold: entries below rarely get a driver row (local-oracle-only) --
+    "multimodal_frame_sample",  # multimodal_suite melts it above
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
     "session_window_stats",  # native session_window vs gaps-and-islands oracle

@@ -20,6 +20,7 @@ PYTHON_OK = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_suite",  # gate melt of the three media kernels above
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
 }
