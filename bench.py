@@ -93,6 +93,11 @@ HEADLINE = [
     "text_scoring_suite",
     "ann_tier_suite",
     "ml_eval_suite",
+    # r4 closing: continuous-ingestion dedup probe + mixture-design
+    # diagnostics over the documents corpus
+    "dedup_incremental",
+    "source_ngram_overlap",
+    "corpus_domain_cap",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -872,3 +872,54 @@ def grouped_fixed_sample_oracle(k: int = FIXED_SAMPLE_K) -> str:
         SELECT lang, doc_id, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+# -- per-source quota capping ------------------------------------------------
+
+DOMAIN_CAP_K = 10
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP_K) -> DataFrame:
+    """Per-SOURCE quota enforcement (the RefinedWeb-style domain cap): rank
+    each source's docs by quality score (ties broken by doc_id) and keep at
+    most `cap` — the anti-domination control that stops one crawl domain
+    from flooding the mixture. Output keeps EVERY doc with its decision
+    (doc_id, source, quality_score, rank_in_source, kept) — what a pipeline
+    writes back as the per-doc admit column.
+
+    Scale shape: one quality pass in the scan stage + one window shuffle
+    partitioned BY SOURCE. Source cardinality is large in practice (one
+    partition per domain, millions of keys) so the window parallelizes;
+    a pathological mega-domain is exactly the thing the cap exists to
+    bound, and its rank window is one sort of that domain's rows."""
+    q = quality_sql("spark", "text")["quality_score"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.expr(q).alias("quality_score"))
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "rank_in_source",
+            (F.col("rank_in_source") <= cap).alias("kept"),
+        )
+    )
+
+
+def domain_cap_oracle(cap: int = DOMAIN_CAP_K) -> str:
+    q = quality_sql("duckdb", "text")["quality_score"]
+    return f"""
+        WITH scored AS (SELECT doc_id, source, {q} AS quality_score
+                        FROM documents),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY quality_score DESC, doc_id) AS rank_in_source
+                   FROM scored)
+        SELECT doc_id, source, quality_score, rank_in_source,
+               rank_in_source <= {cap} AS kept
+        FROM ranked
+    """

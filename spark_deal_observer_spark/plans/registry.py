@@ -2501,6 +2501,35 @@ def q_dedup_containment(spark, sf_dir):
     return dd.containment_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_incremental", dd.incremental_dedup_oracle())
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup: the deterministic BATCH slice
+    (doc_id % 10 == 0) probed against the CORPUS remainder through the
+    published banded-MinHash index, exact-Jaccard verified over the
+    published shingle sets, best corpus match per batch doc with the
+    admit/reject decision (is_dup). The 100 TB shape: the delta joins the
+    persisted index; the corpus text is never rescanned."""
+    return dd.incremental_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("source_ngram_overlap", dd.source_overlap_oracle())
+def q_source_ngram_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct shared 5-gram shingles
+    per source pair + overlap coefficient — the mixture-design diagnostic
+    for near-reprint sources. Inverted-index equi-join on the shingle
+    value; per-key fan-out bounded by |sources|, total linear in distinct
+    shingles."""
+    return dd.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_domain_cap", cp.domain_cap_oracle())
+def q_corpus_domain_cap(spark, sf_dir):
+    """Per-source quota cap (RefinedWeb-style domain cap): quality-ranked
+    row_number per source, kept = rank <= cap; every doc keeps its
+    decision row. One scan-stage quality pass + one by-source window."""
+    return cp.domain_cap(_t(spark, sf_dir, "documents"))
+
+
 @register("winsorized_stats", pf.winsorized_stats_oracle())
 def q_winsorized_stats(spark, sf_dir):
     """Robust mean/stddev after winsorizing at the exact [5th, 95th]
@@ -3819,6 +3848,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cms_token_counts",
     "source_drift_psi",
     "dedup_containment",
+    "dedup_incremental",     # batch-vs-corpus probe through the published index
+    "source_ngram_overlap",  # cross-source contamination matrix
+    "corpus_domain_cap",     # per-source quota enforcement
     "winsorized_stats",
     "running_totals",
     "cohort_retention",

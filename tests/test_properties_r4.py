@@ -128,3 +128,61 @@ def test_tokenizer_stats_invariants(spark):
         assert r["sum_after"] <= r["sum_before"]
         assert r["compression"] >= 1.0
         assert r["chars_per_symbol"] > 0
+
+
+def test_incremental_dedup_invariants(spark):
+    """Batch/corpus sides must be disjoint by construction, jaccard in
+    [0,1], exactly one best-match row per batch doc, and every is_dup row
+    must clear the threshold."""
+    rows = REGISTRY["dedup_incremental"].fn(spark, SF_ORACLE).collect()
+    assert rows, "expected at least one batch doc with an LSH candidate"
+    seen = set()
+    for r in rows:
+        assert r["batch_doc"] % 10 == 0
+        assert r["match_doc"] % 10 != 0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["is_dup"] == (r["jaccard"] >= 0.35)
+        assert r["batch_doc"] not in seen, "one row per batch doc"
+        seen.add(r["batch_doc"])
+
+
+def test_incremental_dedup_agrees_with_full_pair_verify(spark):
+    """Every is_dup match must also be a verified near-dup pair of the
+    FULL-corpus pipeline (same threshold): incremental probing is a
+    restriction of the full candidate set, never a superset."""
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).collect()
+    }
+    inc = REGISTRY["dedup_incremental"].fn(spark, SF_ORACLE).collect()
+    for r in inc:
+        if r["is_dup"]:
+            pair = (min(r["batch_doc"], r["match_doc"]), max(r["batch_doc"], r["match_doc"]))
+            assert pair in full, pair
+
+
+def test_source_overlap_invariants(spark):
+    """Pairs are ordered a<b, shared counts bounded by each side's
+    vocabulary, overlap coefficient in (0,1]."""
+    rows = REGISTRY["source_ngram_overlap"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["overlap_coef"] <= 1.0
+
+
+def test_domain_cap_enforces_quota(spark):
+    """Per source: ranks are 1..n unique, kept count == min(cap, n)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["corpus_domain_cap"].fn(spark, SF_ORACLE).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        ranks = sorted(r["rank_in_source"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+        kept = sum(1 for r in rs if r["kept"])
+        assert kept == min(10, len(rs)), (src, kept)
