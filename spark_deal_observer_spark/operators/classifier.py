@@ -242,7 +242,7 @@ def _feature_ctes() -> list[str]:
     s1, s2, s3 = _signal_exprs("duckdb")
     qs = quality_sql("duckdb", "text")["quality_score"]
     return [
-        f"""raw AS (
+        f"""raw AS MATERIALIZED (
           SELECT d.doc_id, list_concat([{s1}, {s2}, {s3}], e.embedding) AS x,
                  CASE WHEN {qs} >= {QUALITY_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y
           FROM documents d
@@ -254,7 +254,7 @@ def _feature_ctes() -> list[str]:
                    ROUND(stddev_pop(x[g.pos + 1]), 6) AS sd
             FROM raw CROSS JOIN generate_series(0, {D_FEAT - 1}) g(pos)
             GROUP BY g.pos))""",
-        f"""feats AS (
+        f"""feats AS MATERIALIZED (
           SELECT r.doc_id,
                  list_transform(generate_series(1, {D_FEAT}), j ->
                    ROUND((r.x[j] - s.mu[j]) / greatest(s.sd[j], {SD_FLOOR!r}), 6)) AS x,
@@ -271,7 +271,7 @@ def _gd_ctes() -> list[str]:
     parts.append(f"w0 AS (SELECT [{zeros}] AS w, CAST(0 AS DOUBLE) AS b)")
     for i in range(N_ITER):
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
               SELECT f.doc_id, f.x,
                      1.0 / (1.0 + exp(-({_DOT_DUCK} + w.b))) - f.y AS resid
               FROM feats f CROSS JOIN w{i} w)"""
