@@ -1011,7 +1011,9 @@ def incremental_dedup(
     (batch_doc, match_doc, jaccard, is_dup) where match_doc is the
     best-scoring corpus doc (ties broken by min doc_id) and
     is_dup = jaccard ≥ threshold (the admit/reject decision the
-    ingestion sink applies)."""
+    ingestion sink applies). The CONTINUOUS form of this contract is
+    streaming/dedup_ingest.py::NearDupIngestSink — same band-probe
+    against the accumulated store, per micro-batch."""
     inter = pair_intersections(docs)
     is_batch_a = F.col("doc_a") % batch_mod == 0
     is_batch_b = F.col("doc_b") % batch_mod == 0
