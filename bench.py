@@ -98,6 +98,8 @@ HEADLINE = [
     "dedup_incremental",
     "source_ngram_overlap",
     "corpus_domain_cap",
+    "corpus_prep_suite",
+    "dedup_lifecycle_suite",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

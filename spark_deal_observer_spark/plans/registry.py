@@ -3676,6 +3676,240 @@ REGISTRY["ml_eval_suite"] = QueryDef(
 )
 
 
+@register("corpus_prep_suite", None)  # oracle assembled below
+def q_corpus_prep_suite(spark, sf_dir):
+    """Corpus-preparation family in one gate slot: shingle + Bloom
+    decontamination, pack manifest, token chunking, difficulty bins,
+    doc-frequency vocabulary, deterministic global shuffle, per-source
+    domain cap, and the Z-order layout audit — melted to (section, key,
+    metric, value_num, value_str). Every component is a scan-stage
+    expression or one bounded shuffle; the union is plan-level only."""
+    null_num = "CAST(NULL AS DOUBLE) AS value_num"
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    de = REGISTRY["corpus_decontaminate"].fn(spark, sf_dir).selectExpr(
+        "'decontaminate' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'n_shared' AS metric",
+        "CAST(n_shared AS DOUBLE) AS value_num",
+        null_str,
+    )
+    bl = REGISTRY["corpus_decontaminate_bloom"].fn(spark, sf_dir).selectExpr(
+        "'bloom_clean' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'clean' AS metric",
+        "CAST(1 AS DOUBLE) AS value_num",
+        null_str,
+    )
+    pk = REGISTRY["corpus_pack_manifest"].fn(spark, sf_dir).selectExpr(
+        "'pack' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(4, 'n_tokens', CAST(n_tokens AS DOUBLE), CAST(NULL AS STRING), "
+        "'pack_id', CAST(pack_id AS DOUBLE), CAST(NULL AS STRING), "
+        "'pack_offset', CAST(pack_offset AS DOUBLE), CAST(NULL AS STRING), "
+        "'source', CAST(NULL AS DOUBLE), source) "
+        "AS (metric, value_num, value_str)",
+    )
+    ch = REGISTRY["corpus_token_chunks"].fn(spark, sf_dir).selectExpr(
+        "'chunks' AS section",
+        "concat(CAST(doc_id AS STRING), ':', CAST(chunk_id AS STRING)) AS key",
+        "stack(2, 'n_tokens', CAST(n_tokens AS DOUBLE), CAST(NULL AS STRING), "
+        "'chunk_text', CAST(NULL AS DOUBLE), chunk_text) "
+        "AS (metric, value_num, value_str)",
+    )
+    db = REGISTRY["corpus_difficulty_bins"].fn(spark, sf_dir).selectExpr(
+        "'difficulty' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'score', score, 'bin', CAST(bin AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    df_ = REGISTRY["corpus_token_doc_freq"].fn(spark, sf_dir).selectExpr(
+        "'doc_freq' AS section",
+        "token AS key",
+        "'doc_freq' AS metric",
+        "CAST(doc_freq AS DOUBLE) AS value_num",
+        null_str,
+    )
+    gs = REGISTRY["corpus_global_shuffle"].fn(spark, sf_dir).selectExpr(
+        "'shuffle' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'shard', CAST(shard AS DOUBLE), 'pos', CAST(pos AS DOUBLE)) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    dc = REGISTRY["corpus_domain_cap"].fn(spark, sf_dir).selectExpr(
+        "'domain_cap' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(4, 'quality_score', quality_score, CAST(NULL AS STRING), "
+        "'rank_in_source', CAST(rank_in_source AS DOUBLE), CAST(NULL AS STRING), "
+        "'kept', CAST(CAST(kept AS INT) AS DOUBLE), CAST(NULL AS STRING), "
+        "'source', CAST(NULL AS DOUBLE), source) "
+        "AS (metric, value_num, value_str)",
+    )
+    zo = REGISTRY["zorder_layout"].fn(spark, sf_dir).selectExpr(
+        "'zorder' AS section",
+        "CAST(tile AS STRING) AS key",
+        "stack(5, 'n_rows', CAST(n_rows AS DOUBLE), "
+        "'min_day', CAST(min_day AS DOUBLE), 'max_day', CAST(max_day AS DOUBLE), "
+        "'min_ck', CAST(min_ck AS DOUBLE), 'max_ck', CAST(max_ck AS DOUBLE)) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return (
+        de.unionByName(bl)
+        .unionByName(pk)
+        .unionByName(ch)
+        .unionByName(db)
+        .unionByName(df_)
+        .unionByName(gs)
+        .unionByName(dc)
+        .unionByName(zo)
+    )
+
+
+REGISTRY["corpus_prep_suite"] = QueryDef(
+    REGISTRY["corpus_prep_suite"].fn,
+    f"""
+    WITH de AS MATERIALIZED ({REGISTRY["corpus_decontaminate"].oracle}),
+         bl AS MATERIALIZED ({REGISTRY["corpus_decontaminate_bloom"].oracle}),
+         pk AS MATERIALIZED ({REGISTRY["corpus_pack_manifest"].oracle}),
+         ch AS MATERIALIZED ({REGISTRY["corpus_token_chunks"].oracle}),
+         db AS MATERIALIZED ({REGISTRY["corpus_difficulty_bins"].oracle}),
+         df AS MATERIALIZED ({REGISTRY["corpus_token_doc_freq"].oracle}),
+         gs AS MATERIALIZED ({REGISTRY["corpus_global_shuffle"].oracle}),
+         dc AS MATERIALIZED ({REGISTRY["corpus_domain_cap"].oracle}),
+         zo AS MATERIALIZED ({REGISTRY["zorder_layout"].oracle})
+    SELECT 'decontaminate' AS section, CAST(doc_id AS VARCHAR) AS key,
+           'n_shared' AS metric, CAST(n_shared AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str FROM de
+    UNION ALL SELECT 'bloom_clean', CAST(doc_id AS VARCHAR), 'clean',
+           CAST(1 AS DOUBLE), NULL FROM bl
+    UNION ALL SELECT 'pack', CAST(doc_id AS VARCHAR), 'n_tokens',
+           CAST(n_tokens AS DOUBLE), NULL FROM pk
+    UNION ALL SELECT 'pack', CAST(doc_id AS VARCHAR), 'pack_id',
+           CAST(pack_id AS DOUBLE), NULL FROM pk
+    UNION ALL SELECT 'pack', CAST(doc_id AS VARCHAR), 'pack_offset',
+           CAST(pack_offset AS DOUBLE), NULL FROM pk
+    UNION ALL SELECT 'pack', CAST(doc_id AS VARCHAR), 'source',
+           NULL, source FROM pk
+    UNION ALL SELECT 'chunks',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR),
+           'n_tokens', CAST(n_tokens AS DOUBLE), NULL FROM ch
+    UNION ALL SELECT 'chunks',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR),
+           'chunk_text', NULL, chunk_text FROM ch
+    UNION ALL SELECT 'difficulty', CAST(doc_id AS VARCHAR), 'score',
+           score, NULL FROM db
+    UNION ALL SELECT 'difficulty', CAST(doc_id AS VARCHAR), 'bin',
+           CAST(bin AS DOUBLE), NULL FROM db
+    UNION ALL SELECT 'doc_freq', token, 'doc_freq',
+           CAST(doc_freq AS DOUBLE), NULL FROM df
+    UNION ALL SELECT 'shuffle', CAST(doc_id AS VARCHAR), 'shard',
+           CAST(shard AS DOUBLE), NULL FROM gs
+    UNION ALL SELECT 'shuffle', CAST(doc_id AS VARCHAR), 'pos',
+           CAST(pos AS DOUBLE), NULL FROM gs
+    UNION ALL SELECT 'domain_cap', CAST(doc_id AS VARCHAR), 'quality_score',
+           quality_score, NULL FROM dc
+    UNION ALL SELECT 'domain_cap', CAST(doc_id AS VARCHAR), 'rank_in_source',
+           CAST(rank_in_source AS DOUBLE), NULL FROM dc
+    UNION ALL SELECT 'domain_cap', CAST(doc_id AS VARCHAR), 'kept',
+           CAST(CAST(kept AS INT) AS DOUBLE), NULL FROM dc
+    UNION ALL SELECT 'domain_cap', CAST(doc_id AS VARCHAR), 'source',
+           NULL, source FROM dc
+    UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'n_rows',
+           CAST(n_rows AS DOUBLE), NULL FROM zo
+    UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'min_day',
+           CAST(min_day AS DOUBLE), NULL FROM zo
+    UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'max_day',
+           CAST(max_day AS DOUBLE), NULL FROM zo
+    UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'min_ck',
+           CAST(min_ck AS DOUBLE), NULL FROM zo
+    UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'max_ck',
+           CAST(max_ck AS DOUBLE), NULL FROM zo
+    """,
+)
+
+
+@register("dedup_lifecycle_suite", None)  # oracle assembled below
+def q_dedup_lifecycle_suite(spark, sf_dir):
+    """Dedup-lifecycle family in one gate slot: the incremental
+    batch-vs-corpus probe, the cross-source contamination matrix,
+    winnowing duplicate spans, the canonical survivor pick, and
+    first-event-per-key dedup — melted to (section, key, metric,
+    value_num, value_str)."""
+    null_str = "CAST(NULL AS STRING) AS value_str"
+    inc = REGISTRY["dedup_incremental"].fn(spark, sf_dir).selectExpr(
+        "'incremental' AS section",
+        "CAST(batch_doc AS STRING) AS key",
+        "stack(3, 'match_doc', CAST(match_doc AS DOUBLE), "
+        "'jaccard', jaccard, "
+        "'is_dup', CAST(CAST(is_dup AS INT) AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    ov = REGISTRY["source_ngram_overlap"].fn(spark, sf_dir).selectExpr(
+        "'overlap' AS section",
+        "concat(source_a, ':', source_b) AS key",
+        "stack(4, 'n_shared', CAST(n_shared AS DOUBLE), "
+        "'n_a', CAST(n_a AS DOUBLE), 'n_b', CAST(n_b AS DOUBLE), "
+        "'overlap_coef', overlap_coef) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    sp = REGISTRY["dedup_duplicate_spans"].fn(spark, sf_dir).selectExpr(
+        "'spans' AS section",
+        "CAST(fp AS STRING) AS key",
+        "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
+        "'first_doc', CAST(first_doc AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    cp_ = REGISTRY["dedup_canonical_pick"].fn(spark, sf_dir).selectExpr(
+        "'canonical' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(3, 'cluster', CAST(cluster AS DOUBLE), 'score', score, "
+        "'keep', CAST(CAST(keep AS INT) AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    fk = REGISTRY["dedup_first_per_key"].fn(spark, sf_dir).selectExpr(
+        "'first_per_key' AS section",
+        "concat(CAST(user_id AS STRING), ':', event_type) AS key",
+        "'event_id' AS metric",
+        "CAST(event_id AS DOUBLE) AS value_num",
+        null_str,
+    )
+    return inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
+
+
+REGISTRY["dedup_lifecycle_suite"] = QueryDef(
+    REGISTRY["dedup_lifecycle_suite"].fn,
+    f"""
+    WITH inc AS MATERIALIZED ({REGISTRY["dedup_incremental"].oracle}),
+         ov AS MATERIALIZED ({REGISTRY["source_ngram_overlap"].oracle}),
+         sp AS MATERIALIZED ({REGISTRY["dedup_duplicate_spans"].oracle}),
+         cp AS MATERIALIZED ({REGISTRY["dedup_canonical_pick"].oracle}),
+         fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle})
+    SELECT 'incremental' AS section, CAST(batch_doc AS VARCHAR) AS key,
+           'match_doc' AS metric, CAST(match_doc AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str FROM inc
+    UNION ALL SELECT 'incremental', CAST(batch_doc AS VARCHAR), 'jaccard',
+           jaccard, NULL FROM inc
+    UNION ALL SELECT 'incremental', CAST(batch_doc AS VARCHAR), 'is_dup',
+           CAST(CAST(is_dup AS INT) AS DOUBLE), NULL FROM inc
+    UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'n_shared',
+           CAST(n_shared AS DOUBLE), NULL FROM ov
+    UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'n_a',
+           CAST(n_a AS DOUBLE), NULL FROM ov
+    UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'n_b',
+           CAST(n_b AS DOUBLE), NULL FROM ov
+    UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'overlap_coef',
+           overlap_coef, NULL FROM ov
+    UNION ALL SELECT 'spans', CAST(fp AS VARCHAR), 'n_docs',
+           CAST(n_docs AS DOUBLE), NULL FROM sp
+    UNION ALL SELECT 'spans', CAST(fp AS VARCHAR), 'first_doc',
+           CAST(first_doc AS DOUBLE), NULL FROM sp
+    UNION ALL SELECT 'canonical', CAST(doc_id AS VARCHAR), 'cluster',
+           CAST(cluster AS DOUBLE), NULL FROM cp
+    UNION ALL SELECT 'canonical', CAST(doc_id AS VARCHAR), 'score',
+           score, NULL FROM cp
+    UNION ALL SELECT 'canonical', CAST(doc_id AS VARCHAR), 'keep',
+           CAST(CAST(keep AS INT) AS DOUBLE), NULL FROM cp
+    UNION ALL SELECT 'first_per_key',
+           CAST(user_id AS VARCHAR) || ':' || event_type, 'event_id',
+           CAST(event_id AS DOUBLE), NULL FROM fk
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # driver ordering
 #
@@ -3737,8 +3971,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_suite",      # 1:N frame sample + 1:1 features/resize + content dedup
     # training-data pipeline: corpus preparation
     "corpus_e2e_pipeline",   # gate ∩ dedup survivors → shard layout, composed
-    "corpus_decontaminate",
-    "corpus_pack_manifest",
+    "corpus_prep_suite",     # decontaminate (shingle+bloom) + pack + chunks +
+                             # difficulty + doc-freq + shuffle + domain cap + zorder
+    "dedup_lifecycle_suite", # incremental probe + source overlap + spans +
+                             # canonical pick + first-per-key
     "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
     # graph / entity resolution
     "pagerank_entities",     # fixed-iteration link analysis
@@ -3763,6 +3999,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "interval_range_join",
     "hypertable_rollup",
     "multimodal_frame_sample",  # multimodal_suite melts it above
+    "corpus_decontaminate",  # corpus_prep_suite melts these two above
+    "corpus_pack_manifest",
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
     "anti_join_dedup",       # J5 (dedup_insert row above covers it)
     "session_window_stats",  # native session_window vs gaps-and-islands oracle
