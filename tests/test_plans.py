@@ -282,3 +282,32 @@ def test_no_registered_query_emits_non_atomic_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    """Per-source quota cap: one Exchange (the by-source window), quality
+    computed in the scan stage, no Python."""
+    p = plan(q(spark, "corpus_domain_cap"))
+    assert p.count("Exchange") == 1, p
+    assert "Window" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_overlap_joins_on_shingle_value(spark):
+    """Cross-source overlap: the pair count is an equi-join on the shingle
+    value (per-key fan-out bounded by |sources|) — never a cartesian; the
+    per-source counts broadcast back onto the pair table."""
+    p = plan(q(spark, "source_ngram_overlap"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # counts joins
+    assert "[g" in p or "g#" in p  # join key is the shingle value
+
+
+def test_incremental_dedup_rides_published_store(spark):
+    """Warm plan must be filter + window over the published verify store:
+    no parquet scan of documents, no candidate re-enumeration join."""
+    q(spark, "dedup_incremental").count()  # ensure artifact is published
+    p = plan(q(spark, "dedup_incremental"))
+    assert "Scan parquet" not in p, p
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
