@@ -3922,6 +3922,87 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
 # the identical DuckDB oracle harness.
 # ---------------------------------------------------------------------------
 
+# Which registered component queries each gate compound suite melts (one
+# slot verifies the whole family at value level). gen_coverage.py surfaces
+# this table in COVERAGE.md; tests/test_plans.py asserts it stays in sync.
+SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
+    "filter_suite": (
+        "filter_isnull", "filter_bool", "filter_enum_eq", "filter_compound",
+        "range_filter",
+    ),
+    "agg_counters": ("count_all", "count_filtered", "count_distinct"),
+    "topk_ends": ("top1_desc", "topn_asc"),
+    "scalar_funcs": (
+        "epoch_to_ts", "ts_to_epoch", "b64_roundtrip", "str_concat",
+        "cast_str", "interval_arith",
+    ),
+    "text_metrics": (
+        "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
+    ),
+    "corpus_sampling_suite": (
+        "corpus_train_val_split", "stratified_sample", "corpus_mixture_sample",
+        "corpus_weighted_sample",
+    ),
+    "dedup_pair_verify_suite": (
+        "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
+    ),
+    "ann_recall_report": (
+        "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
+        "ann_pq_adc",
+    ),
+    "ann_tier_suite": (
+        "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
+        "ann_pq_adc",
+    ),
+    "profile_suite": (
+        "table_profile", "column_correlations", "winsorized_stats",
+    ),
+    "event_analytics_suite": (
+        "running_totals", "percentile_rank_orders", "constraint_violations",
+        "cohort_retention", "funnel_conversion",
+    ),
+    "sketch_suite": ("cms_token_counts", "ngram_heavy_hitters"),
+    "diff_session_recall_suite": (
+        "snapshot_diff", "session_window_stats", "view_click_attribution",
+        "dedup_lsh_recall", "split_leakage_audit", "tokenizer_stats",
+    ),
+    "tpch_agg_suite": (
+        "agg_pricing_summary", "agg_revenue_by_nation",
+        "window_top_order_per_cust", "agg_rollup", "pivot_counts", "set_ops",
+        "quantiles_by_flag",
+    ),
+    "ml_eval_suite": (
+        "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
+    ),
+    "temporal_history_suite": (
+        "asof_join_last_view", "sessionize_events", "interval_range_join",
+        "hypertable_rollup", "scd2_deal_history",
+    ),
+    "multimodal_suite": (
+        "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
+        "multimodal_dedup",
+    ),
+    "text_scoring_suite": (
+        "unigram_logprob", "text_pii_scrub", "text_repetition",
+        "grouped_topk_docs", "doc_embeddings",
+    ),
+    "corpus_prep_suite": (
+        "corpus_decontaminate", "corpus_decontaminate_bloom",
+        "corpus_pack_manifest", "corpus_token_chunks", "corpus_difficulty_bins",
+        "corpus_token_doc_freq", "corpus_global_shuffle", "corpus_domain_cap",
+        "zorder_layout",
+    ),
+    "dedup_lifecycle_suite": (
+        "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
+        "dedup_canonical_pick", "dedup_first_per_key",
+    ),
+    "corpus_e2e_pipeline": ("corpus_quality_gate",),
+    "hybrid_retrieval_rrf": ("bm25_scores",),
+    "bpe_encode": ("bpe_merges",),
+    "dedup_minhash_lsh": ("dedup_minhash_sig",),
+}
+
+
 DRIVER_ORDER: tuple[str, ...] = (
     # sources / sinks / transactions
     "chain_head",            # S1

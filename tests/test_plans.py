@@ -311,3 +311,25 @@ def test_incremental_dedup_rides_published_store(spark):
     assert "Scan parquet" not in p, p
     assert "Window" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_suite_component_map_in_sync():
+    """SUITE_COMPONENTS (surfaced in COVERAGE.md as the driver-verified
+    accounting) must reference only registered queries, and every gate
+    compound suite must carry a component list."""
+    from spark_deal_observer_spark.plans.registry import (
+        DRIVER_ORDER,
+        SUITE_COMPONENTS,
+    )
+
+    for suite, comps in SUITE_COMPONENTS.items():
+        assert suite in REGISTRY, suite
+        for c in comps:
+            assert c in REGISTRY, (suite, c)
+    gate = set(DRIVER_ORDER[:50])
+    for name in gate:
+        if name.endswith("_suite") or name in (
+            "agg_counters", "topk_ends", "scalar_funcs", "text_metrics",
+            "ann_recall_report", "corpus_e2e_pipeline",
+        ):
+            assert name in SUITE_COMPONENTS, f"{name} missing a component map"
