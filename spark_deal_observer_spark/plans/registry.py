@@ -949,6 +949,140 @@ def q_window_top_order_per_cust(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_shipping_priority",
+    """SELECT l_orderkey, revenue, o_orderdate FROM (
+         SELECT l.l_orderkey,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+                  AS revenue,
+                o.o_orderdate
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         GROUP BY l.l_orderkey, o.o_orderdate)
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10""",
+)
+def q_tpch_shipping_priority(spark, sf_dir):
+    """Shipping-priority report (TPC-H Q3 shape): segment-filtered
+    customer dim broadcast into the orders⋈lineitem co-shuffle on
+    orderkey, grouped revenue, top-10 as TakeOrderedAndProject (each task
+    keeps 10 rows — no global sort). Revenue is rounded BEFORE the
+    ordering so the top-k boundary is engine-deterministic; l_orderkey
+    breaks ties."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_order_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+       GROUP BY o_orderpriority""",
+)
+def q_tpch_order_priority(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape): per-priority count of
+    orders with at least one LATE lineitem (shipped >60 days after the
+    order). The EXISTS compiles to a LEFT SEMI join on orderkey with the
+    lateness predicate as a join-side filter — one co-shuffle, each order
+    counted once no matter how many late lines; the count is a
+    map-side-combined ~5-key aggregate."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(
+            li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_late_orders"))
+    )
+
+
+@register(
+    "tpch_returned_revenue",
+    """SELECT c_custkey, c_name, revenue, n_name FROM (
+         SELECT c.c_custkey, c.c_name,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+                  AS revenue,
+                n.n_name
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+         GROUP BY c.c_custkey, c.c_name, n.n_name)
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def q_tpch_returned_revenue(spark, sf_dir):
+    """Returned-item revenue report (TPC-H Q10 shape): who returned the
+    most value this half-year. Returnflag + date filters push to the
+    scans, customer/nation broadcast, lineitem⋈orders co-shuffles on
+    orderkey, top-20 as TakeOrderedAndProject with rounded revenue and a
+    c_custkey tiebreak."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup families (documents table)
 # ---------------------------------------------------------------------------
@@ -3351,6 +3485,25 @@ def q_tpch_agg_suite(spark, sf_dir):
         "l_returnflag AS key",
         "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)",
     )
+    q3 = REGISTRY["tpch_shipping_priority"].fn(spark, sf_dir).selectExpr(
+        "'shipping_priority' AS section",
+        "CAST(l_orderkey AS STRING) AS key",
+        "stack(2, 'revenue', revenue, 'orderdate_epoch', "
+        f"CAST(timestampdiff(SECOND, {_EPOCH_NTZ}, o_orderdate) AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+    q4 = REGISTRY["tpch_order_priority"].fn(spark, sf_dir).selectExpr(
+        "'order_priority' AS section",
+        "o_orderpriority AS key",
+        "'n_late_orders' AS metric",
+        "CAST(n_late_orders AS DOUBLE) AS value",
+    )
+    q10 = REGISTRY["tpch_returned_revenue"].fn(spark, sf_dir).selectExpr(
+        "'returned_revenue' AS section",
+        "concat(CAST(c_custkey AS STRING), ':', n_name) AS key",
+        "'revenue' AS metric",
+        "revenue AS value",
+    )
     return (
         pricing.unionByName(rev)
         .unionByName(topo)
@@ -3358,6 +3511,9 @@ def q_tpch_agg_suite(spark, sf_dir):
         .unionByName(piv)
         .unionByName(so)
         .unionByName(qf)
+        .unionByName(q3)
+        .unionByName(q4)
+        .unionByName(q10)
     )
 
 
@@ -3370,7 +3526,10 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
          roll AS ({REGISTRY["agg_rollup"].oracle}),
          piv AS ({REGISTRY["pivot_counts"].oracle}),
          so AS ({REGISTRY["set_ops"].oracle}),
-         qf AS ({REGISTRY["quantiles_by_flag"].oracle})
+         qf AS ({REGISTRY["quantiles_by_flag"].oracle}),
+         q3 AS MATERIALIZED ({REGISTRY["tpch_shipping_priority"].oracle}),
+         q4 AS ({REGISTRY["tpch_order_priority"].oracle}),
+         q10 AS ({REGISTRY["tpch_returned_revenue"].oracle})
     SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
            'sum_qty' AS metric, sum_qty AS value FROM pricing
     UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
@@ -3401,6 +3560,17 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
     UNION ALL SELECT 'quantiles', l_returnflag, 'p50', p50 FROM qf
     UNION ALL SELECT 'quantiles', l_returnflag, 'p90', p90 FROM qf
     UNION ALL SELECT 'quantiles', l_returnflag, 'p99', p99 FROM qf
+    UNION ALL SELECT 'shipping_priority', CAST(l_orderkey AS VARCHAR),
+           'revenue', revenue FROM q3
+    UNION ALL SELECT 'shipping_priority', CAST(l_orderkey AS VARCHAR),
+           'orderdate_epoch',
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', o_orderdate)
+                AS DOUBLE) FROM q3
+    UNION ALL SELECT 'order_priority', o_orderpriority, 'n_late_orders',
+           CAST(n_late_orders AS DOUBLE) FROM q4
+    UNION ALL SELECT 'returned_revenue',
+           CAST(c_custkey AS VARCHAR) || ':' || n_name, 'revenue',
+           revenue FROM q10
     """,
 )
 
@@ -3969,7 +4139,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "tpch_agg_suite": (
         "agg_pricing_summary", "agg_revenue_by_nation",
         "window_top_order_per_cust", "agg_rollup", "pivot_counts", "set_ops",
-        "quantiles_by_flag",
+        "quantiles_by_flag", "tpch_shipping_priority", "tpch_order_priority",
+        "tpch_returned_revenue",
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
@@ -4109,6 +4280,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "set_ops",
     "pivot_counts",
     "quantiles_by_flag",
+    "tpch_shipping_priority",  # tpch_agg_suite melts these three above
+    "tpch_order_priority",
+    "tpch_returned_revenue",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "corpus_decontaminate_bloom",
