@@ -1083,6 +1083,117 @@ def q_tpch_returned_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_promo_revenue",
+    """SELECT ROUND(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4)
+              AS promo_pct,
+           ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+              AS total_revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1999-04-01 00:00:00'""",
+)
+def q_tpch_promo_revenue(spark, sf_dir):
+    """Promotion-effect report (TPC-H Q14 shape): share of a quarter's
+    revenue from PROMO-type parts. The part dim broadcasts; the
+    conditional and total sums ride ONE two-phase aggregate (a CASE
+    inside sum, not two scans); the date filter pushes to the lineitem
+    scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_top_supplier",
+    """WITH sup_rev AS MATERIALIZED (
+         SELECT l.l_suppkey,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+                  AS total_revenue
+         FROM lineitem l
+         WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1999-07-01 00:00:00'
+         GROUP BY l.l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM sup_rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM sup_rev)""",
+)
+def q_tpch_top_supplier(spark, sf_dir):
+    """Top-supplier report (TPC-H Q15 shape): the supplier(s) with the
+    half-year's maximum revenue. Per-supplier revenue is one two-phase
+    aggregate; the max is a 1-row scalar broadcast back onto it (never a
+    global sort); the supplier dim broadcasts for the name join. Revenue
+    is rounded before the max comparison so the equality is
+    engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    sup_rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = sup_rev.agg(F.max("total_revenue").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup_rev.join(F.broadcast(mx), sup_rev.total_revenue == mx.mx)
+        .join(F.broadcast(sup), sup_rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_large_orders",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+              big.sum_qty
+       FROM (SELECT l_orderkey,
+                    ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) > 55) big
+       JOIN orders o ON o.o_orderkey = big.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 20""",
+)
+def q_tpch_large_orders(spark, sf_dir):
+    """Large-volume-customer report (TPC-H Q18 shape): orders whose total
+    quantity clears a threshold, with their customers, top-20 by price.
+    The HAVING is a post-aggregate filter on the orderkey group-by (one
+    co-shuffle with the orders join); customer broadcasts; the top-20 is
+    TakeOrderedAndProject with the unique orderkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 55)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup families (documents table)
 # ---------------------------------------------------------------------------
@@ -3504,6 +3615,24 @@ def q_tpch_agg_suite(spark, sf_dir):
         "'revenue' AS metric",
         "revenue AS value",
     )
+    q14 = REGISTRY["tpch_promo_revenue"].fn(spark, sf_dir).selectExpr(
+        "'promo' AS section",
+        "'quarter' AS key",
+        "stack(2, 'promo_pct', promo_pct, 'total_revenue', total_revenue) "
+        "AS (metric, value)",
+    )
+    q15 = REGISTRY["tpch_top_supplier"].fn(spark, sf_dir).selectExpr(
+        "'top_supplier' AS section",
+        "concat(CAST(s_suppkey AS STRING), ':', s_name) AS key",
+        "'total_revenue' AS metric",
+        "total_revenue AS value",
+    )
+    q18 = REGISTRY["tpch_large_orders"].fn(spark, sf_dir).selectExpr(
+        "'large_orders' AS section",
+        "concat(CAST(c_custkey AS STRING), ':', CAST(o_orderkey AS STRING)) AS key",
+        "stack(2, 'o_totalprice', o_totalprice, 'sum_qty', sum_qty) "
+        "AS (metric, value)",
+    )
     return (
         pricing.unionByName(rev)
         .unionByName(topo)
@@ -3514,6 +3643,9 @@ def q_tpch_agg_suite(spark, sf_dir):
         .unionByName(q3)
         .unionByName(q4)
         .unionByName(q10)
+        .unionByName(q14)
+        .unionByName(q15)
+        .unionByName(q18)
     )
 
 
@@ -3529,7 +3661,10 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
          qf AS ({REGISTRY["quantiles_by_flag"].oracle}),
          q3 AS MATERIALIZED ({REGISTRY["tpch_shipping_priority"].oracle}),
          q4 AS ({REGISTRY["tpch_order_priority"].oracle}),
-         q10 AS ({REGISTRY["tpch_returned_revenue"].oracle})
+         q10 AS ({REGISTRY["tpch_returned_revenue"].oracle}),
+         q14 AS MATERIALIZED ({REGISTRY["tpch_promo_revenue"].oracle}),
+         q15 AS ({REGISTRY["tpch_top_supplier"].oracle}),
+         q18 AS MATERIALIZED ({REGISTRY["tpch_large_orders"].oracle})
     SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
            'sum_qty' AS metric, sum_qty AS value FROM pricing
     UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
@@ -3571,6 +3706,18 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
     UNION ALL SELECT 'returned_revenue',
            CAST(c_custkey AS VARCHAR) || ':' || n_name, 'revenue',
            revenue FROM q10
+    UNION ALL SELECT 'promo', 'quarter', 'promo_pct', promo_pct FROM q14
+    UNION ALL SELECT 'promo', 'quarter', 'total_revenue',
+           total_revenue FROM q14
+    UNION ALL SELECT 'top_supplier',
+           CAST(s_suppkey AS VARCHAR) || ':' || s_name, 'total_revenue',
+           total_revenue FROM q15
+    UNION ALL SELECT 'large_orders',
+           CAST(c_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           'o_totalprice', o_totalprice FROM q18
+    UNION ALL SELECT 'large_orders',
+           CAST(c_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           'sum_qty', sum_qty FROM q18
     """,
 )
 
@@ -4140,7 +4287,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "agg_pricing_summary", "agg_revenue_by_nation",
         "window_top_order_per_cust", "agg_rollup", "pivot_counts", "set_ops",
         "quantiles_by_flag", "tpch_shipping_priority", "tpch_order_priority",
-        "tpch_returned_revenue",
+        "tpch_returned_revenue", "tpch_promo_revenue", "tpch_top_supplier",
+        "tpch_large_orders",
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
@@ -4280,9 +4428,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "set_ops",
     "pivot_counts",
     "quantiles_by_flag",
-    "tpch_shipping_priority",  # tpch_agg_suite melts these three above
+    "tpch_shipping_priority",  # tpch_agg_suite melts these six above
     "tpch_order_priority",
     "tpch_returned_revenue",
+    "tpch_promo_revenue",
+    "tpch_top_supplier",
+    "tpch_large_orders",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "corpus_decontaminate_bloom",
