@@ -2599,6 +2599,8 @@ def q_filter_suite(spark, sf_dir):
     SELECT 'mixture' AS sampler, doc_id FROM ({cp.mixture_sample_oracle()})
     UNION ALL
     SELECT 'weighted' AS sampler, doc_id FROM ({cp.weighted_sample_oracle()})
+    UNION ALL
+    SELECT 'fixed_k' AS sampler, doc_id FROM ({cp.grouped_fixed_sample_oracle()})
     """,
 )
 def q_corpus_sampling_suite(spark, sf_dir):
@@ -2620,6 +2622,7 @@ def q_corpus_sampling_suite(spark, sf_dir):
         .unionAll(pick(cp.stratified_sample(docs), "stratified"))
         .unionAll(pick(cp.mixture_sample(docs), "mixture"))
         .unionAll(pick(cp.weighted_sample(docs), "weighted"))
+        .unionAll(pick(cp.grouped_fixed_sample(docs), "fixed_k"))
     )
 
 
@@ -3148,7 +3151,10 @@ def q_sketch_suite(spark, sf_dir):
     hh_m = hh.selectExpr(
         "'heavy_hitters' AS section", "ngram AS key", "'cnt' AS metric", "cnt AS value"
     )
-    return cms_m.unionByName(hh_m)
+    dr_m = REGISTRY["source_drift_psi"].fn(spark, sf_dir).selectExpr(
+        "'drift' AS section", "source AS key", "'psi' AS metric", "psi AS value"
+    )
+    return cms_m.unionByName(hh_m).unionByName(dr_m)
 
 
 # the two suites above need oracle strings assembled from already-registered
@@ -3184,11 +3190,13 @@ REGISTRY["sketch_suite"] = QueryDef(
     REGISTRY["sketch_suite"].fn,
     f"""
     WITH cms AS ({REGISTRY["cms_token_counts"].oracle}),
-         hh AS ({REGISTRY["ngram_heavy_hitters"].oracle})
+         hh AS ({REGISTRY["ngram_heavy_hitters"].oracle}),
+         dr AS ({REGISTRY["source_drift_psi"].oracle})
     SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
            CAST(true_cnt AS BIGINT) AS value FROM cms
     UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
     UNION ALL SELECT 'heavy_hitters', ngram, 'cnt', CAST(cnt AS BIGINT) FROM hh
+    UNION ALL SELECT 'drift', source, 'psi', CAST(psi AS DOUBLE) FROM dr
     """,
 )
 
@@ -3198,8 +3206,12 @@ def q_diff_session_recall_suite(spark, sf_dir):
     """The round-4 flagship families in one gate slot: CDC snapshot diff,
     native-session_window sessionization, stream-stream attribution (batch
     form), LSH candidate recall, the train/val leakage audit, and the
-    per-language tokenizer fertility report — melted to a common
-    (section, key, metric, value_num, value_str, value_ts) long format.
+    per-language tokenizer fertility report — plus the reference's
+    relational micro primitives (type-filter counts, salted distinct,
+    scalar subquery, semi join, cached enrichment, computed projection,
+    salted dim join, entries pivot, validated JSON parse) — melted to a
+    common (section, key, metric, value_num, value_str, value_ts) long
+    format.
     Session identity uses a per-user rank instead of a stringified
     timestamp (timestamp RENDERING differs across engines; timestamp
     VALUES compare fine, so starts/ends ride the typed value_ts column)."""
@@ -3260,12 +3272,72 @@ def q_diff_session_recall_suite(spark, sf_dir):
         "'compression', compression, "
         "'chars_per_symbol', chars_per_symbol) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
+
+    # relational micro family: the single-op forms of the reference's
+    # filter/join/project primitives folded into the same long format so the
+    # driver value-verifies them through this slot (they stay registered in
+    # their natural shapes below the fold).
+    def _num(name, key_expr, metric, num_expr):
+        return REGISTRY[name].fn(spark, sf_dir).selectExpr(
+            f"'{name}' AS section",
+            f"{key_expr} AS key",
+            f"'{metric}' AS metric",
+            f"CAST({num_expr} AS DOUBLE) AS value_num",
+            null_str,
+            null_ts,
+        )
+
+    etf = _num("event_type_filter", "event_type", "n", "n")
+    cbs = _num("count_by_state", "payload_retrievability_state", "n", "n")
+    dsl = _num("distinct_salted", "event_type", "n_users", "n_users")
+    ssq = _num("scalar_subquery", "CAST(o_orderkey AS STRING)",
+               "o_totalprice", "o_totalprice")
+    smj = _num("semi_join_ids", "CAST(id AS STRING)", "miner_id", "miner_id")
+    fjv = _num("from_json_validate", "CAST(event_id AS STRING)", "k_val", "k_val")
+    ecp = REGISTRY["enrich_cached_peer"].fn(spark, sf_dir).selectExpr(
+        "'enrich_cached_peer' AS section",
+        "CAST(id AS STRING) AS key",
+        "stack(2, 'miner_id', CAST(miner_id AS DOUBLE), CAST(NULL AS STRING), "
+        "'peer_id', CAST(NULL AS DOUBLE), peer_id) "
+        "AS (metric, value_num, value_str)",
+    ).selectExpr("section", "key", "metric", "value_num", "value_str", null_ts)
+    prj = REGISTRY["project_computed"].fn(spark, sf_dir).selectExpr(
+        "'project_computed' AS section",
+        "CAST(id AS STRING) AS key",
+        "stack(5, "
+        "'miner_id', CAST(miner_id AS DOUBLE), CAST(NULL AS STRING), "
+        "CAST(NULL AS TIMESTAMP_NTZ), "
+        "'client_id', CAST(client_id AS DOUBLE), CAST(NULL AS STRING), "
+        "CAST(NULL AS TIMESTAMP_NTZ), "
+        "'piece_size', CAST(piece_size AS DOUBLE), CAST(NULL AS STRING), "
+        "CAST(NULL AS TIMESTAMP_NTZ), "
+        "'piece_cid', CAST(NULL AS DOUBLE), piece_cid, CAST(NULL AS TIMESTAMP_NTZ), "
+        "'expires_at', CAST(NULL AS DOUBLE), CAST(NULL AS STRING), expires_at) "
+        "AS (metric, value_num, value_str, value_ts)",
+    )
+    sjd = REGISTRY["salted_join_dim"].fn(spark, sf_dir).selectExpr(
+        "'salted_join_dim' AS section",
+        "CAST(event_id AS STRING) AS key",
+        "stack(2, 'user_id', CAST(user_id AS DOUBLE), CAST(NULL AS STRING), "
+        "'segment', CAST(NULL AS DOUBLE), segment) "
+        "AS (metric, value_num, value_str)",
+    ).selectExpr("section", "key", "metric", "value_num", "value_str", null_ts)
+    epv = REGISTRY["entries_pivot"].fn(spark, sf_dir).selectExpr(
+        "'entries_pivot' AS section",
+        "CAST(event_id AS STRING) AS key",
+        "stack(2, 'user_entry', user_entry, 'type_entry', type_entry) "
+        "AS (metric, value_str)",
+    ).selectExpr("section", "key", "metric", null_num, "value_str", null_ts)
     return (
         diff.unionByName(sess_m)
         .unionByName(attr)
         .unionByName(recall)
         .unionByName(leak)
         .unionByName(tok)
+        .unionByName(etf).unionByName(cbs).unionByName(dsl)
+        .unionByName(ssq).unionByName(smj).unionByName(fjv)
+        .unionByName(ecp).unionByName(prj).unionByName(sjd)
+        .unionByName(epv)
     )
 
 
@@ -3374,7 +3446,17 @@ REGISTRY["diff_session_recall_suite"] = QueryDef(
          attr AS ({REGISTRY["view_click_attribution"].oracle}),
          rec AS ({REGISTRY["dedup_lsh_recall"].oracle}),
          leak AS ({REGISTRY["split_leakage_audit"].oracle}),
-         tok AS ({REGISTRY["tokenizer_stats"].oracle})
+         tok AS ({REGISTRY["tokenizer_stats"].oracle}),
+         etf AS ({REGISTRY["event_type_filter"].oracle}),
+         cbs AS ({REGISTRY["count_by_state"].oracle}),
+         dsl AS ({REGISTRY["distinct_salted"].oracle}),
+         ssq AS ({REGISTRY["scalar_subquery"].oracle}),
+         smj AS ({REGISTRY["semi_join_ids"].oracle}),
+         fjv AS ({REGISTRY["from_json_validate"].oracle}),
+         ecp AS MATERIALIZED ({REGISTRY["enrich_cached_peer"].oracle}),
+         prj AS MATERIALIZED ({REGISTRY["project_computed"].oracle}),
+         sjd AS MATERIALIZED ({REGISTRY["salted_join_dim"].oracle}),
+         epv AS MATERIALIZED ({REGISTRY["entries_pivot"].oracle})
     SELECT 'diff' AS section, CAST(id AS VARCHAR) AS key, op AS metric,
            CAST(NULL AS DOUBLE) AS value_num, changed_fields AS value_str,
            CAST(NULL AS TIMESTAMP) AS value_ts FROM diff
@@ -3414,6 +3496,40 @@ REGISTRY["diff_session_recall_suite"] = QueryDef(
            compression, NULL, NULL FROM tok
     UNION ALL SELECT 'tokenizer', lang, 'chars_per_symbol',
            chars_per_symbol, NULL, NULL FROM tok
+    UNION ALL SELECT 'event_type_filter', event_type, 'n',
+           CAST(n AS DOUBLE), NULL, NULL FROM etf
+    UNION ALL SELECT 'count_by_state', payload_retrievability_state, 'n',
+           CAST(n AS DOUBLE), NULL, NULL FROM cbs
+    UNION ALL SELECT 'distinct_salted', event_type, 'n_users',
+           CAST(n_users AS DOUBLE), NULL, NULL FROM dsl
+    UNION ALL SELECT 'scalar_subquery', CAST(o_orderkey AS VARCHAR),
+           'o_totalprice', CAST(o_totalprice AS DOUBLE), NULL, NULL FROM ssq
+    UNION ALL SELECT 'semi_join_ids', CAST(id AS VARCHAR), 'miner_id',
+           CAST(miner_id AS DOUBLE), NULL, NULL FROM smj
+    UNION ALL SELECT 'from_json_validate', CAST(event_id AS VARCHAR), 'k_val',
+           CAST(k_val AS DOUBLE), NULL, NULL FROM fjv
+    UNION ALL SELECT 'enrich_cached_peer', CAST(id AS VARCHAR), 'miner_id',
+           CAST(miner_id AS DOUBLE), NULL, NULL FROM ecp
+    UNION ALL SELECT 'enrich_cached_peer', CAST(id AS VARCHAR), 'peer_id',
+           NULL, peer_id, NULL FROM ecp
+    UNION ALL SELECT 'project_computed', CAST(id AS VARCHAR), 'miner_id',
+           CAST(miner_id AS DOUBLE), NULL, NULL FROM prj
+    UNION ALL SELECT 'project_computed', CAST(id AS VARCHAR), 'client_id',
+           CAST(client_id AS DOUBLE), NULL, NULL FROM prj
+    UNION ALL SELECT 'project_computed', CAST(id AS VARCHAR), 'piece_size',
+           CAST(piece_size AS DOUBLE), NULL, NULL FROM prj
+    UNION ALL SELECT 'project_computed', CAST(id AS VARCHAR), 'piece_cid',
+           NULL, piece_cid, NULL FROM prj
+    UNION ALL SELECT 'project_computed', CAST(id AS VARCHAR), 'expires_at',
+           NULL, NULL, CAST(expires_at AS TIMESTAMP) FROM prj
+    UNION ALL SELECT 'salted_join_dim', CAST(event_id AS VARCHAR), 'user_id',
+           CAST(user_id AS DOUBLE), NULL, NULL FROM sjd
+    UNION ALL SELECT 'salted_join_dim', CAST(event_id AS VARCHAR), 'segment',
+           NULL, segment, NULL FROM sjd
+    UNION ALL SELECT 'entries_pivot', CAST(event_id AS VARCHAR), 'user_entry',
+           NULL, user_entry, NULL FROM epv
+    UNION ALL SELECT 'entries_pivot', CAST(event_id AS VARCHAR), 'type_entry',
+           NULL, type_entry, NULL FROM epv
     """,
 )
 
@@ -3877,8 +3993,10 @@ REGISTRY["text_scoring_suite"] = QueryDef(
 def q_ann_tier_suite(spark, sf_dir):
     """ANN tier outputs in one gate slot: the brute-force cosine top-k
     ground truth, the trained-IVF pruned top-k, the sign-LSH multiprobe
-    top-k, and the PQ/ADC top-k — value-level (not just the recall
-    report's summary), melted to (section, key, metric, value). All four
+    top-k, the PQ/ADC top-k, plus the index-side family — label-cell IVF,
+    single-bucket sign-LSH, Lloyd-trained end-to-end IVF, the PQ code
+    table, and the JL random projection — value-level (not just the recall
+    report's summary), melted to (section, key, metric, value). All tiers
     reuse published index artifacts; the union adds no training pass."""
     bf = REGISTRY["ann_brute_force"].fn(spark, sf_dir).selectExpr(
         "'brute_force' AS section",
@@ -3904,7 +4022,41 @@ def q_ann_tier_suite(spark, sf_dir):
         "stack(2, 'label', CAST(label AS DOUBLE), 'adc_dist', adc_dist) "
         "AS (metric, value)",
     )
-    return bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
+    ivl = REGISTRY["ann_ivf_label"].fn(spark, sf_dir).selectExpr(
+        "'ivf_label' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value)",
+    )
+    lb = REGISTRY["ann_lsh_bucket"].fn(spark, sf_dir).selectExpr(
+        "'lsh_bucket' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value)",
+    )
+    ivk = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).selectExpr(
+        "'ivf_kmeans' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(3, 'label', CAST(label AS DOUBLE), 'cell', CAST(cell AS DOUBLE), "
+        "'cosine', cosine) AS (metric, value)",
+    )
+    pqc = REGISTRY["pq_codes"].fn(spark, sf_dir).selectExpr(
+        "'pq_codes' AS section",
+        "concat(CAST(vec_id AS STRING), ':', CAST(subspace AS STRING)) AS key",
+        "'code' AS metric",
+        "CAST(code AS DOUBLE) AS value",
+    )
+    rp = REGISTRY["embedding_random_projection"].fn(spark, sf_dir).selectExpr(
+        "'random_projection' AS section",
+        "concat(CAST(vec_id AS STRING), ':', CAST(pos AS STRING)) AS key",
+        "'val' AS metric",
+        "val AS value",
+    )
+    return (
+        bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
+        .unionByName(ivl).unionByName(lb).unionByName(ivk)
+        .unionByName(pqc).unionByName(rp)
+    )
 
 
 REGISTRY["ann_tier_suite"] = QueryDef(
@@ -3913,7 +4065,12 @@ REGISTRY["ann_tier_suite"] = QueryDef(
     WITH bf AS ({REGISTRY["ann_brute_force"].oracle}),
          ivf AS ({REGISTRY["ann_ivf_centroid"].oracle}),
          mp AS ({REGISTRY["ann_lsh_multiprobe"].oracle}),
-         pq AS ({REGISTRY["ann_pq_adc"].oracle})
+         pq AS ({REGISTRY["ann_pq_adc"].oracle}),
+         ivl AS ({REGISTRY["ann_ivf_label"].oracle}),
+         lb AS ({REGISTRY["ann_lsh_bucket"].oracle}),
+         ivk AS MATERIALIZED ({REGISTRY["ann_ivf_kmeans"].oracle}),
+         pqc AS MATERIALIZED ({REGISTRY["pq_codes"].oracle}),
+         rp AS MATERIALIZED ({REGISTRY["embedding_random_projection"].oracle})
     SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
            'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
     UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
@@ -3928,6 +4085,23 @@ REGISTRY["ann_tier_suite"] = QueryDef(
     UNION ALL SELECT 'pq_adc', CAST(vec_id AS VARCHAR), 'label',
            CAST(label AS DOUBLE) FROM pq
     UNION ALL SELECT 'pq_adc', CAST(vec_id AS VARCHAR), 'adc_dist', adc_dist FROM pq
+    UNION ALL SELECT 'ivf_label', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM ivl
+    UNION ALL SELECT 'ivf_label', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM ivl
+    UNION ALL SELECT 'lsh_bucket', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM lb
+    UNION ALL SELECT 'lsh_bucket', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM lb
+    UNION ALL SELECT 'ivf_kmeans', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM ivk
+    UNION ALL SELECT 'ivf_kmeans', CAST(vec_id AS VARCHAR), 'cell',
+           CAST(cell AS DOUBLE) FROM ivk
+    UNION ALL SELECT 'ivf_kmeans', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM ivk
+    UNION ALL SELECT 'pq_codes',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(subspace AS VARCHAR),
+           'code', CAST(code AS DOUBLE) FROM pqc
+    UNION ALL SELECT 'random_projection',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+           'val', val FROM rp
     """,
 )
 
@@ -4184,7 +4358,32 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "CAST(event_id AS DOUBLE) AS value_num",
         null_str,
     )
-    return inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
+    ex = REGISTRY["dedup_exact"].fn(spark, sf_dir).selectExpr(
+        "'exact' AS section",
+        "fingerprint AS key",
+        "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
+        "'keep_doc_id', CAST(keep_doc_id AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    sh = REGISTRY["dedup_simhash"].fn(spark, sf_dir).selectExpr(
+        "'simhash' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'simhash' AS metric",
+        "CAST(NULL AS DOUBLE) AS value_num",
+        # 64-bit simhash exceeds double's 2^53 exact-integer range: carry
+        # it on the string column so the value-hash compare stays exact.
+        "CAST(simhash AS STRING) AS value_str",
+    )
+    aj = REGISTRY["anti_join_dedup"].fn(spark, sf_dir).selectExpr(
+        "'anti_insert' AS section",
+        "CAST(o_orderkey AS STRING) AS key",
+        "'new_key' AS metric",
+        "CAST(1 AS DOUBLE) AS value_num",
+        null_str,
+    )
+    return (
+        inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
+        .unionByName(ex).unionByName(sh).unionByName(aj)
+    )
 
 
 REGISTRY["dedup_lifecycle_suite"] = QueryDef(
@@ -4194,7 +4393,10 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
          ov AS MATERIALIZED ({REGISTRY["source_ngram_overlap"].oracle}),
          sp AS MATERIALIZED ({REGISTRY["dedup_duplicate_spans"].oracle}),
          cp AS MATERIALIZED ({REGISTRY["dedup_canonical_pick"].oracle}),
-         fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle})
+         fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle}),
+         ex AS MATERIALIZED ({REGISTRY["dedup_exact"].oracle}),
+         sh AS MATERIALIZED ({REGISTRY["dedup_simhash"].oracle}),
+         aj AS MATERIALIZED ({REGISTRY["anti_join_dedup"].oracle})
     SELECT 'incremental' AS section, CAST(batch_doc AS VARCHAR) AS key,
            'match_doc' AS metric, CAST(match_doc AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM inc
@@ -4223,6 +4425,14 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
     UNION ALL SELECT 'first_per_key',
            CAST(user_id AS VARCHAR) || ':' || event_type, 'event_id',
            CAST(event_id AS DOUBLE), NULL FROM fk
+    UNION ALL SELECT 'exact', fingerprint, 'n_docs',
+           CAST(n_docs AS DOUBLE), NULL FROM ex
+    UNION ALL SELECT 'exact', fingerprint, 'keep_doc_id',
+           CAST(keep_doc_id AS DOUBLE), NULL FROM ex
+    UNION ALL SELECT 'simhash', CAST(doc_id AS VARCHAR), 'simhash',
+           CAST(NULL AS DOUBLE), CAST(simhash AS VARCHAR) FROM sh
+    UNION ALL SELECT 'anti_insert', CAST(o_orderkey AS VARCHAR), 'new_key',
+           CAST(1 AS DOUBLE), NULL FROM aj
     """,
 )
 
@@ -4258,7 +4468,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "corpus_sampling_suite": (
         "corpus_train_val_split", "stratified_sample", "corpus_mixture_sample",
-        "corpus_weighted_sample",
+        "corpus_weighted_sample", "corpus_fixed_sample",
     ),
     "dedup_pair_verify_suite": (
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
@@ -4269,7 +4479,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "ann_tier_suite": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
-        "ann_pq_adc",
+        "ann_pq_adc", "ann_ivf_label", "ann_lsh_bucket", "ann_ivf_kmeans",
+        "pq_codes", "embedding_random_projection",
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
@@ -4278,10 +4489,16 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "running_totals", "percentile_rank_orders", "constraint_violations",
         "cohort_retention", "funnel_conversion",
     ),
-    "sketch_suite": ("cms_token_counts", "ngram_heavy_hitters"),
+    "sketch_suite": (
+        "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
+    ),
     "diff_session_recall_suite": (
         "snapshot_diff", "session_window_stats", "view_click_attribution",
         "dedup_lsh_recall", "split_leakage_audit", "tokenizer_stats",
+        "event_type_filter", "count_by_state", "distinct_salted",
+        "scalar_subquery", "semi_join_ids", "from_json_validate",
+        "enrich_cached_peer", "project_computed", "salted_join_dim",
+        "entries_pivot",
     ),
     "tpch_agg_suite": (
         "agg_pricing_summary", "agg_revenue_by_nation",
@@ -4313,7 +4530,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
-        "dedup_canonical_pick", "dedup_first_per_key",
+        "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
+        "dedup_simhash", "anti_join_dedup",
     ),
     "corpus_e2e_pipeline": ("corpus_quality_gate",),
     "hybrid_retrieval_rrf": ("bm25_scores",),

@@ -23,6 +23,7 @@ PYTHON_OK = {
     "multimodal_suite",  # gate melt of the three media kernels above
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
+    "diff_session_recall_suite",  # gate melt includes enrich_cached_peer
 }
 
 
