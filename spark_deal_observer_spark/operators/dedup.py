@@ -295,10 +295,17 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     oracle below is the plain all-pairs form: band blocking is provably
     result-identical, and the driver's hash check re-proves it every round.
 
-    Scale shape: one shuffle on the 10-bit bounded key (band, value); pairs
-    are generated inside each bucket (expected size m/256 per band) and a
-    pair found in several shared bands dedups on (doc_a, doc_b). Hamming =
-    bit_count(xor) — pure JVM throughout."""
+    Scale shape: pair generation is a self-EQUI-join on the bounded
+    (band, key) key, not a collect_set + higher-order-function expansion.
+    The join form matters twice at 100 TB: SimHash bits are NOT uniform
+    (similar token distributions concentrate band values — measured at
+    sf0.1 the hottest of 1024 buckets holds 27% of the corpus), so (a) a
+    hot bucket's full member list must never be required to fit one
+    aggregation buffer, and (b) the quadratic in-bucket expansion must run
+    as whole-stage-codegen'd join rows that AQE's skew-join splitter can
+    fan out across executors, not as one interpreted per-element lambda on
+    a single row. Hamming = bit_count(xor) filters inside the join stage;
+    a pair found in several shared bands dedups on (doc_a, doc_b)."""
     sigs = simhash_signatures(docs)
     bands = [
         F.struct(
@@ -310,20 +317,21 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     exploded = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = exploded.groupBy("band", "key").agg(
-        F.collect_set(F.struct("doc_id", "simhash")).alias("xs")
-    )
-    pairs = (
-        "flatten(transform(xs, a -> transform(filter(xs, b -> b.doc_id > a.doc_id), "
-        "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "a.simhash AS sig_a, b.simhash AS sig_b))))"
-    )
-    ham = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        buckets.where(F.size("xs") > 1)
-        .select(F.explode(F.expr(pairs)).alias("p"))
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(ham <= max_hamming)
-        .select("p.doc_a", "p.doc_b", ham.cast("int").alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
 

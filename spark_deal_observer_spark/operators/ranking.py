@@ -274,35 +274,47 @@ def hashed_doc_embeddings(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     entirely in generated SQL: explode in the scan stage, ONE (doc_id)
     shuffle carrying dim partial sums per doc (map-side combined), the
     vector assembled from `dim` conditional aggregates. No Python, no
-    external model; the oracle builds the identical vector."""
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
-    )
-    from ..functions.hashing import hash32_sql
+    external model; the oracle builds the identical vector.
 
-    dims = toks.select(
-        "doc_id", F.expr(f"{hash32_sql('token', 'spark')} % {dim}").alias("d")
-    )
-    # Two-level aggregate so the L2 norm is a PLAIN aggregate, never an
-    # unrolled dim²-term expression: the unrolled form puts dim² multiply
-    # terms (plus a sqrt tree per component) into one generated Java class,
-    # which OOMs janino on a default-heap driver. sum(cnt*cnt) over INTEGER
-    # bucket counts is exactly associative, so the arbitrary row order of
-    # the aggregate lands on the identical double as the oracle's ordered
-    # c0²+c1²+… chain (integer-valued doubles add exactly below 2^53).
-    cnts = dims.groupBy("doc_id", "d").agg(F.count("*").alias("cnt"))
-    sums = cnts.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("d") == i, F.col("cnt")).otherwise(0))
-            .cast("double")
-            .alias(f"c{i}")
-            for i in range(dim)
-        ],
-        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm"),
-    )
-    arr = F.array(*[F.col(f"c{i}") for i in range(dim)])
-    vec = F.transform(arr, lambda x: F.round(x / F.col("nrm"), 6))
-    return sums.select("doc_id", vec.alias("embedding"))
+    Published per (input, dim) through the session artifact registry like
+    the MinHash/SimHash signature tables — the embedding table is shared
+    dominant compute (the registered query, the text-scoring gate suite,
+    and any downstream vector consumer read the same artifact), so the
+    tokenize+hash+aggregate pass runs once per corpus snapshot."""
+    from ..functions.hashing import hash32_sql
+    from .models import published
+
+    def build() -> DataFrame:
+        toks = docs.select(
+            "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+        )
+        dims = toks.select(
+            "doc_id", F.expr(f"{hash32_sql('token', 'spark')} % {dim}").alias("d")
+        )
+        # Two-level aggregate so the L2 norm is a PLAIN aggregate, never an
+        # unrolled dim²-term expression: the unrolled form puts dim² multiply
+        # terms (plus a sqrt tree per component) into one generated Java class,
+        # which OOMs janino on a default-heap driver. sum(cnt*cnt) over INTEGER
+        # bucket counts is exactly associative, so the arbitrary row order of
+        # the aggregate lands on the identical double as the oracle's ordered
+        # c0²+c1²+… chain (integer-valued doubles add exactly below 2^53).
+        cnts = dims.groupBy("doc_id", "d").agg(F.count("*").alias("cnt"))
+        sums = cnts.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(F.col("d") == i, F.col("cnt")).otherwise(0))
+                .cast("double")
+                .alias(f"c{i}")
+                for i in range(dim)
+            ],
+            F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm"),
+        )
+        arr = F.array(*[F.col(f"c{i}") for i in range(dim)])
+        vec = F.transform(arr, lambda x: F.round(x / F.col("nrm"), 6))
+        return sums.select("doc_id", vec.alias("embedding")).localCheckpoint(
+            eager=True
+        )
+
+    return published(docs, "hashed_emb", (dim,), build)
 
 
 def hashed_doc_embeddings_oracle(dim: int = EMBED_DIM) -> str:

@@ -12,6 +12,8 @@ Each assertion is a property that matters at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from conftest import SF_ORACLE
 
@@ -111,12 +113,14 @@ def test_python_stages_are_parallel(spark, name):
 
 
 def test_simhash_pairs_block_on_band_prefix(spark):
-    """The simhash pair stage must shuffle on the bounded (band, key) bucket
-    — never an all-pairs or unbounded-block join. The groupBy formulation
-    means the only wide op is the hash partitioning on the band key."""
+    """The simhash pair stage must be an EQUI-join on the bounded
+    (band, key) bucket — never an all-pairs or unbounded product join.
+    The self-join formulation (rather than collect_set + HOF expansion)
+    keeps a hot bucket's quadratic pair fan-out in codegen'd, AQE-skew-
+    splittable join rows instead of one interpreted lambda on one row."""
     p = plan(q(spark, "dedup_simhash_pairs"))
-    assert "hashpartitioning(band" in p, p
-    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band", p), p
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in p, f"{marker} in plan:\n{p}"
 
 
