@@ -122,8 +122,16 @@ SKEW_DST = os.environ.get("SCALE10X_SKEW_DIR", "/tmp/scale10x_skew")
 
 # queries whose skew defenses the stress case exercises: the chunked
 # hot-bucket fan-out (dedup_minhash_lsh), the salt-spread join
-# (salted_join_dim), and the per-key window family (sessionize_events)
-SKEW_QUERIES = ["dedup_minhash_lsh", "salted_join_dim", "sessionize_events"]
+# (salted_join_dim), the per-key window family (sessionize_events), and
+# the AQE-skew-splittable simhash band self-join (dedup_simhash_pairs —
+# the boilerplate hot text collapses ~5% of the corpus into one band
+# bucket, its exact degenerate case)
+SKEW_QUERIES = [
+    "dedup_minhash_lsh",
+    "salted_join_dim",
+    "sessionize_events",
+    "dedup_simhash_pairs",
+]
 
 
 def synthesize_skew(con) -> None:
