@@ -1025,38 +1025,37 @@ def incremental_dedup(
     inter = pair_intersections(docs)
     is_batch_a = F.col("doc_a") % batch_mod == 0
     is_batch_b = F.col("doc_b") % batch_mod == 0
-    ab = inter.where(is_batch_a & ~is_batch_b).select(
-        F.col("doc_a").alias("batch_doc"),
-        F.col("doc_b").alias("match_doc"),
-        "i",
-        "na",
-        "nb",
-    )
-    ba = inter.where(is_batch_b & ~is_batch_a).select(
-        F.col("doc_b").alias("batch_doc"),
-        F.col("doc_a").alias("match_doc"),
-        "i",
-        "na",
-        "nb",
-    )
-    scored = ab.unionByName(ba).select(
-        "batch_doc",
-        "match_doc",
+    # exactly one side of a mixed pair is the batch side, so the two
+    # directions are one CASE projection over one pass of the store, not
+    # a two-branch union that scans the checkpoint twice
+    scored = inter.where(is_batch_a != is_batch_b).select(
+        F.when(is_batch_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("batch_doc"),
+        F.when(is_batch_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("match_doc"),
         F.round(
             F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
         ).alias("jaccard"),
     )
-    w = Window.partitionBy("batch_doc").orderBy(
-        F.col("jaccard").desc(), F.col("match_doc")
-    )
+    # per-batch-doc argmax as a map-side-combinable AGGREGATE, not a
+    # window (the trained-quantizer-assign rule, SCALE.md §4): partial
+    # aggregation collapses each task's candidates to one row per
+    # batch_doc before the exchange, so the shuffle moves |batch docs|
+    # rows instead of |mixed candidates|. max(struct(jaccard, -match_doc))
+    # implements the (jaccard DESC, match_doc ASC) tiebreak exactly —
+    # doc ids are non-negative longs, so the negation is exact.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        scored.groupBy("batch_doc")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("match_doc")).alias("nmd")
+                )
+            ).alias("b")
+        )
         .select(
             "batch_doc",
-            "match_doc",
-            "jaccard",
-            (F.col("jaccard") >= threshold).alias("is_dup"),
+            (-F.col("b.nmd")).alias("match_doc"),
+            F.col("b.jaccard").alias("jaccard"),
+            (F.col("b.jaccard") >= threshold).alias("is_dup"),
         )
     )
 

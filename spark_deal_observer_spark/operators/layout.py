@@ -12,9 +12,13 @@ generated SQL:
                 observed bounds; the bounds come from a 1-row min/max
                 aggregate broadcast-cross-joined back (map-side combined,
                 never a global sort and never an unpartitioned window).
-  * interleave — z = Σ_i bit_i(x)<<2i | bit_i(y)<<(2i+1), an `aggregate`
-                over a literal bit sequence: scan-stage, codegen'd, no
-                Python, and bit-identical in the DuckDB twin.
+  * interleave — z = Σ_i bit_i(x)<<2i | bit_i(y)<<(2i+1), UNROLLED at
+                plan-build time into 2·ZBITS literal shift-add terms over
+                the quantized columns: scan-stage, whole-stage-codegen'd,
+                no Python, and bit-identical in the DuckDB twin. (The
+                `aggregate(sequence(...))` higher-order form computes the
+                same value but is interpreted per element — the measured
+                ~4× penalty of the pre-r3 JL projection.)
   * layout    — writers `repartitionByRange(zkey)` + sortWithinPartitions
                 so each output file owns a compact z-range (a square-ish
                 tile in key space); the registered query reports per-tile
@@ -37,13 +41,19 @@ TILE_SHIFT = 8  # z >> TILE_SHIFT → 256 tiles = 16×16 cells each
 
 
 def _interleave_sql(dialect: str, x: str, y: str, bits: int = ZBITS) -> str:
-    """Morton interleave of two `bits`-bit integers (x even bits, y odd)."""
+    """Morton interleave of two `bits`-bit integers (x even bits, y odd).
+
+    Spark side is unrolled to literal shift-add terms so the whole key
+    stays inside whole-stage codegen (HOF lambdas are interpreted per
+    element); pass COLUMN REFERENCES for x/y — each is repeated 2·bits
+    times. The DuckDB twin keeps the list form (DuckDB vectorizes it)."""
     if dialect == "spark":
-        return (
-            f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> "
-            f"acc + shiftleft((shiftright({x}, i) & 1), 2 * i)"
-            f"    + shiftleft((shiftright({y}, i) & 1), 2 * i + 1))"
-        )
+        terms = [
+            f"shiftleft((shiftright({x}, {i}) & 1), {2 * i}) + "
+            f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})"
+            for i in range(bits)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
     return (
         f"list_sum(list_transform(generate_series(0, {bits - 1}), i -> "
         f"((({x} >> i) & 1) << (2 * i)) + ((({y} >> i) & 1) << (2 * i + 1))))"
@@ -65,8 +75,16 @@ def zorder_key(
     pure scan-stage expression."""
     qx = _quantize_sql("spark", xcol, "x_lo", "x_hi")
     qy = _quantize_sql("spark", ycol, "y_lo", "y_hi")
-    return df.crossJoin(F.broadcast(bounds)).withColumn(
-        "zkey", F.expr(_interleave_sql("spark", qx, qy))
+    # quantize once into named columns, then interleave over the column
+    # refs — the unrolled form repeats each operand 2·ZBITS times, and
+    # repeating the quantize division that often would bloat the
+    # generated code for no reason.
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("zq_x", F.expr(qx).cast("bigint"))
+        .withColumn("zq_y", F.expr(qy).cast("bigint"))
+        .withColumn("zkey", F.expr(_interleave_sql("spark", "zq_x", "zq_y")))
+        .drop("zq_x", "zq_y")
     )
 
 

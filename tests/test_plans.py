@@ -308,12 +308,15 @@ def test_source_overlap_joins_on_shingle_value(spark):
 
 
 def test_incremental_dedup_rides_published_store(spark):
-    """Warm plan must be filter + window over the published verify store:
-    no parquet scan of documents, no candidate re-enumeration join."""
+    """Warm plan must be filter + map-side-combinable argmax AGGREGATE
+    over the published verify store: no parquet scan of documents, no
+    candidate re-enumeration join, and no Window (the aggregate form
+    collapses each task's candidates before the exchange)."""
     q(spark, "dedup_incremental").count()  # ensure artifact is published
     p = plan(q(spark, "dedup_incremental"))
     assert "Scan parquet" not in p, p
-    assert "Window" in p
+    assert "Window" not in p, p
+    assert "partial_max" in p, p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
