@@ -117,3 +117,257 @@ def cms_token_counts_oracle() -> str:
                e.cms_est
         FROM est e LEFT JOIN tru t USING (token)
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch, hand-built and value-checkable
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 2^10 = 1024 registers; standard error ~ 1.04/sqrt(m) = 3.3%
+HLL_M = 1 << HLL_P
+# alpha_m * m^2 for m = 1024, precomputed so both engines parse the same
+# decimal literal (Python repr round-trips the exact double)
+_HLL_ALPHA_M2 = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M)
+
+
+def _hll_pre(dialect: str) -> tuple[str, str, str]:
+    """(hash, bucket, rho) expression strings over a `user_id` column.
+
+    The 32-bit portable hash splits into the low HLL_P bits (register
+    index) and the high 32-p bits (the rho word); rho = leading zeros of
+    the word + 1, computed from the BINARY-STRING length (Spark
+    `conv(w,10,2)`, DuckDB `to_base(w,2)`) — integer/string arithmetic
+    only, no floating log2 whose last-ulp rounding could differ between
+    engines."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash32_sql(f"CAST(user_id AS {s})", dialect)
+    bucket = f"(h % {HLL_M})"
+    if dialect == "spark":
+        bitlen = "length(conv(w, 10, 2))"
+    else:
+        bitlen = "length(to_base(w, 2))"
+    rho = f"(CASE WHEN w > 0 THEN {32 - HLL_P + 1} - {bitlen} ELSE {32 - HLL_P + 1} END)"
+    return h, bucket, rho
+
+
+def _hll_est_sql(dialect: str) -> str:
+    """Estimate from (s, v) = (register sum incl. zero registers, zero-
+    register count): the HLL raw estimate with the standard small-range
+    linear-counting correction. Every term is deterministic across
+    engines: the register sum adds exact powers of two (exponent range
+    23 < 53 bits, so the sum is exact in any order), and ln/division of
+    identical doubles round identically."""
+    raw = f"{_HLL_ALPHA_M2} / s"
+    lin = f"{HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))"
+    return f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND v > 0 THEN {lin} ELSE {raw} END)"
+
+
+def hll_distinct_audit(events: DataFrame) -> DataFrame:
+    """(event_type, true_users, hll_est, rel_err): exact distinct users vs
+    the hand-built 1024-register HyperLogLog estimate, per event type —
+    the fixed-size mergeable replacement for exact distinct counting, with
+    the estimate's error REPORTED next to the truth it approximates (the
+    same audit contract as `cms_token_counts`; Spark's native HLL++
+    `approx_count_distinct` stays registered separately as the
+    rows-only production form).
+
+    Scale shape: one scan; the (event_type, bucket) max-rho aggregate is
+    map-side combinable (max IS the HLL register merge), so the shuffle
+    carries at most |types|·1024 register rows per task regardless of
+    corpus size — the sketch-merge property in plan form. The exact side
+    costs one (event_type, user_id) distinct; at 100 TB you'd audit on a
+    sample and keep only the sketch side, which is the point."""
+    h, bucket, rho = _hll_pre("spark")
+    regs = (
+        events.selectExpr("event_type", f"{h} AS h")
+        .selectExpr("event_type", f"CAST({bucket} AS INT) AS bucket", f"h div {HLL_M} AS w")
+        .selectExpr("event_type", "bucket", f"{rho} AS rho")
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("s_present"),
+        F.count("*").alias("nz"),
+    ).selectExpr(
+        "event_type",
+        f"s_present + CAST({HLL_M} - nz AS DOUBLE) AS s",
+        f"CAST({HLL_M} - nz AS BIGINT) AS v",
+    )
+    est = agg.selectExpr(
+        "event_type", f"ROUND({_hll_est_sql('spark')}, 4) AS hll_est"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .selectExpr(
+            "event_type",
+            "true_users",
+            "hll_est",
+            "ROUND(abs(hll_est - true_users) / true_users, 4) AS rel_err",
+        )
+    )
+
+
+def hll_distinct_audit_oracle() -> str:
+    h, bucket, rho = _hll_pre("duckdb")
+    return f"""
+        WITH pre AS (SELECT event_type, {h} AS h FROM events),
+        words AS (SELECT event_type, {bucket} AS bucket, h // {HLL_M} AS w FROM pre),
+        regs AS (SELECT event_type, bucket, max({rho}) AS rho
+                 FROM words GROUP BY event_type, bucket),
+        agg0 AS (SELECT event_type,
+                        sum(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS s_present,
+                        count(*) AS nz
+                 FROM regs GROUP BY event_type),
+        agg AS (SELECT event_type,
+                       s_present + CAST({HLL_M} - nz AS DOUBLE) AS s,
+                       CAST({HLL_M} - nz AS BIGINT) AS v
+                FROM agg0),
+        est AS (SELECT event_type, ROUND({_hll_est_sql('duckdb')}, 4) AS hll_est
+                FROM agg),
+        tru AS (SELECT event_type, count(DISTINCT user_id) AS true_users
+                FROM events GROUP BY event_type)
+        SELECT t.event_type, CAST(t.true_users AS BIGINT) AS true_users,
+               e.hll_est,
+               ROUND(abs(e.hll_est - t.true_users) / t.true_users, 4) AS rel_err
+        FROM tru t JOIN est e USING (event_type)
+    """
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram quantile sketch, hand-built and value-checkable
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+HQ_PROBES = (0.5, 0.9, 0.99)
+_HQ_NAMES = ("q50", "q90", "q99")
+
+
+def histogram_quantile_audit(events: DataFrame) -> DataFrame:
+    """(event_type, metric, hist_est, exact, abs_err): per-type quantile
+    estimates from a fixed 256-bin equi-width histogram, audited against
+    the exact interpolated percentile — the value-checkable twin of the
+    native-GK `approx_quantiles_by_type` (rows-only by nature), closing
+    the sketch family: CMS (frequency), HLL (cardinality), histogram
+    (quantiles), each with its estimate verified bit-for-bit by the
+    DuckDB oracle next to the truth it approximates.
+
+    Scale shape: the histogram is ≤ |types|·256 integer counters, map-side
+    combinable (sum IS the sketch merge), built in one binning pass over a
+    broadcast (lo, hi) bounds row per type; the quantile read-off walks the
+    cumulative counts of a 256-row-per-type table — fixed-size state
+    regardless of corpus size. The exact side is Spark's `percentile`
+    aggregate (bit-identical to DuckDB quantile_cont); at 100 TB you audit
+    on a sample and keep the sketch, or use the selection path
+    (profile.exact_quantiles). Determinism: bin index is floor over
+    identical doubles, bucket counts are exact longs, and the
+    interpolation arithmetic applies identical IEEE ops in both engines."""
+    from pyspark.sql import Window
+
+    probe_arr = ", ".join(f"{p!r}D" for p in HQ_PROBES)
+    name_arr = ", ".join(f"'{n}'" for n in _HQ_NAMES)
+    bounds = events.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("value").alias("n"),
+        F.expr(f"percentile(value, array({probe_arr}))").alias("qs"),
+    )
+    binned = (
+        events.where(F.col("value").isNotNull())
+        .join(F.broadcast(bounds.select("event_type", "lo", "hi")), "event_type")
+        .selectExpr(
+            "event_type",
+            f"CASE WHEN hi = lo THEN 0 ELSE "
+            f"LEAST(CAST(floor((value - lo) * {HIST_BINS} / (hi - lo)) AS INT), "
+            f"{HIST_BINS - 1}) END AS bucket",
+        )
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("event_type").orderBy("bucket")),
+    )
+    probes = bounds.selectExpr(
+        "event_type",
+        "lo",
+        "hi",
+        "n",
+        f"posexplode(array({probe_arr})) AS (pos, q)",
+        "qs",
+    ).selectExpr(
+        "event_type", "lo", "hi", "n", "pos", "q",
+        "element_at(qs, pos + 1) AS exact",
+        f"element_at(array({name_arr}), pos + 1) AS metric",
+    )
+    hit = (
+        cum.join(probes, "event_type")
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "pos").orderBy("bucket")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = (
+        "lo + (bucket + (q * n - (cum - cnt)) / cnt) "
+        f"* (hi - lo) / {HIST_BINS}"
+    )
+    return hit.selectExpr(
+        "event_type",
+        "metric",
+        f"ROUND({est}, 6) AS hist_est",
+        "ROUND(exact, 6) AS exact",
+        f"ROUND(abs(({est}) - exact), 6) AS abs_err",
+    )
+
+
+def histogram_quantile_audit_oracle() -> str:
+    probe_arr = ", ".join(repr(p) for p in HQ_PROBES)
+    name_arr = ", ".join(f"'{n}'" for n in _HQ_NAMES)
+    est = (
+        f"lo + (bucket + (q * n - (cum - cnt)) / cnt) * (hi - lo) / {HIST_BINS}"
+    )
+    return f"""
+        WITH bounds AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi,
+                 count(value) AS n,
+                 quantile_cont(value, [{probe_arr}]) AS qs
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        binned AS (
+          SELECT e.event_type,
+                 CASE WHEN b.hi = b.lo THEN 0 ELSE
+                   LEAST(CAST(floor((e.value - b.lo) * {HIST_BINS} / (b.hi - b.lo))
+                              AS INT), {HIST_BINS - 1}) END AS bucket
+          FROM events e JOIN bounds b USING (event_type)
+          WHERE e.value IS NOT NULL),
+        hist AS (SELECT event_type, bucket, count(*) AS cnt
+                 FROM binned GROUP BY event_type, bucket),
+        cum AS (SELECT event_type, bucket, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                         AS cum
+                FROM hist),
+        probes AS (
+          SELECT event_type, lo, hi, n, g.pos - 1 AS pos,
+                 ([{probe_arr}])[g.pos] AS q,
+                 qs[g.pos] AS exact,
+                 ([{name_arr}])[g.pos] AS metric
+          FROM bounds CROSS JOIN generate_series(1, {len(HQ_PROBES)}) g(pos)),
+        hit AS (
+          SELECT c.event_type, p.metric, p.q, p.n, p.lo, p.hi, p.exact,
+                 c.bucket, c.cnt, c.cum,
+                 row_number() OVER (PARTITION BY c.event_type, p.pos
+                                    ORDER BY c.bucket) AS rn
+          FROM cum c JOIN probes p USING (event_type)
+          WHERE c.cum >= p.q * p.n)
+        SELECT event_type, metric,
+               ROUND({est}, 6) AS hist_est,
+               ROUND(exact, 6) AS exact,
+               ROUND(abs(({est}) - exact), 6) AS abs_err
+        FROM hit WHERE rn = 1
+    """

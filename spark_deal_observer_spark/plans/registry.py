@@ -2740,6 +2740,30 @@ def q_cms_token_counts(spark, sf_dir):
     return sk.cms_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register("hll_distinct_audit", sk.hll_distinct_audit_oracle())
+def q_hll_distinct_audit(spark, sf_dir):
+    """Hand-built 1024-register HyperLogLog distinct-user estimate per
+    event type, audited against the exact count — the value-checkable twin
+    of the native-sketch `approx_distinct_users` (rows-only by nature):
+    portable md5 hashing + integer/string bit arithmetic make every
+    register, and therefore the estimate itself, bit-identical in the
+    DuckDB oracle. max-per-register is the sketch merge, so the aggregate
+    is map-side combinable and the shuffle is bounded by |types|·1024
+    register rows per task at any corpus size."""
+    return sk.hll_distinct_audit(_t(spark, sf_dir, "events"))
+
+
+@register("histogram_quantile_audit", sk.histogram_quantile_audit_oracle())
+def q_histogram_quantile_audit(spark, sf_dir):
+    """Fixed 256-bin equi-width histogram quantile estimates per event
+    type, audited against the exact interpolated percentile — the
+    value-checkable twin of the native-GK `approx_quantiles_by_type`
+    (rows-only by nature). Completes the audited sketch family: CMS
+    (frequency), HLL (cardinality), histogram (quantiles). The histogram
+    is ≤ |types|·256 map-side-combinable counters at any corpus size."""
+    return sk.histogram_quantile_audit(_t(spark, sf_dir, "events"))
+
+
 @register("dedup_containment", dd.containment_pairs_oracle())
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment |A∩B|/|A| over the LSH candidates — catches
@@ -3154,7 +3178,22 @@ def q_sketch_suite(spark, sf_dir):
     dr_m = REGISTRY["source_drift_psi"].fn(spark, sf_dir).selectExpr(
         "'drift' AS section", "source AS key", "'psi' AS metric", "psi AS value"
     )
-    return cms_m.unionByName(hh_m).unionByName(dr_m)
+    hl_m = REGISTRY["hll_distinct_audit"].fn(spark, sf_dir).selectExpr(
+        "'hll' AS section",
+        "event_type AS key",
+        "stack(3, 'true_users', CAST(true_users AS DOUBLE), "
+        "'hll_est', hll_est, 'rel_err', rel_err) AS (metric, value)",
+    )
+    hq_m = REGISTRY["histogram_quantile_audit"].fn(spark, sf_dir).selectExpr(
+        "'hist_q' AS section",
+        "concat(event_type, ':', metric) AS key",
+        "stack(3, 'hist_est', hist_est, 'exact', exact, 'abs_err', abs_err) "
+        "AS (metric, value)",
+    )
+    return (
+        cms_m.unionByName(hh_m).unionByName(dr_m)
+        .unionByName(hl_m).unionByName(hq_m)
+    )
 
 
 # the two suites above need oracle strings assembled from already-registered
@@ -3191,12 +3230,24 @@ REGISTRY["sketch_suite"] = QueryDef(
     f"""
     WITH cms AS ({REGISTRY["cms_token_counts"].oracle}),
          hh AS ({REGISTRY["ngram_heavy_hitters"].oracle}),
-         dr AS ({REGISTRY["source_drift_psi"].oracle})
+         dr AS ({REGISTRY["source_drift_psi"].oracle}),
+         hl AS MATERIALIZED ({REGISTRY["hll_distinct_audit"].oracle}),
+         hq AS MATERIALIZED ({REGISTRY["histogram_quantile_audit"].oracle})
     SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
            CAST(true_cnt AS BIGINT) AS value FROM cms
     UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
     UNION ALL SELECT 'heavy_hitters', ngram, 'cnt', CAST(cnt AS BIGINT) FROM hh
     UNION ALL SELECT 'drift', source, 'psi', CAST(psi AS DOUBLE) FROM dr
+    UNION ALL SELECT 'hll', event_type, 'true_users',
+           CAST(true_users AS DOUBLE) FROM hl
+    UNION ALL SELECT 'hll', event_type, 'hll_est', hll_est FROM hl
+    UNION ALL SELECT 'hll', event_type, 'rel_err', rel_err FROM hl
+    UNION ALL SELECT 'hist_q', event_type || ':' || metric, 'hist_est',
+           hist_est FROM hq
+    UNION ALL SELECT 'hist_q', event_type || ':' || metric, 'exact',
+           exact FROM hq
+    UNION ALL SELECT 'hist_q', event_type || ':' || metric, 'abs_err',
+           abs_err FROM hq
     """,
 )
 
@@ -4491,6 +4542,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
+        "hll_distinct_audit", "histogram_quantile_audit",
     ),
     "diff_session_recall_suite": (
         "snapshot_diff", "session_window_stats", "view_click_attribution",
@@ -4709,6 +4761,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "column_correlations",
     "cms_token_counts",
     "source_drift_psi",
+    "hll_distinct_audit",    # hand-built HLL, value-checkable twin of the native sketch
+    "histogram_quantile_audit",  # fixed-grid quantile sketch, value-checkable twin
     "dedup_containment",
     "dedup_incremental",     # batch-vs-corpus probe through the published index
     "source_ngram_overlap",  # cross-source contamination matrix

@@ -67,3 +67,49 @@ def test_kmeans_partition_invariance(spark):
     }
     assert a == b
     assert sum(n for n, _ in a.values()) == emb.count()
+
+
+def test_handbuilt_hll_accuracy_and_merge_invariance(spark):
+    """The hand-built HLL's reported rel_err must sit inside the standard
+    1.04/sqrt(1024) ≈ 3.3% bound with headroom (5σ-ish), and the estimate
+    must be partition-invariant: max-per-register is the merge, so any
+    repartitioning of the input yields the identical registers."""
+    rows = REGISTRY["hll_distinct_audit"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.17, (r["event_type"], r["rel_err"])
+    from spark_deal_observer_spark.operators.sketches import hll_distinct_audit
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    a = {r["event_type"]: r["hll_est"] for r in hll_distinct_audit(ev).collect()}
+    b = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_distinct_audit(ev.repartition(17, "user_id")).collect()
+    }
+    assert a == b
+
+
+def test_histogram_quantile_accuracy_and_merge_invariance(spark):
+    """The 256-bin histogram estimate must land within one bin width of
+    the exact interpolated percentile (its theoretical bound), and the
+    histogram must be partition-invariant (sum-per-bin is the merge)."""
+    rows = REGISTRY["histogram_quantile_audit"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    ev = load_table(spark, SF_ORACLE, "events")
+    spans = {
+        r["event_type"]: (r["hi"] - r["lo"]) / 256
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r["abs_err"] <= spans[r["event_type"]] + 1e-9, (
+            r["event_type"], r["metric"], r["abs_err"], spans[r["event_type"]],
+        )
+    from spark_deal_observer_spark.operators.sketches import histogram_quantile_audit
+
+    a = {(r["event_type"], r["metric"]): r["hist_est"]
+         for r in histogram_quantile_audit(ev).collect()}
+    b = {(r["event_type"], r["metric"]): r["hist_est"]
+         for r in histogram_quantile_audit(ev.repartition(13, "user_id")).collect()}
+    assert a == b
