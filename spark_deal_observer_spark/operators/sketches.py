@@ -371,3 +371,140 @@ def histogram_quantile_audit_oracle() -> str:
                ROUND(abs(({est}) - exact), 6) AS abs_err
         FROM hit WHERE rn = 1
     """
+
+
+def hll_set_ops_audit(events: DataFrame) -> DataFrame:
+    """(pair, union_true, union_est, inter_true, inter_est, rel_err):
+    distinct-user UNION and INTERSECTION estimates for every event-type
+    pair, from MERGED HyperLogLog registers — the reason the sketch form
+    matters at 100 TB: |A ∪ B| never rescans A or B, it max-merges two
+    1024-register tables (register merge IS the set union), and
+    |A ∩ B| follows by inclusion–exclusion. Exact counterparts computed
+    alongside; everything bit-identical in the DuckDB oracle.
+
+    Plan shape: per-type registers build once (map-side-combined max);
+    the pair expansion joins registers to a broadcast 2·|pairs|-row
+    membership table on event_type (equi-join, no theta join), so the
+    merge costs |pairs|·1024 register rows — independent of corpus
+    size. Intersection estimates clamp at 0 (inclusion–exclusion can go
+    negative for near-disjoint sets; the clamp is deterministic)."""
+    h, bucket, rho = _hll_pre("spark")
+    regs = (
+        events.selectExpr("event_type", f"{h} AS h")
+        .selectExpr("event_type", f"CAST({bucket} AS INT) AS bucket", f"h div {HLL_M} AS w")
+        .selectExpr("event_type", "bucket", f"{rho} AS rho")
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+    def estimate(grouped: DataFrame, keys: list[str]) -> DataFrame:
+        agg = grouped.groupBy(*keys).agg(
+            F.sum(
+                F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+            ).alias("s_present"),
+            F.count("*").alias("nz"),
+        ).selectExpr(
+            *keys,
+            f"s_present + CAST({HLL_M} - nz AS DOUBLE) AS s",
+            f"CAST({HLL_M} - nz AS BIGINT) AS v",
+        )
+        return agg.selectExpr(*keys, f"{_hll_est_sql('spark')} AS est")
+
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.selectExpr("event_type AS a")
+        .join(types.selectExpr("event_type AS b"), F.col("a") < F.col("b"))
+    )
+    # membership table: each pair listed under both of its member types,
+    # so the register join stays a broadcast EQUI-join on event_type
+    member = pairs.selectExpr("a AS event_type", "a", "b").unionByName(
+        pairs.selectExpr("b AS event_type", "a", "b")
+    )
+    merged = (
+        regs.join(F.broadcast(member), "event_type")
+        .groupBy("a", "b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    union_est = estimate(merged, ["a", "b"]).withColumnRenamed("est", "u_est")
+    per_type = estimate(regs, ["event_type"])
+    est = (
+        union_est.join(
+            F.broadcast(per_type.selectExpr("event_type AS a", "est AS a_est")), "a"
+        )
+        .join(F.broadcast(per_type.selectExpr("event_type AS b", "est AS b_est")), "b")
+    )
+    exact_union = (
+        events.join(F.broadcast(member), "event_type")
+        .groupBy("a", "b")
+        .agg(F.countDistinct("user_id").alias("u_true"))
+    )
+    exact_type = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_true")
+    )
+    exact = (
+        exact_union.join(
+            F.broadcast(exact_type.selectExpr("event_type AS a", "n_true AS a_true")), "a"
+        )
+        .join(F.broadcast(exact_type.selectExpr("event_type AS b", "n_true AS b_true")), "b")
+    )
+    return (
+        est.join(exact, ["a", "b"])
+        .selectExpr(
+            "concat(a, '|', b) AS pair",
+            "u_true AS union_true",
+            "ROUND(u_est, 4) AS union_est",
+            "CAST(a_true + b_true - u_true AS BIGINT) AS inter_true",
+            "ROUND(GREATEST(0.0D, a_est + b_est - u_est), 4) AS inter_est",
+            "ROUND(abs(u_est - u_true) / u_true, 4) AS rel_err",
+        )
+    )
+
+
+def hll_set_ops_audit_oracle() -> str:
+    h, bucket, rho = _hll_pre("duckdb")
+    est = _hll_est_sql("duckdb")
+    return f"""
+        WITH pre AS (SELECT event_type, {h} AS h FROM events),
+        words AS (SELECT event_type, {bucket} AS bucket, h // {HLL_M} AS w FROM pre),
+        regs AS (SELECT event_type, bucket, max({rho}) AS rho
+                 FROM words GROUP BY event_type, bucket),
+        types AS (SELECT DISTINCT event_type FROM events),
+        pairs AS (SELECT x.event_type AS a, y.event_type AS b
+                  FROM types x JOIN types y ON x.event_type < y.event_type),
+        member AS (SELECT a AS event_type, a, b FROM pairs
+                   UNION ALL SELECT b, a, b FROM pairs),
+        merged AS (SELECT m.a, m.b, r.bucket, max(r.rho) AS rho
+                   FROM regs r JOIN member m USING (event_type)
+                   GROUP BY m.a, m.b, r.bucket),
+        u0 AS (SELECT a, b,
+                      sum(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS s_present,
+                      count(*) AS nz
+               FROM merged GROUP BY a, b),
+        u1 AS (SELECT a, b, s_present + CAST({HLL_M} - nz AS DOUBLE) AS s,
+                      CAST({HLL_M} - nz AS BIGINT) AS v FROM u0),
+        uest AS (SELECT a, b, {est} AS u_est FROM u1),
+        t0 AS (SELECT event_type,
+                      sum(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS s_present,
+                      count(*) AS nz
+               FROM regs GROUP BY event_type),
+        t1 AS (SELECT event_type, s_present + CAST({HLL_M} - nz AS DOUBLE) AS s,
+                      CAST({HLL_M} - nz AS BIGINT) AS v FROM t0),
+        test_ AS (SELECT event_type, {est} AS est FROM t1),
+        utrue AS (SELECT m.a, m.b, count(DISTINCT e.user_id) AS u_true
+                  FROM events e JOIN member m USING (event_type)
+                  GROUP BY m.a, m.b),
+        ttrue AS (SELECT event_type, count(DISTINCT user_id) AS n_true
+                  FROM events GROUP BY event_type)
+        SELECT u.a || '|' || u.b AS pair,
+               CAST(ut.u_true AS BIGINT) AS union_true,
+               ROUND(u.u_est, 4) AS union_est,
+               CAST(ta.n_true + tb.n_true - ut.u_true AS BIGINT) AS inter_true,
+               ROUND(GREATEST(0.0, ea.est + eb.est - u.u_est), 4) AS inter_est,
+               ROUND(abs(u.u_est - ut.u_true) / ut.u_true, 4) AS rel_err
+        FROM uest u
+        JOIN utrue ut ON u.a = ut.a AND u.b = ut.b
+        JOIN test_ ea ON ea.event_type = u.a
+        JOIN test_ eb ON eb.event_type = u.b
+        JOIN ttrue ta ON ta.event_type = u.a
+        JOIN ttrue tb ON tb.event_type = u.b
+    """

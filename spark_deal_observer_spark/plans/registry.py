@@ -2764,6 +2764,17 @@ def q_histogram_quantile_audit(spark, sf_dir):
     return sk.histogram_quantile_audit(_t(spark, sf_dir, "events"))
 
 
+@register("hll_set_ops_audit", sk.hll_set_ops_audit_oracle())
+def q_hll_set_ops_audit(spark, sf_dir):
+    """Distinct-user UNION and INTERSECTION estimates for every
+    event-type pair from MERGED HLL registers (max-merge IS set union;
+    intersection by inclusion–exclusion), audited against the exact
+    counts — the cross-source mergeability that makes sketches the 100 TB
+    answer: combining two sources' cardinalities costs |pairs|·1024
+    register rows, never a rescan of either side."""
+    return sk.hll_set_ops_audit(_t(spark, sf_dir, "events"))
+
+
 @register("dedup_containment", dd.containment_pairs_oracle())
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment |A∩B|/|A| over the LSH candidates — catches
@@ -3190,9 +3201,17 @@ def q_sketch_suite(spark, sf_dir):
         "stack(3, 'hist_est', hist_est, 'exact', exact, 'abs_err', abs_err) "
         "AS (metric, value)",
     )
+    ho_m = REGISTRY["hll_set_ops_audit"].fn(spark, sf_dir).selectExpr(
+        "'hll_ops' AS section",
+        "pair AS key",
+        "stack(5, 'union_true', CAST(union_true AS DOUBLE), "
+        "'union_est', union_est, "
+        "'inter_true', CAST(inter_true AS DOUBLE), "
+        "'inter_est', inter_est, 'rel_err', rel_err) AS (metric, value)",
+    )
     return (
         cms_m.unionByName(hh_m).unionByName(dr_m)
-        .unionByName(hl_m).unionByName(hq_m)
+        .unionByName(hl_m).unionByName(hq_m).unionByName(ho_m)
     )
 
 
@@ -3232,7 +3251,8 @@ REGISTRY["sketch_suite"] = QueryDef(
          hh AS ({REGISTRY["ngram_heavy_hitters"].oracle}),
          dr AS ({REGISTRY["source_drift_psi"].oracle}),
          hl AS MATERIALIZED ({REGISTRY["hll_distinct_audit"].oracle}),
-         hq AS MATERIALIZED ({REGISTRY["histogram_quantile_audit"].oracle})
+         hq AS MATERIALIZED ({REGISTRY["histogram_quantile_audit"].oracle}),
+         ho AS MATERIALIZED ({REGISTRY["hll_set_ops_audit"].oracle})
     SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
            CAST(true_cnt AS BIGINT) AS value FROM cms
     UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
@@ -3248,6 +3268,13 @@ REGISTRY["sketch_suite"] = QueryDef(
            exact FROM hq
     UNION ALL SELECT 'hist_q', event_type || ':' || metric, 'abs_err',
            abs_err FROM hq
+    UNION ALL SELECT 'hll_ops', pair, 'union_true',
+           CAST(union_true AS DOUBLE) FROM ho
+    UNION ALL SELECT 'hll_ops', pair, 'union_est', union_est FROM ho
+    UNION ALL SELECT 'hll_ops', pair, 'inter_true',
+           CAST(inter_true AS DOUBLE) FROM ho
+    UNION ALL SELECT 'hll_ops', pair, 'inter_est', inter_est FROM ho
+    UNION ALL SELECT 'hll_ops', pair, 'rel_err', rel_err FROM ho
     """,
 )
 
@@ -4543,6 +4570,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
         "hll_distinct_audit", "histogram_quantile_audit",
+        "hll_set_ops_audit",
     ),
     "diff_session_recall_suite": (
         "snapshot_diff", "session_window_stats", "view_click_attribution",
@@ -4763,6 +4791,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "source_drift_psi",
     "hll_distinct_audit",    # hand-built HLL, value-checkable twin of the native sketch
     "histogram_quantile_audit",  # fixed-grid quantile sketch, value-checkable twin
+    "hll_set_ops_audit",     # register-merge union/intersection estimates
     "dedup_containment",
     "dedup_incremental",     # batch-vs-corpus probe through the published index
     "source_ngram_overlap",  # cross-source contamination matrix

@@ -113,3 +113,20 @@ def test_histogram_quantile_accuracy_and_merge_invariance(spark):
     b = {(r["event_type"], r["metric"]): r["hist_est"]
          for r in histogram_quantile_audit(ev.repartition(13, "user_id")).collect()}
     assert a == b
+
+
+def test_hll_set_ops_inclusion_exclusion_consistency(spark):
+    """Pair union estimates must be consistent with the single-type
+    estimates: max(|A|,|B|) ≤ |A∪B|_est (register-merge dominance, exact
+    by construction since merged registers dominate each side's), and the
+    reported union rel_err stays inside the HLL tolerance."""
+    singles = {
+        r["event_type"]: r["hll_est"]
+        for r in REGISTRY["hll_distinct_audit"].fn(spark, SF_ORACLE).collect()
+    }
+    rows = REGISTRY["hll_set_ops_audit"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        a, b = r["pair"].split("|")
+        assert r["union_est"] >= max(singles[a], singles[b]) - 1e-6, r
+        assert r["rel_err"] <= 0.17, r
