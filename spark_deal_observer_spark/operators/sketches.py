@@ -162,6 +162,38 @@ def _hll_est_sql(dialect: str) -> str:
     return f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND v > 0 THEN {lin} ELSE {raw} END)"
 
 
+def hll_registers(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, bucket, rho): the per-group register table — the sketch's
+    entire state, ≤ |groups|·1024 rows. max-per-(key, bucket) IS the
+    merge, which makes it idempotent: merging the same batch twice is a
+    no-op, so at-least-once replay yields exactly the once-only registers
+    (streaming/cardinality.py leans on this)."""
+    h, bucket, rho = _hll_pre("spark")
+    return (
+        events.selectExpr(key, f"{h} AS h")
+        .selectExpr(key, f"CAST({bucket} AS INT) AS bucket", f"h div {HLL_M} AS w")
+        .selectExpr(key, "bucket", f"{rho} AS rho")
+        .groupBy(key, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., est): the HLL estimate from a register table, with the
+    standard small-range linear-counting correction."""
+    agg = regs.groupBy(*keys).agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("s_present"),
+        F.count("*").alias("nz"),
+    ).selectExpr(
+        *keys,
+        f"s_present + CAST({HLL_M} - nz AS DOUBLE) AS s",
+        f"CAST({HLL_M} - nz AS BIGINT) AS v",
+    )
+    return agg.selectExpr(*keys, f"{_hll_est_sql('spark')} AS est")
+
+
 def hll_distinct_audit(events: DataFrame) -> DataFrame:
     """(event_type, true_users, hll_est, rel_err): exact distinct users vs
     the hand-built 1024-register HyperLogLog estimate, per event type —
@@ -177,26 +209,8 @@ def hll_distinct_audit(events: DataFrame) -> DataFrame:
     corpus size — the sketch-merge property in plan form. The exact side
     costs one (event_type, user_id) distinct; at 100 TB you'd audit on a
     sample and keep only the sketch side, which is the point."""
-    h, bucket, rho = _hll_pre("spark")
-    regs = (
-        events.selectExpr("event_type", f"{h} AS h")
-        .selectExpr("event_type", f"CAST({bucket} AS INT) AS bucket", f"h div {HLL_M} AS w")
-        .selectExpr("event_type", "bucket", f"{rho} AS rho")
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    agg = regs.groupBy("event_type").agg(
-        F.sum(
-            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-        ).alias("s_present"),
-        F.count("*").alias("nz"),
-    ).selectExpr(
-        "event_type",
-        f"s_present + CAST({HLL_M} - nz AS DOUBLE) AS s",
-        f"CAST({HLL_M} - nz AS BIGINT) AS v",
-    )
-    est = agg.selectExpr(
-        "event_type", f"ROUND({_hll_est_sql('spark')}, 4) AS hll_est"
+    est = hll_estimate(hll_registers(events), ["event_type"]).selectExpr(
+        "event_type", "ROUND(est, 4) AS hll_est"
     )
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("true_users")
@@ -388,28 +402,8 @@ def hll_set_ops_audit(events: DataFrame) -> DataFrame:
     merge costs |pairs|·1024 register rows — independent of corpus
     size. Intersection estimates clamp at 0 (inclusion–exclusion can go
     negative for near-disjoint sets; the clamp is deterministic)."""
-    h, bucket, rho = _hll_pre("spark")
-    regs = (
-        events.selectExpr("event_type", f"{h} AS h")
-        .selectExpr("event_type", f"CAST({bucket} AS INT) AS bucket", f"h div {HLL_M} AS w")
-        .selectExpr("event_type", "bucket", f"{rho} AS rho")
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-
-    def estimate(grouped: DataFrame, keys: list[str]) -> DataFrame:
-        agg = grouped.groupBy(*keys).agg(
-            F.sum(
-                F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-            ).alias("s_present"),
-            F.count("*").alias("nz"),
-        ).selectExpr(
-            *keys,
-            f"s_present + CAST({HLL_M} - nz AS DOUBLE) AS s",
-            f"CAST({HLL_M} - nz AS BIGINT) AS v",
-        )
-        return agg.selectExpr(*keys, f"{_hll_est_sql('spark')} AS est")
-
+    regs = hll_registers(events)
+    estimate = hll_estimate
     types = events.select("event_type").distinct()
     pairs = (
         types.selectExpr("event_type AS a")

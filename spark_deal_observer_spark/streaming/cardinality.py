@@ -1,0 +1,80 @@
+"""Streaming distinct-user cardinality monitoring via mergeable HLL
+registers — the online companion of `operators/sketches.py::
+hll_distinct_audit`, and the third consumer of the train-once/artifact
+pattern's underlying idea (streaming/scoring.py, streaming/drift.py are
+the others): per-group state is the FIXED-SIZE register table
+(≤ |groups|·1024 rows), never a value set, so the sink's state footprint
+is independent of how many users the stream has ever seen.
+
+The property that carries the whole design is that max-per-(key, bucket)
+IS the HLL merge and max is IDEMPOTENT: re-merging a replayed micro-batch
+leaves the registers bit-identical, so at-least-once delivery yields
+exactly the once-only registers with no dedup bookkeeping — effectively-
+once semantics for free, from sketch algebra instead of a transaction log
+(the merge-idempotence twin of streaming/sink.py's key-dedup approach;
+pinned in tests/test_streaming_cardinality.py).
+
+Per tick the plan is: batch registers (one map-side-combined max
+aggregate over the batch), a (key, bucket) max-merge against the
+persisted register snapshot, one register-table write, and one estimate
+row per group appended to the report. Register snapshots are written per
+batch_id (the idempotent replay unit, same layout as DriftMonitorSink's
+report) and the merge reads the LATEST snapshot — a production deployment
+would point this at a transactional table; the snapshot-per-tick layout
+keeps the semantics identical and the tests hermetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.sketches import hll_estimate, hll_registers
+
+
+class CardinalityMonitorSink:
+    """foreachBatch body: merge each micro-batch's HLL registers into the
+    persisted register state and append per-group distinct estimates."""
+
+    def __init__(self, spark: SparkSession, out_path: str, key: str = "event_type"):
+        self.spark = spark
+        self.out_path = out_path
+        self.key = key
+        self._last_snapshot: int | None = None
+
+    def _registers(self) -> DataFrame | None:
+        if self._last_snapshot is None:
+            return None
+        return self.spark.read.parquet(
+            f"{self.out_path}/registers/snapshot={self._last_snapshot}"
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        prev = self._registers()
+        if batch.isEmpty() and prev is None:
+            return
+        regs = hll_registers(batch, self.key) if not batch.isEmpty() else None
+        if prev is not None and regs is not None:
+            from pyspark.sql import functions as F
+
+            regs = (
+                prev.unionByName(regs)
+                .groupBy(self.key, "bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        elif regs is None:
+            regs = prev
+        snap = f"{self.out_path}/registers/snapshot={batch_id}"
+        regs.write.mode("overwrite").parquet(snap)
+        self._last_snapshot = batch_id
+        merged = self.spark.read.parquet(snap)
+        report = hll_estimate(merged, [self.key]).selectExpr(
+            self.key, "ROUND(est, 4) AS distinct_est"
+        )
+        report.write.mode("overwrite").parquet(
+            f"{self.out_path}/report/batch_id={batch_id}"
+        )
+
+    def read_report(self) -> DataFrame:
+        return self.spark.read.option(
+            "basePath", f"{self.out_path}/report"
+        ).parquet(f"{self.out_path}/report/batch_id=*")

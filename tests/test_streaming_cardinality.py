@@ -1,0 +1,81 @@
+"""Streaming HLL cardinality monitor: the accumulated register state must
+equal the batch-mode registers over the union of all batches (merge
+associativity), and re-processing a delivered batch must change nothing
+(merge idempotence = effectively-once under at-least-once delivery)."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from spark_deal_observer_spark.operators.sketches import hll_estimate, hll_registers
+from spark_deal_observer_spark.sources.tables import load_table
+from spark_deal_observer_spark.streaming.cardinality import CardinalityMonitorSink
+
+
+def _splits(events, n=3):
+    return [events.where(F.col("event_id") % n == i) for i in range(n)]
+
+
+def test_streamed_registers_match_batch(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    sink = CardinalityMonitorSink(spark, str(tmp_path / "card"))
+    for i, b in enumerate(_splits(events)):
+        sink.process_batch(b, batch_id=i)
+
+    streamed = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in sink._registers().collect()
+    }
+    batch = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in hll_registers(events).collect()
+    }
+    assert streamed == batch
+
+    # the final report row per group equals the batch-mode estimate
+    last = {
+        r["event_type"]: r["distinct_est"]
+        for r in sink.read_report().where(F.col("batch_id") == 2).collect()
+    }
+    expect = {
+        r["event_type"]: round(r["est"], 4)
+        for r in hll_estimate(hll_registers(events), ["event_type"]).collect()
+    }
+    assert last == expect
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    first, second, _ = _splits(events)
+    sink = CardinalityMonitorSink(spark, str(tmp_path / "card2"))
+    sink.process_batch(first, batch_id=0)
+    sink.process_batch(second, batch_id=1)
+    before = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in sink._registers().collect()
+    }
+    # at-least-once delivery: batch 1 arrives again
+    sink.process_batch(second, batch_id=2)
+    after = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in sink._registers().collect()
+    }
+    assert before == after
+
+
+def test_empty_batch_keeps_state_and_reports(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    sink = CardinalityMonitorSink(spark, str(tmp_path / "card3"))
+    sink.process_batch(events, batch_id=0)
+    est0 = {
+        r["event_type"]: r["distinct_est"]
+        for r in sink.read_report().where(F.col("batch_id") == 0).collect()
+    }
+    empty = events.where(F.lit(False))
+    sink.process_batch(empty, batch_id=1)
+    est1 = {
+        r["event_type"]: r["distinct_est"]
+        for r in sink.read_report().where(F.col("batch_id") == 1).collect()
+    }
+    assert est0 == est1
