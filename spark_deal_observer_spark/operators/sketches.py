@@ -44,14 +44,16 @@ def _cell(dialect: str, d: str, token: str) -> str:
     )
 
 
-def cms_token_counts(docs: DataFrame) -> DataFrame:
-    """(token, true_cnt, cms_est): exact vs sketch-estimated corpus
-    frequency for the probe tokens, from a depth×width count-min sketch
-    built over every token occurrence."""
-    # Aggregate to the VOCABULARY first (map-side combined — tokens ≪
-    # occurrences), then hash each distinct token once per row: the md5
-    # cost scales with |vocab|·depth, not corpus·depth, and the sketch sums
-    # are identical (Σ per-token counts = per-occurrence increments).
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """(d, cell, cnt): the count–min sketch state — ≤ depth×width counter
+    rows at any corpus size. Aggregates to the VOCABULARY first (map-side
+    combined — tokens ≪ occurrences), then hashes each distinct token once
+    per row: the md5 cost scales with |vocab|·depth, not corpus·depth, and
+    the sketch sums are identical (Σ per-token counts = per-occurrence
+    increments). sum-per-(d, cell) is the CMS merge — associative and
+    commutative but, unlike the HLL's max, NOT idempotent: re-merging a
+    replayed batch double-counts (streaming/frequency.py pairs the merge
+    with a processed-batch ledger for exactly that reason)."""
     tok_counts = (
         docs.select(F.explode(F.expr(tokens_sql("spark", "text"))).alias("token"))
         .groupBy("token")
@@ -64,22 +66,41 @@ def cms_token_counts(docs: DataFrame) -> DataFrame:
             F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
         ).alias("d"),
     )
-    sketch = (
+    return (
         rows.select("d", F.expr(_cell("spark", "d", "token")).alias("cell"), "cnt")
         .groupBy("d", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    spark = docs.sparkSession
+
+
+def cms_probe_estimates(sketch: DataFrame, spark) -> DataFrame:
+    """(token, cms_est): point-frequency estimates for the probe tokens
+    from a (d, cell, cnt) sketch table — min over depth rows, missing
+    cells count 0."""
     probes = spark.createDataFrame(
         [(t,) for t in CMS_PROBES], "token STRING"
     ).crossJoin(
         spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
     ).select("token", "d", F.expr(_cell("spark", "d", "token")).alias("cell"))
-    est = (
+    return (
         probes.join(sketch, ["d", "cell"], "left")
         .groupBy("token")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+def cms_token_counts(docs: DataFrame) -> DataFrame:
+    """(token, true_cnt, cms_est): exact vs sketch-estimated corpus
+    frequency for the probe tokens, from a depth×width count-min sketch
+    built over every token occurrence."""
+    tok_counts = (
+        docs.select(F.explode(F.expr(tokens_sql("spark", "text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = cms_cells(docs)
+    spark = docs.sparkSession
+    est = cms_probe_estimates(sketch, spark)
     true = tok_counts.where(F.col("token").isin(*CMS_PROBES)).select(
         "token", F.col("cnt").alias("true_cnt")
     )

@@ -1,0 +1,72 @@
+"""Streaming token-frequency monitoring via mergeable count–min sketches —
+the frequency companion of streaming/cardinality.py, and the honest
+contrast in sketch-merge semantics: the CMS merge (sum-per-cell) is
+associative and commutative but NOT idempotent, so unlike the HLL's
+max-merge it cannot absorb at-least-once replay for free. A replayed
+micro-batch would double-count every cell. The sink therefore pairs the
+merge with a PROCESSED-BATCH LEDGER (the same effectively-once discipline
+as streaming/sink.py's key-dedup): a batch id already in the ledger is
+skipped before any state is touched.
+
+State is fixed-size either way: ≤ depth×width counter rows per snapshot
+regardless of how many tokens the stream has ever carried. Per tick the
+plan is one vocabulary-first batch sketch (map-side combined), a
+(d, cell) sum-merge against the persisted snapshot, and a broadcast probe
+join appending one estimate row per probe token to the report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import cms_cells, cms_probe_estimates
+
+
+class FrequencyMonitorSink:
+    """foreachBatch body: ledger-guarded CMS sum-merge + probe report."""
+
+    def __init__(self, spark: SparkSession, out_path: str):
+        self.spark = spark
+        self.out_path = out_path
+        self._last_snapshot: int | None = None
+        self._applied: set[int] = set()
+
+    def _sketch(self) -> DataFrame | None:
+        if self._last_snapshot is None:
+            return None
+        return self.spark.read.parquet(
+            f"{self.out_path}/sketch/snapshot={self._last_snapshot}"
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if batch_id in self._applied:
+            # sum-merge is not idempotent: a replayed batch must be
+            # dropped BEFORE it reaches the state, not re-merged
+            return
+        prev = self._sketch()
+        if batch.isEmpty() and prev is None:
+            self._applied.add(batch_id)
+            return
+        cells = cms_cells(batch) if not batch.isEmpty() else None
+        if prev is not None and cells is not None:
+            cells = (
+                prev.unionByName(cells)
+                .groupBy("d", "cell")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        elif cells is None:
+            cells = prev
+        snap = f"{self.out_path}/sketch/snapshot={batch_id}"
+        cells.write.mode("overwrite").parquet(snap)
+        self._last_snapshot = batch_id
+        self._applied.add(batch_id)
+        report = cms_probe_estimates(self.spark.read.parquet(snap), self.spark)
+        report.write.mode("overwrite").parquet(
+            f"{self.out_path}/report/batch_id={batch_id}"
+        )
+
+    def read_report(self) -> DataFrame:
+        return self.spark.read.option(
+            "basePath", f"{self.out_path}/report"
+        ).parquet(f"{self.out_path}/report/batch_id=*")

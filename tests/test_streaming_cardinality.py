@@ -79,3 +79,44 @@ def test_empty_batch_keeps_state_and_reports(spark, tmp_path):
         for r in sink.read_report().where(F.col("batch_id") == 1).collect()
     }
     assert est0 == est1
+
+
+# ---------------------------------------------------------------------------
+# CMS frequency monitor: the non-idempotent contrast
+# ---------------------------------------------------------------------------
+
+
+def test_streamed_cms_matches_batch_and_ledger_blocks_replay(spark, tmp_path):
+    from spark_deal_observer_spark.operators.sketches import (
+        cms_cells,
+        cms_probe_estimates,
+    )
+    from spark_deal_observer_spark.streaming.frequency import FrequencyMonitorSink
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink = FrequencyMonitorSink(spark, str(tmp_path / "freq"))
+    for i, b in enumerate(parts):
+        sink.process_batch(b, batch_id=i)
+
+    streamed = {
+        (r["d"], r["cell"]): r["cnt"] for r in sink._sketch().collect()
+    }
+    batch = {(r["d"], r["cell"]): r["cnt"] for r in cms_cells(docs).collect()}
+    assert streamed == batch
+
+    est_stream = {
+        r["token"]: r["cms_est"]
+        for r in sink.read_report().where(F.col("batch_id") == 2).collect()
+    }
+    est_batch = {
+        r["token"]: r["cms_est"]
+        for r in cms_probe_estimates(cms_cells(docs), spark).collect()
+    }
+    assert est_stream == est_batch
+
+    # sum-merge is NOT idempotent: the ledger must drop the replay before
+    # it reaches the state
+    sink.process_batch(parts[1], batch_id=1)
+    after = {(r["d"], r["cell"]): r["cnt"] for r in sink._sketch().collect()}
+    assert after == batch
