@@ -340,3 +340,32 @@ def test_suite_component_map_in_sync():
             "ann_recall_report", "corpus_e2e_pipeline",
         ):
             assert name in SUITE_COMPONENTS, f"{name} missing a component map"
+
+
+def test_gate_prefix_is_the_curated_fifty():
+    """The driver's correctness gate snapshots DRIVER_ORDER[:50] — pin the
+    curated membership so a refactor can't silently eject a gate slot (an
+    ejected query loses its driver-side value verification; an ejected
+    suite loses verification for its whole melted family). Update this
+    list ONLY as a deliberate gate re-curation."""
+    from spark_deal_observer_spark.plans.registry import DRIVER_ORDER
+
+    expected = [
+        "chain_head", "events_scan", "dedup_insert", "state_update_merge",
+        "mark_submitted", "submit_payload_projection", "dim_lookup_fallback",
+        "resolve_state_tick", "filter_suite", "eligible_deals",
+        "dim_lookup_join", "composite_key_join", "agg_counters", "argmax_row",
+        "dedup_9col", "topk_ends", "scalar_funcs", "cbor_decode_pipeline",
+        "event_to_deal", "dedup_minhash_lsh", "dedup_clusters",
+        "dedup_pair_verify_suite", "dedup_embedding", "dedup_semantic",
+        "ann_recall_report", "ann_tier_suite", "kmeans_cells", "knn_join",
+        "tfidf_top_terms", "hybrid_retrieval_rrf", "classifier_quality",
+        "bpe_encode", "text_metrics", "text_winnow_fingerprints",
+        "text_scoring_suite", "multimodal_suite", "corpus_e2e_pipeline",
+        "corpus_prep_suite", "dedup_lifecycle_suite", "corpus_sampling_suite",
+        "pagerank_entities", "fuzzy_name_pairs", "temporal_history_suite",
+        "windowed_counts", "profile_suite", "event_analytics_suite",
+        "sketch_suite", "diff_session_recall_suite", "tpch_agg_suite",
+        "ml_eval_suite",
+    ]
+    assert list(DRIVER_ORDER[:50]) == expected
