@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.sketches import hll_estimate, hll_registers
 
 
+def _latest_snapshot(base: str) -> int | None:
+    """Max snapshot id under `base`, or None — restart recovery: the sink
+    resumes from the last durable register/sketch state instead of
+    silently restarting the count from empty."""
+    import os
+
+    if not os.path.isdir(base):
+        return None
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("snapshot=") and d.split("=", 1)[1].isdigit()
+    ]
+    return max(ids) if ids else None
+
+
 class CardinalityMonitorSink:
     """foreachBatch body: merge each micro-batch's HLL registers into the
     persisted register state and append per-group distinct estimates."""
@@ -39,7 +55,9 @@ class CardinalityMonitorSink:
         self.spark = spark
         self.out_path = out_path
         self.key = key
-        self._last_snapshot: int | None = None
+        self._last_snapshot: int | None = _latest_snapshot(
+            f"{out_path}/registers"
+        )
 
     def _registers(self) -> DataFrame | None:
         if self._last_snapshot is None:

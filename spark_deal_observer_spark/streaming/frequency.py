@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_cells, cms_probe_estimates
+from .cardinality import _latest_snapshot
 
 
 class FrequencyMonitorSink:
@@ -29,8 +30,16 @@ class FrequencyMonitorSink:
     def __init__(self, spark: SparkSession, out_path: str):
         self.spark = spark
         self.out_path = out_path
-        self._last_snapshot: int | None = None
-        self._applied: set[int] = set()
+        # restart recovery: resume from the last durable snapshot, and
+        # treat every batch id at or below it as already applied —
+        # Structured Streaming replays foreachBatch ids in order, so the
+        # snapshot id doubles as the ledger's durable high-water mark
+        self._last_snapshot: int | None = _latest_snapshot(f"{out_path}/sketch")
+        self._applied: set[int] = (
+            set(range(self._last_snapshot + 1))
+            if self._last_snapshot is not None
+            else set()
+        )
 
     def _sketch(self) -> DataFrame | None:
         if self._last_snapshot is None:

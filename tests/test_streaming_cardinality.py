@@ -120,3 +120,44 @@ def test_streamed_cms_matches_batch_and_ledger_blocks_replay(spark, tmp_path):
     sink.process_batch(parts[1], batch_id=1)
     after = {(r["d"], r["cell"]): r["cnt"] for r in sink._sketch().collect()}
     assert after == batch
+
+
+def test_restart_recovers_durable_state(spark, tmp_path):
+    """A NEW sink instance over the same path must resume from the last
+    durable snapshot (not restart from empty), and — for the
+    non-idempotent CMS — must treat replayed pre-restart batch ids as
+    already applied."""
+    from spark_deal_observer_spark.operators.sketches import cms_cells
+    from spark_deal_observer_spark.streaming.frequency import FrequencyMonitorSink
+
+    events = load_table(spark, SF_SMALL, "events")
+    docs = load_table(spark, SF_SMALL, "documents")
+    ev_parts = _splits(events)
+    doc_parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    card_path, freq_path = str(tmp_path / "c"), str(tmp_path / "f")
+    s1 = CardinalityMonitorSink(spark, card_path)
+    f1 = FrequencyMonitorSink(spark, freq_path)
+    for i in range(2):
+        s1.process_batch(ev_parts[i], batch_id=i)
+        f1.process_batch(doc_parts[i], batch_id=i)
+
+    # process restart: fresh instances over the same paths
+    s2 = CardinalityMonitorSink(spark, card_path)
+    f2 = FrequencyMonitorSink(spark, freq_path)
+    f2.process_batch(doc_parts[1], batch_id=1)  # replay from before restart
+    s2.process_batch(ev_parts[2], batch_id=2)
+    f2.process_batch(doc_parts[2], batch_id=2)
+
+    batch_regs = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in hll_registers(events).collect()
+    }
+    got_regs = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in s2._registers().collect()
+    }
+    assert got_regs == batch_regs
+    batch_cells = {(r["d"], r["cell"]): r["cnt"] for r in cms_cells(docs).collect()}
+    got_cells = {(r["d"], r["cell"]): r["cnt"] for r in f2._sketch().collect()}
+    assert got_cells == batch_cells
