@@ -287,14 +287,22 @@ def _kmeans_rounds(vecs: DataFrame, n_cells: int, n_iter: int) -> list[DataFrame
     return rounds
 
 
-def _kmeans_ctes(n_cells: int, n_iter: int, *, with_final_assign: bool = False) -> list[str]:
+def _kmeans_ctes(
+    n_cells: int,
+    n_iter: int,
+    *,
+    with_final_assign: bool = False,
+    vecs_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> list[str]:
     """The Lloyd rounds unrolled as DuckDB CTEs (a0 assigns against c0, c1
     averages a0, ...); optionally adds a final assignment a{n_iter} against
-    the trained centroids c{n_iter} for search-side twins."""
+    the trained centroids c{n_iter} for search-side twins. `vecs_sql` lets a
+    twin train over any (vec_id, embedding) source — e.g. the hashed doc
+    embeddings — with the identical ladder."""
     parts = [
-        "vecs AS (SELECT vec_id, embedding FROM embeddings)",
+        f"vecs AS MATERIALIZED (SELECT vec_id, embedding FROM ({vecs_sql}) t)",
         f"""c0 AS (SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-             FROM embeddings WHERE vec_id < {n_cells})""",
+             FROM vecs WHERE vec_id < {n_cells})""",
     ]
     cos = cosine_duck("v.embedding", "c.cvec")
     n_assign = n_iter + 1 if with_final_assign else n_iter
@@ -887,4 +895,125 @@ def contrastive_negatives_oracle(
           WHERE neg_id != anchor_id AND neg_cell != anchor_cell)
         SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# cluster topic profiling — the vector family meets the text family
+# ---------------------------------------------------------------------------
+
+TOPIC_TOP_K = 5
+TOPIC_MIN_CNT = 3
+TOPIC_MIN_LEN = 3
+
+
+def cluster_topic_profile(
+    docs: DataFrame, n_cells: int = 8, n_iter: int = 2, topk: int = TOPIC_TOP_K
+) -> DataFrame:
+    """(cell, rank, token, cnt, score): the distinctive vocabulary of each
+    k-means cluster over the corpus's OWN hashed embeddings — the
+    "what is in my clusters" exploration report a training-data pipeline
+    runs after clustering: per cell, the top-k tokens by lift
+    (in-cell relative frequency / corpus relative frequency), with a
+    min-count floor so one-off tokens can't dominate the ratio.
+
+    Composition, not recompute: the doc vectors are the PUBLISHED hashed
+    embedding table (ranking.hashed_doc_embeddings) and the quantizer is
+    the PUBLISHED Lloyd ladder (`_kmeans_fit` — the same artifact pattern
+    as kmeans_cells, keyed by the doc-vector input), so the profile adds
+    one token-explode scan, one (cell, token) count shuffle, and a
+    vocabulary-bounded top-k window. At 100 TB the window's candidate set
+    is |vocab|·C scored rows (never corpus-sized); the lift arithmetic is
+    exact-count division, deterministic across engines."""
+    from .ranking import hashed_doc_embeddings
+    from ..functions.hashing import tokens_sql
+
+    vecs = hashed_doc_embeddings(docs).selectExpr("doc_id AS vec_id", "embedding")
+    _, assigned = _kmeans_fit(vecs, n_cells, n_iter)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+        )
+        .where(F.length("token") >= TOPIC_MIN_LEN)
+        .join(
+            assigned.selectExpr("vec_id AS doc_id", "cell"), "doc_id"
+        )
+    )
+    cell_cnt = toks.groupBy("cell", "token").agg(F.count("*").alias("cnt"))
+    cell_tot = toks.groupBy("cell").agg(F.count("*").alias("cell_tot"))
+    corp_cnt = toks.groupBy("token").agg(F.count("*").alias("corp_cnt"))
+    corp_tot = toks.agg(F.count("*").alias("corp_tot"))
+    from pyspark.sql import Window
+
+    scored = (
+        cell_cnt.where(F.col("cnt") >= TOPIC_MIN_CNT)
+        .join(cell_tot, "cell")
+        .join(corp_cnt, "token")
+        .crossJoin(F.broadcast(corp_tot))
+        .selectExpr(
+            "cell",
+            "token",
+            "cnt",
+            "ROUND((CAST(cnt AS DOUBLE) / cell_tot) / "
+            "(CAST(corp_cnt AS DOUBLE) / corp_tot), 6) AS score",
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("score").desc(), F.col("cnt").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "score",
+        )
+    )
+
+
+def cluster_topic_profile_oracle(
+    n_cells: int = 8, n_iter: int = 2, topk: int = TOPIC_TOP_K
+) -> str:
+    from .ranking import hashed_doc_embeddings_oracle
+    from ..functions.hashing import tokens_sql
+
+    vecs_sql = (
+        f"SELECT doc_id AS vec_id, embedding FROM ({hashed_doc_embeddings_oracle()}) e"
+    )
+    ladder = ",\n        ".join(
+        _kmeans_ctes(n_cells, n_iter, vecs_sql=vecs_sql)
+    )
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH {ladder},
+        toks AS MATERIALIZED (
+          SELECT t.doc_id, t.token, a.cell
+          FROM (SELECT doc_id, unnest({toks}) AS token FROM documents) t
+          JOIN a{n_iter - 1} a ON a.vec_id = t.doc_id
+          WHERE length(t.token) >= {TOPIC_MIN_LEN}),
+        cell_cnt AS (SELECT cell, token, count(*) AS cnt
+                     FROM toks GROUP BY cell, token),
+        cell_tot AS (SELECT cell, count(*) AS cell_tot FROM toks GROUP BY cell),
+        corp_cnt AS (SELECT token, count(*) AS corp_cnt FROM toks GROUP BY token),
+        corp_tot AS (SELECT count(*) AS corp_tot FROM toks),
+        scored AS (
+          SELECT c.cell, c.token, c.cnt,
+                 ROUND((CAST(c.cnt AS DOUBLE) / ct.cell_tot) /
+                       (CAST(g.corp_cnt AS DOUBLE) / gt.corp_tot), 6) AS score
+          FROM cell_cnt c
+          JOIN cell_tot ct USING (cell)
+          JOIN corp_cnt g USING (token)
+          CROSS JOIN corp_tot gt
+          WHERE c.cnt >= {TOPIC_MIN_CNT}),
+        ranked AS (
+          SELECT cell, token, cnt, score,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY score DESC, cnt DESC, token) AS rank
+          FROM scored)
+        SELECT CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank, token,
+               CAST(cnt AS BIGINT) AS cnt, score
+        FROM ranked WHERE rank <= {topk}
     """

@@ -2775,6 +2775,19 @@ def q_hll_set_ops_audit(spark, sf_dir):
     return sk.hll_set_ops_audit(_t(spark, sf_dir, "events"))
 
 
+@register("cluster_topic_profile", sim.cluster_topic_profile_oracle())
+def q_cluster_topic_profile(spark, sf_dir):
+    """The vector family meets the text family: per k-means cluster (over
+    the corpus's own published hashed embeddings, trained by the shared
+    Lloyd ladder), the top-5 distinctive tokens by lift (in-cell relative
+    frequency / corpus relative frequency, min-count floored) — the
+    cluster-exploration report a training-data pipeline runs after
+    clustering. Profile cost beyond the published artifacts: one token
+    explode, one (cell, token) count shuffle, one vocabulary-bounded
+    top-k window."""
+    return sim.cluster_topic_profile(_t(spark, sf_dir, "documents"))
+
+
 @register("dedup_containment", dd.containment_pairs_oracle())
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment |A∩B|/|A| over the LSH candidates — catches
@@ -4030,7 +4043,18 @@ def q_text_scoring_suite(spark, sf_dir):
         "val AS value_num",
         null_str,
     )
-    return ug.unionByName(pii).unionByName(rep).unionByName(topk).unionByName(emb)
+    topics = REGISTRY["cluster_topic_profile"].fn(spark, sf_dir).selectExpr(
+        "'topics' AS section",
+        "concat(CAST(cell AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "stack(3, 'cnt', CAST(cnt AS DOUBLE), CAST(NULL AS STRING), "
+        "'score', score, CAST(NULL AS STRING), "
+        "'token', CAST(NULL AS DOUBLE), token) "
+        "AS (metric, value_num, value_str)",
+    )
+    return (
+        ug.unionByName(pii).unionByName(rep).unionByName(topk)
+        .unionByName(emb).unionByName(topics)
+    )
 
 
 REGISTRY["text_scoring_suite"] = QueryDef(
@@ -4040,7 +4064,8 @@ REGISTRY["text_scoring_suite"] = QueryDef(
          pii AS ({REGISTRY["text_pii_scrub"].oracle}),
          rep AS ({REGISTRY["text_repetition"].oracle}),
          topk AS ({REGISTRY["grouped_topk_docs"].oracle}),
-         emb AS ({REGISTRY["doc_embeddings"].oracle})
+         emb AS ({REGISTRY["doc_embeddings"].oracle}),
+         topics AS MATERIALIZED ({REGISTRY["cluster_topic_profile"].oracle})
     SELECT 'unigram' AS section, CAST(doc_id AS VARCHAR) AS key,
            'mean_logprob' AS metric, mean_logprob AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM ug
@@ -4063,6 +4088,15 @@ REGISTRY["text_scoring_suite"] = QueryDef(
     UNION ALL SELECT 'embedding',
            CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
            'val', val, NULL FROM emb
+    UNION ALL SELECT 'topics',
+           CAST(cell AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'cnt', CAST(cnt AS DOUBLE), NULL FROM topics
+    UNION ALL SELECT 'topics',
+           CAST(cell AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'score', score, NULL FROM topics
+    UNION ALL SELECT 'topics',
+           CAST(cell AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'token', NULL, token FROM topics
     """,
 )
 
@@ -4600,7 +4634,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
-        "grouped_topk_docs", "doc_embeddings",
+        "grouped_topk_docs", "doc_embeddings", "cluster_topic_profile",
     ),
     "corpus_prep_suite": (
         "corpus_decontaminate", "corpus_decontaminate_bloom",
@@ -4792,6 +4826,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "hll_distinct_audit",    # hand-built HLL, value-checkable twin of the native sketch
     "histogram_quantile_audit",  # fixed-grid quantile sketch, value-checkable twin
     "hll_set_ops_audit",     # register-merge union/intersection estimates
+    "cluster_topic_profile", # per-cluster distinctive-vocabulary report
     "dedup_containment",
     "dedup_incremental",     # batch-vs-corpus probe through the published index
     "source_ngram_overlap",  # cross-source contamination matrix
