@@ -100,6 +100,10 @@ HEADLINE = [
     "corpus_domain_cap",
     "corpus_prep_suite",
     "dedup_lifecycle_suite",
+    # r4 close: audited-sketch set ops (register max-merge union) and the
+    # cluster distinctive-vocabulary report over own-corpus k-means
+    "hll_set_ops_audit",
+    "cluster_topic_profile",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays
