@@ -130,3 +130,24 @@ def test_hll_set_ops_inclusion_exclusion_consistency(spark):
         a, b = r["pair"].split("|")
         assert r["union_est"] >= max(singles[a], singles[b]) - 1e-6, r
         assert r["rel_err"] <= 0.17, r
+
+
+def test_histogram_quantile_degenerate_group(spark):
+    """All-equal values in a group: hi == lo must not divide by zero, and
+    every quantile estimate must equal the constant exactly."""
+    from spark_deal_observer_spark.operators.sketches import histogram_quantile_audit
+
+    ev = spark.createDataFrame(
+        [(i, "const", 7.5) for i in range(20)]
+        + [(100 + i, "spread", float(i)) for i in range(20)],
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    rows = {(r["event_type"], r["metric"]): r for r in histogram_quantile_audit(ev).collect()}
+    for m in ("q50", "q90", "q99"):
+        r = rows[("const", m)]
+        assert r["hist_est"] == 7.5 and r["exact"] == 7.5 and r["abs_err"] == 0.0, r
+    # sparse data: the exact percentile interpolates at rank (n-1)q+1 while
+    # the histogram reads off rank q*n, so the error bound is one bin width
+    # PLUS one adjacent-value gap (here gap=1.0 dominates); the dense-data
+    # one-bin-width bound is asserted by the events-table accuracy test
+    assert rows[("spread", "q50")]["abs_err"] <= 1.0 + 19.0 / 256 + 1e-9
