@@ -939,10 +939,13 @@ def cluster_topic_profile(
             assigned.selectExpr("vec_id AS doc_id", "cell"), "doc_id"
         )
     )
+    # cells partition the corpus, so corpus-level counts roll up from the
+    # (cell, token) table — the second and third aggregations run over
+    # vocabulary-sized input instead of re-shuffling the token stream
     cell_cnt = toks.groupBy("cell", "token").agg(F.count("*").alias("cnt"))
-    cell_tot = toks.groupBy("cell").agg(F.count("*").alias("cell_tot"))
-    corp_cnt = toks.groupBy("token").agg(F.count("*").alias("corp_cnt"))
-    corp_tot = toks.agg(F.count("*").alias("corp_tot"))
+    cell_tot = cell_cnt.groupBy("cell").agg(F.sum("cnt").alias("cell_tot"))
+    corp_cnt = cell_cnt.groupBy("token").agg(F.sum("cnt").alias("corp_cnt"))
+    corp_tot = cell_tot.agg(F.sum("cell_tot").alias("corp_tot"))
     from pyspark.sql import Window
 
     scored = (
