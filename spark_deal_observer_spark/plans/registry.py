@@ -1194,6 +1194,260 @@ def q_tpch_large_orders(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_local_supplier_volume",
+    """SELECT n_name, revenue FROM (
+         SELECT n.n_name,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY n.n_name)
+       ORDER BY revenue DESC, n_name""",
+)
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    """Local-supplier volume report (TPC-H Q5 shape — the canonical
+    join-ordering benchmark): revenue per nation where customer and
+    supplier share the nation, region- and year-restricted. Six tables:
+    nation⋈region collapse to a broadcast filter on the supplier dim,
+    supplier and customer broadcast into the orders⋈lineitem co-shuffle
+    on orderkey, the same-nation predicate rides the supplier join, and
+    the final per-nation rollup is a ~25-key map-side-combined aggregate.
+    The fact table moves exactly once."""
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "tpch_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year, revenue FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS l_year,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+                  AS revenue
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate))
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_volume_shipping(spark, sf_dir):
+    """Volume-shipping report (TPC-H Q7 shape): bilateral trade revenue
+    between two nations by ship year. The two nation-filtered dims
+    (supplier side, customer side) broadcast; the disjunctive nation-pair
+    predicate evaluates after both joins as a cheap row filter; the fact
+    co-shuffle on orderkey is the only wide exchange, then a
+    4-or-so-group rollup."""
+    nat = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_product_type_profit",
+    """SELECT n_name, o_year, profit FROM (
+         SELECT n.n_name,
+                CAST(year(o.o_orderdate) AS INT) AS o_year,
+                ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * l.l_quantity * 0.08) AS DOUBLE), 2)
+                  AS profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_type = 'PROMO'
+         GROUP BY n.n_name, year(o.o_orderdate))
+       ORDER BY n_name, o_year DESC""",
+)
+def q_tpch_product_type_profit(spark, sf_dir):
+    """Product-type profit report (TPC-H Q9 shape): per-nation, per-year
+    profit on one product type, with retail price standing in for supply
+    cost (the synthetic schema carries no partsupp). The type-filtered
+    part dim broadcasts FIRST — it is the selective filter, pruning the
+    fact before the wide orders co-shuffle — supplier→nation broadcasts,
+    and the rollup is |nations|·|years| keys, map-side combined."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.08)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy(F.col("n_name"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_min_cost_supplier",
+    """WITH eu_supp AS (
+         SELECT s_suppkey FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'),
+       li AS MATERIALIZED (
+         SELECT l_partkey, l_suppkey,
+                l_extendedprice / l_quantity AS unit
+         FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey),
+       per_ps AS (
+         SELECT l_partkey, l_suppkey,
+                ROUND(CAST(min(unit) AS DOUBLE), 2) AS unit_price
+         FROM li GROUP BY l_partkey, l_suppkey),
+       best AS (
+         SELECT l_partkey,
+                ROUND(CAST(min(unit) AS DOUBLE), 2) AS best_unit_price
+         FROM li GROUP BY l_partkey),
+       winners AS (
+         SELECT per_ps.l_partkey, per_ps.l_suppkey, best.best_unit_price,
+                row_number() OVER (PARTITION BY per_ps.l_partkey
+                                   ORDER BY per_ps.l_suppkey) AS rn
+         FROM per_ps JOIN best USING (l_partkey)
+         WHERE per_ps.unit_price = best.best_unit_price)
+       SELECT w.l_partkey AS p_partkey, p.p_name, s.s_name, w.best_unit_price
+       FROM winners w
+       JOIN part p ON w.l_partkey = p.p_partkey
+       JOIN supplier s ON w.l_suppkey = s.s_suppkey
+       WHERE w.rn = 1
+       ORDER BY w.best_unit_price, p_partkey
+       LIMIT 20""",
+)
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 shape — the correlated-min
+    subquery): for each part, the EUROPE-region supplier offering the
+    best observed unit price (lineitem evidence standing in for the
+    absent partsupp), ties broken by the lowest supplier key. The
+    correlated scalar subquery decorelates into a per-part min aggregate
+    joined back on partkey — one (partkey, suppkey) co-aggregate, a
+    broadcast per-part-best join, then a 1-row-per-part window over the
+    already-aggregated (not fact-sized) table; part and supplier dims
+    broadcast into the final projection, top-20 by the rounded best
+    price."""
+    from pyspark.sql import Window
+
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp_eu = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min("unit"), 2).alias("unit_price")
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.round(F.min("unit"), 2).alias("best_unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    winners = (
+        per_ps.join(F.broadcast(best), "l_partkey")
+        .where(F.col("unit_price") == F.col("best_unit_price"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        winners.join(F.broadcast(part), winners.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), winners.l_suppkey == supp.s_suppkey)
+        .orderBy("best_unit_price", "p_partkey")
+        .limit(20)
+        .select("p_partkey", "p_name", "s_name", "best_unit_price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup families (documents table)
 # ---------------------------------------------------------------------------
@@ -3840,6 +4094,30 @@ def q_tpch_agg_suite(spark, sf_dir):
         "stack(2, 'o_totalprice', o_totalprice, 'sum_qty', sum_qty) "
         "AS (metric, value)",
     )
+    q5 = REGISTRY["tpch_local_supplier_volume"].fn(spark, sf_dir).selectExpr(
+        "'local_supplier' AS section",
+        "n_name AS key",
+        "'revenue' AS metric",
+        "revenue AS value",
+    )
+    q7 = REGISTRY["tpch_volume_shipping"].fn(spark, sf_dir).selectExpr(
+        "'volume_shipping' AS section",
+        "concat(supp_nation, '>', cust_nation, ':', CAST(l_year AS STRING)) AS key",
+        "'revenue' AS metric",
+        "revenue AS value",
+    )
+    q9 = REGISTRY["tpch_product_type_profit"].fn(spark, sf_dir).selectExpr(
+        "'type_profit' AS section",
+        "concat(n_name, ':', CAST(o_year AS STRING)) AS key",
+        "'profit' AS metric",
+        "profit AS value",
+    )
+    q2 = REGISTRY["tpch_min_cost_supplier"].fn(spark, sf_dir).selectExpr(
+        "'min_cost_supplier' AS section",
+        "concat(CAST(p_partkey AS STRING), ':', s_name) AS key",
+        "'best_unit_price' AS metric",
+        "best_unit_price AS value",
+    )
     return (
         pricing.unionByName(rev)
         .unionByName(topo)
@@ -3853,6 +4131,10 @@ def q_tpch_agg_suite(spark, sf_dir):
         .unionByName(q14)
         .unionByName(q15)
         .unionByName(q18)
+        .unionByName(q5)
+        .unionByName(q7)
+        .unionByName(q9)
+        .unionByName(q2)
     )
 
 
@@ -3871,7 +4153,11 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
          q10 AS ({REGISTRY["tpch_returned_revenue"].oracle}),
          q14 AS MATERIALIZED ({REGISTRY["tpch_promo_revenue"].oracle}),
          q15 AS ({REGISTRY["tpch_top_supplier"].oracle}),
-         q18 AS MATERIALIZED ({REGISTRY["tpch_large_orders"].oracle})
+         q18 AS MATERIALIZED ({REGISTRY["tpch_large_orders"].oracle}),
+         q5 AS ({REGISTRY["tpch_local_supplier_volume"].oracle}),
+         q7 AS ({REGISTRY["tpch_volume_shipping"].oracle}),
+         q9 AS ({REGISTRY["tpch_product_type_profit"].oracle}),
+         q2 AS ({REGISTRY["tpch_min_cost_supplier"].oracle})
     SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
            'sum_qty' AS metric, sum_qty AS value FROM pricing
     UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
@@ -3925,6 +4211,15 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
     UNION ALL SELECT 'large_orders',
            CAST(c_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
            'sum_qty', sum_qty FROM q18
+    UNION ALL SELECT 'local_supplier', n_name, 'revenue', revenue FROM q5
+    UNION ALL SELECT 'volume_shipping',
+           supp_nation || '>' || cust_nation || ':' || CAST(l_year AS VARCHAR),
+           'revenue', revenue FROM q7
+    UNION ALL SELECT 'type_profit', n_name || ':' || CAST(o_year AS VARCHAR),
+           'profit', profit FROM q9
+    UNION ALL SELECT 'min_cost_supplier',
+           CAST(p_partkey AS VARCHAR) || ':' || s_name,
+           'best_unit_price', best_unit_price FROM q2
     """,
 )
 
@@ -4619,7 +4914,9 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "window_top_order_per_cust", "agg_rollup", "pivot_counts", "set_ops",
         "quantiles_by_flag", "tpch_shipping_priority", "tpch_order_priority",
         "tpch_returned_revenue", "tpch_promo_revenue", "tpch_top_supplier",
-        "tpch_large_orders",
+        "tpch_large_orders", "tpch_local_supplier_volume",
+        "tpch_volume_shipping", "tpch_product_type_profit",
+        "tpch_min_cost_supplier",
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
@@ -4766,6 +5063,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "tpch_promo_revenue",
     "tpch_top_supplier",
     "tpch_large_orders",
+    "tpch_local_supplier_volume",
+    "tpch_volume_shipping",
+    "tpch_product_type_profit",
+    "tpch_min_cost_supplier",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "corpus_decontaminate_bloom",
