@@ -369,3 +369,22 @@ def test_gate_prefix_is_the_curated_fifty():
         "ml_eval_suite",
     ]
     assert list(DRIVER_ORDER[:50]) == expected
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_local_supplier_volume",
+        "tpch_volume_shipping",
+        "tpch_product_type_profit",
+        "tpch_min_cost_supplier",
+    ],
+)
+def test_classic_multijoins_broadcast_dims(spark, name):
+    """The Q5/Q7/Q9/Q2-shape queries must broadcast every dimension side —
+    the fact table is the only side allowed to shuffle, and no join may
+    degrade to a product."""
+    p = plan(q(spark, name))
+    assert "BroadcastHashJoin" in p, p
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in p, f"{marker} in {name} plan:\n{p}"
