@@ -1448,6 +1448,72 @@ def q_tpch_min_cost_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_market_share",
+    """SELECT o_year, mkt_share FROM (
+         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                ROUND(CAST(
+                  sum(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END)
+                  / sum(l.l_extendedprice * (1 - l.l_discount))
+                  AS DOUBLE), 6) AS mkt_share
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         JOIN region r ON nc.n_regionkey = r.r_regionkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         WHERE r.r_name = 'AMERICA'
+         GROUP BY year(o.o_orderdate))
+       ORDER BY o_year""",
+)
+def q_tpch_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): of all revenue shipped to
+    one region's customers, the fraction supplied by one nation, per order
+    year. The numerator/denominator pair folds into ONE conditional-sum
+    aggregate over the same joined rows (the repo's single-pass report
+    discipline — never a second scan or a self-join for the total); every
+    dim broadcasts and the fact co-shuffles once. The share divides two
+    same-order sums before the 6-dp round, so last-ulp summation noise
+    cancels in the ratio."""
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nat_c = _t(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnat_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat_c), F.col("c_nationkey") == F.col("cnat_key")
+    ).select("c_custkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup families (documents table)
 # ---------------------------------------------------------------------------
@@ -4118,6 +4184,12 @@ def q_tpch_agg_suite(spark, sf_dir):
         "'best_unit_price' AS metric",
         "best_unit_price AS value",
     )
+    q8 = REGISTRY["tpch_market_share"].fn(spark, sf_dir).selectExpr(
+        "'market_share' AS section",
+        "CAST(o_year AS STRING) AS key",
+        "'mkt_share' AS metric",
+        "mkt_share AS value",
+    )
     return (
         pricing.unionByName(rev)
         .unionByName(topo)
@@ -4135,6 +4207,7 @@ def q_tpch_agg_suite(spark, sf_dir):
         .unionByName(q7)
         .unionByName(q9)
         .unionByName(q2)
+        .unionByName(q8)
     )
 
 
@@ -4157,7 +4230,8 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
          q5 AS ({REGISTRY["tpch_local_supplier_volume"].oracle}),
          q7 AS ({REGISTRY["tpch_volume_shipping"].oracle}),
          q9 AS ({REGISTRY["tpch_product_type_profit"].oracle}),
-         q2 AS ({REGISTRY["tpch_min_cost_supplier"].oracle})
+         q2 AS ({REGISTRY["tpch_min_cost_supplier"].oracle}),
+         q8 AS ({REGISTRY["tpch_market_share"].oracle})
     SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
            'sum_qty' AS metric, sum_qty AS value FROM pricing
     UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
@@ -4220,6 +4294,8 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
     UNION ALL SELECT 'min_cost_supplier',
            CAST(p_partkey AS VARCHAR) || ':' || s_name,
            'best_unit_price', best_unit_price FROM q2
+    UNION ALL SELECT 'market_share', CAST(o_year AS VARCHAR),
+           'mkt_share', mkt_share FROM q8
     """,
 )
 
@@ -4916,7 +4992,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "tpch_returned_revenue", "tpch_promo_revenue", "tpch_top_supplier",
         "tpch_large_orders", "tpch_local_supplier_volume",
         "tpch_volume_shipping", "tpch_product_type_profit",
-        "tpch_min_cost_supplier",
+        "tpch_min_cost_supplier", "tpch_market_share",
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
@@ -5067,6 +5143,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "tpch_volume_shipping",
     "tpch_product_type_profit",
     "tpch_min_cost_supplier",
+    "tpch_market_share",
     "corpus_train_val_split",
     "corpus_token_doc_freq",
     "corpus_decontaminate_bloom",
