@@ -398,3 +398,85 @@ def constraint_violations_oracle() -> str:
           FROM orders o
           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) source drift — the vector companion of the
+# token-count PSI monitor above
+# ---------------------------------------------------------------------------
+
+
+def embedding_source_drift(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, cos_sim, drift): each source's mean document
+    embedding compared to the corpus mean by cosine — the SEMANTIC drift
+    check next to the distributional one (`source_drift_psi`): a feed can
+    keep its token-count histogram while its content shifts topic, and
+    the embedding centroid moves where the token bins cannot.
+
+    Rides the published hashed-embedding table (one tokenize+hash pass per
+    corpus snapshot, shared with the vector family); the mean vectors are
+    the k-means UPDATE half re-used as a report — posexplode to
+    (source, pos, val), two-phase avg keyed on (source, pos) (map-side
+    combined: dim·|sources| partial sums per task regardless of corpus
+    size), components ROUNDed to 6 dp so summation order cannot shift the
+    comparison across engines (the kmeans discipline). drift = 1 − cosine,
+    both rounded."""
+    from .ranking import hashed_doc_embeddings
+    from .similarity import cosine_spark
+
+    emb = hashed_doc_embeddings(docs)
+    flat = emb.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.posexplode("embedding").alias("pos", "val")
+    )
+    def _vec(grouped, keys):
+        return grouped.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("v")
+        )
+
+    smean = flat.groupBy("source", "pos").agg(F.round(F.avg("val"), 6).alias("val"))
+    svec = _vec(smean, ["source"]).withColumnRenamed("v", "mvec")
+    cmean = flat.groupBy("pos").agg(F.round(F.avg("val"), 6).alias("val"))
+    cvec = _vec(cmean.withColumn("g", F.lit(1)), ["g"]).select(
+        F.col("v").alias("cvec")
+    )
+    n = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    cos = cosine_spark("mvec", "cvec")
+    return (
+        svec.crossJoin(F.broadcast(cvec))
+        .join(F.broadcast(n), "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            f"{cos} AS cos_sim",
+            f"ROUND(1 - ({cos}), 6) AS drift",
+        )
+    )
+
+
+def embedding_source_drift_oracle() -> str:
+    from .ranking import EMBED_DIM, hashed_doc_embeddings_oracle
+    from .similarity import cosine_duck
+
+    cos = cosine_duck("s.mvec", "c.cvec")
+    return f"""
+        WITH emb AS MATERIALIZED ({hashed_doc_embeddings_oracle()}),
+        flat AS MATERIALIZED (
+          SELECT d.source, g.pos - 1 AS pos,
+                 CAST(e.embedding[g.pos] AS DOUBLE) AS val
+          FROM emb e JOIN documents d USING (doc_id)
+          CROSS JOIN generate_series(1, {EMBED_DIM}) g(pos)),
+        smean AS (SELECT source, pos, ROUND(avg(val), 6) AS val
+                  FROM flat GROUP BY source, pos),
+        svec AS (SELECT source, list(val ORDER BY pos) AS mvec
+                 FROM smean GROUP BY source),
+        cmean AS (SELECT pos, ROUND(avg(val), 6) AS val FROM flat GROUP BY pos),
+        cvec AS (SELECT list(val ORDER BY pos) AS cvec FROM cmean),
+        n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        SELECT s.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+               {cos} AS cos_sim,
+               ROUND(1 - ({cos}), 6) AS drift
+        FROM svec s CROSS JOIN cvec c JOIN n ON n.source = s.source
+    """

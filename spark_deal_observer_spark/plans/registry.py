@@ -3327,6 +3327,17 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@register("embedding_source_drift", pf.embedding_source_drift_oracle())
+def q_embedding_source_drift(spark, sf_dir):
+    """Semantic source drift: each source's mean document embedding vs the
+    corpus mean by cosine — the vector companion of the token-count PSI
+    monitor (a feed can keep its length histogram while its content
+    shifts topic). Rides the published hashed-embedding table; mean
+    vectors are dim·|sources| map-side-combined partial averages,
+    components rounded so summation order cannot shift the comparison."""
+    return pf.embedding_source_drift(_t(spark, sf_dir, "documents"))
+
+
 @register("source_drift_psi", pf.source_drift_psi_oracle())
 def q_source_drift_psi(spark, sf_dir):
     """Population Stability Index of each source's token-count distribution
@@ -3394,7 +3405,8 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     f"""
     WITH tp AS ({pf.table_profile_oracle()}),
          co AS ({pf.column_correlations_oracle()}),
-         wi AS ({pf.winsorized_stats_oracle()})
+         wi AS ({pf.winsorized_stats_oracle()}),
+         ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()})
     SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
            CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
     UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
@@ -3410,6 +3422,10 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     UNION ALL SELECT 'winsor', 'l_extendedprice', 'mean_winsor', mean_winsor, NULL FROM wi
     UNION ALL SELECT 'winsor', 'l_extendedprice', 'std_raw', std_raw, NULL FROM wi
     UNION ALL SELECT 'winsor', 'l_extendedprice', 'std_winsor', std_winsor, NULL FROM wi
+    UNION ALL SELECT 'embedding_drift', source, 'n_docs',
+           CAST(n_docs AS DOUBLE), NULL FROM ed
+    UNION ALL SELECT 'embedding_drift', source, 'cos_sim', cos_sim, NULL FROM ed
+    UNION ALL SELECT 'embedding_drift', source, 'drift', drift, NULL FROM ed
     """,
 )
 def q_profile_suite(spark, sf_dir):
@@ -3448,7 +3464,14 @@ def q_profile_suite(spark, sf_dir):
         "AS (metric, value_num)",
         "CAST(NULL AS STRING) AS value_str",
     )
-    return tp_m.unionByName(co_m).unionByName(wi_m)
+    ed_m = REGISTRY["embedding_source_drift"].fn(spark, sf_dir).selectExpr(
+        "'embedding_drift' AS section",
+        "source AS key",
+        "stack(3, 'n_docs', CAST(n_docs AS DOUBLE), 'cos_sim', cos_sim, "
+        "'drift', drift) AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
 
 
 @register("event_analytics_suite", None)  # oracle assembled below from components
@@ -4967,6 +4990,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
+        "embedding_source_drift",
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
@@ -5201,6 +5225,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "column_correlations",
     "cms_token_counts",
     "source_drift_psi",
+    "embedding_source_drift",  # semantic drift: per-source embedding centroid shift
     "hll_distinct_audit",    # hand-built HLL, value-checkable twin of the native sketch
     "histogram_quantile_audit",  # fixed-grid quantile sketch, value-checkable twin
     "hll_set_ops_audit",     # register-merge union/intersection estimates
