@@ -1514,6 +1514,461 @@ def q_tpch_market_share(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_forecast_revenue",
+    """SELECT ROUND(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2)
+              AS lost_revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """Forecast-revenue-change (TPC-H Q6 shape): the canonical
+    pushdown-and-reduce scalar — every predicate reaches the parquet
+    row-group filter (date range is a min/max stats prune, discount and
+    quantity reach PushedFilters), the scan reads three columns, and the
+    whole query is one map-side-combined partial sum with no shuffle
+    beyond the 1-row final. The shape every column store must do at disk
+    bandwidth; at 100 TB it is purely scan-bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "lost_revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_cust_order_distribution",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+         FROM customer c
+         LEFT OUTER JOIN orders o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def q_tpch_cust_order_distribution(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): the outer-join
+    histogram — zero-order customers MUST survive, so the priority filter
+    lives in the JOIN CONDITION (a WHERE would silently turn the join
+    inner and drop them). count(o_orderkey) counts only matched rows.
+    First aggregate is fact-sized on custkey; the second collapses to
+    |distinct counts| keys (~tens) — map-side combine makes it free.
+    Customer is the small side but must be the preserved side, so the
+    join shuffles on custkey; at 100 TB both sides co-shuffle once."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_important_stock",
+    """WITH natli AS MATERIALIZED (
+         SELECT l_partkey, l_extendedprice * l_quantity AS val
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1')
+       SELECT l_partkey AS p_partkey,
+              ROUND(CAST(sum(val) AS DOUBLE), 2) AS part_value
+       FROM natli
+       GROUP BY l_partkey
+       HAVING ROUND(CAST(sum(val) AS DOUBLE), 2)
+              > ROUND(CAST((SELECT sum(val) FROM natli) * 0.001 AS DOUBLE), 2)
+       ORDER BY part_value DESC, p_partkey""",
+)
+def q_tpch_important_stock(spark, sf_dir):
+    """Important-stock identification (TPC-H Q11 shape): per-part inventory
+    value held by one nation's suppliers, keeping parts above a FRACTION
+    OF THE GLOBAL TOTAL — the uncorrelated scalar-subquery HAVING. The
+    nation-filtered supplier dim broadcasts into the fact scan; the
+    per-part aggregate and the grand total are two reads of the same
+    filtered stream, and the total (1 row) broadcasts back as a cross
+    join — no second fact shuffle. Both sides of the threshold compare
+    ROUND to 2 dp so engine summation-order ulps cannot flip membership."""
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    natli = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "val")
+    )
+    per_part = natli.groupBy("l_partkey").agg(
+        F.round(F.sum("val"), 2).alias("part_value")
+    )
+    threshold = natli.agg(
+        F.round(F.sum("val") * F.lit(0.001), 2).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "tpch_supplier_part_count",
+    """SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#3'
+         AND p_type <> 'PROMO'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def q_tpch_supplier_part_count(spark, sf_dir):
+    """Supplier-count-by-part-attributes (TPC-H Q16 shape): NOT-IN
+    blacklist + grouped COUNT DISTINCT. The blacklist (negative-balance
+    suppliers, standing in for the complaint-comment scan) is tiny and
+    contains no NULLs, so NOT IN is exactly a broadcast LEFT ANTI join —
+    no NULL-semantics trap, no shuffle. The attribute-filtered part dim
+    broadcasts; the distinct-suppkey count shuffles once on the 3-column
+    group key with partial distinct aggregation map-side."""
+    blacklist = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(blacklist), li.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_small_qty_revenue",
+    """SELECT ROUND(CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE), 2)
+              AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+             FROM lineitem GROUP BY l_partkey) t
+         ON l.l_partkey = t.l_partkey
+       WHERE p.p_brand = 'Brand#5'
+         AND p.p_type = 'ECONOMY'
+         AND l.l_quantity < t.qty_threshold""",
+)
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated AVG
+    subquery — revenue from orders below 20% of the part's average
+    quantity. Decorrelates to a per-part AVG aggregate joined back on
+    partkey; the brand/type part filter SEMI-prunes the fact BEFORE the
+    average is computed (the average only matters for parts that survive,
+    and restricting first keeps the aggregate |filtered-parts|-sized,
+    not |all-parts|-sized). Quantities are integer-valued doubles, so
+    sum/count — and hence the 0.2·avg threshold — are bit-identical
+    across engines; the strict < cannot flip. Both aggregate and final
+    sum are one broadcast-join plan over a single fact scan pair."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#5") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = pruned.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        pruned.join(F.broadcast(thresholds), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_disjunctive_revenue",
+    """SELECT ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+              AS revenue
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+              AND l.l_quantity BETWEEN 1 AND 11 AND l.l_returnflag = 'N')
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 10 AND 20 AND l.l_linestatus = 'O')
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q_tpch_disjunctive_revenue(spark, sf_dir):
+    """Discounted-revenue (TPC-H Q19 shape): the disjunction-of-
+    conjunctions join — three OR'd predicate branches each spanning BOTH
+    join sides. Catalyst cannot push the mixed conjuncts below the join,
+    but it DOES extract the common per-side implications: the part side
+    prunes to the union of the three brands before the join (an IN-list
+    the parquet reader takes), and the disjunction evaluates as one
+    codegen'd filter on the joined row. Part stays broadcast; one fact
+    scan, no shuffle. Returnflag/linestatus stand in for the reference
+    shipmode/container columns the synthetic schema lacks."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    )
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+        & (F.col("l_returnflag") == "N")
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_linestatus") == "O")
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch1 | branch2 | branch3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_excess_shipments",
+    """WITH pts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+         per_sp AS MATERIALIZED (
+           SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+           FROM lineitem
+           JOIN pts ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+           GROUP BY l_partkey, l_suppkey),
+         tot AS (SELECT l_partkey, sum(qty) AS total_qty
+                 FROM per_sp GROUP BY l_partkey)
+       SELECT DISTINCT s.s_suppkey, s.s_name
+       FROM per_sp
+       JOIN tot USING (l_partkey)
+       JOIN supplier s ON per_sp.l_suppkey = s.s_suppkey
+       WHERE per_sp.qty > 0.5 * tot.total_qty
+       ORDER BY s.s_suppkey""",
+)
+def q_tpch_excess_shipments(spark, sf_dir):
+    """Dominant-supplier detection (TPC-H Q20 shape): suppliers who
+    shipped MORE THAN HALF of a red part's yearly volume (lineitem
+    evidence standing in for the absent partsupp availability). The
+    name-filtered part set broadcasts into the date-pruned fact; the
+    (part, supplier) rollup and the per-part total share one shuffle on
+    partkey (the total aggregates the already-aggregated per_sp, not the
+    fact); threshold compare stays exact because quantities are
+    integer-valued. DISTINCT collapses multi-part winners; supplier dim
+    broadcasts last."""
+    pts = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    tot = per_sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_sp.join(tot, "l_partkey")
+        .where(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_waiting_suppliers",
+    """WITH per_sp AS MATERIALIZED (
+         SELECT l_orderkey, l_suppkey,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS
+                         THEN 1 ELSE 0 END) AS late
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY l_orderkey, l_suppkey),
+       stats AS (
+         SELECT l_orderkey, count(*) AS n_supp,
+                sum(late) AS n_late
+         FROM per_sp GROUP BY l_orderkey)
+       SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM per_sp p
+       JOIN stats t USING (l_orderkey)
+       JOIN supplier s ON p.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE n.n_name = 'NATION_2'
+         AND p.late = 1 AND t.n_supp > 1 AND t.n_late = 1
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name""",
+)
+def q_tpch_waiting_suppliers(spark, sf_dir):
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): in finished
+    multi-supplier orders, the supplier who was the ONLY late shipper.
+    The classic EXISTS + NOT-EXISTS pair decorrelates into ONE per-order
+    aggregate — (suppliers, late-suppliers) counts — instead of two
+    correlated re-scans of the fact: a row qualifies iff its own late
+    flag is set, n_supp > 1 (the EXISTS) and n_late = 1 (the NOT EXISTS,
+    since the qualifying row is itself the one late supplier). Both
+    aggregates ride the same orderkey shuffle; lateness (shipped >60
+    days after order date) stands in for the receipt/commit columns the
+    synthetic schema lacks; nation-filtered supplier dim broadcasts."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_sp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    stats = per_sp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        per_sp.where(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "tpch_dormant_customers",
+    """WITH avg_bal AS (
+         SELECT ROUND(CAST(avg(c_acctbal) AS DOUBLE), 6) AS ab
+         FROM customer WHERE c_acctbal > 0)
+       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+              ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+       FROM customer, avg_bal
+       WHERE c_acctbal > ab
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment""",
+)
+def q_tpch_dormant_customers(spark, sf_dir):
+    """Dormant-high-value customers (TPC-H Q22 shape): above-average
+    balances with NO RECENT orders — the uncorrelated AVG scalar filter
+    plus the NOT-EXISTS anti-join. (The reference's "no orders at all"
+    is empty on this corpus — every customer has orders — so dormancy is
+    scoped to the last 18 months; the market segment stands in for the
+    phone-prefix country code.) The 1-row average broadcasts as a cross
+    join; the anti-join streams the date-pruned orders keys against the
+    customer side. The threshold rounds to 6 dp on BOTH engines so the
+    avg's summation-order ulp cannot flip a boundary customer."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("ab")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup families (documents table)
 # ---------------------------------------------------------------------------
@@ -4213,6 +4668,54 @@ def q_tpch_agg_suite(spark, sf_dir):
         "'mkt_share' AS metric",
         "mkt_share AS value",
     )
+    q6 = REGISTRY["tpch_forecast_revenue"].fn(spark, sf_dir).selectExpr(
+        "'forecast' AS section", "'1997' AS key",
+        "'lost_revenue' AS metric", "lost_revenue AS value",
+    )
+    q13 = REGISTRY["tpch_cust_order_distribution"].fn(spark, sf_dir).selectExpr(
+        "'cust_order_dist' AS section",
+        "CAST(c_count AS STRING) AS key",
+        "'custdist' AS metric",
+        "CAST(custdist AS DOUBLE) AS value",
+    )
+    q11 = REGISTRY["tpch_important_stock"].fn(spark, sf_dir).selectExpr(
+        "'important_stock' AS section",
+        "CAST(p_partkey AS STRING) AS key",
+        "'part_value' AS metric",
+        "part_value AS value",
+    )
+    q16 = REGISTRY["tpch_supplier_part_count"].fn(spark, sf_dir).selectExpr(
+        "'supplier_part_count' AS section",
+        "concat(p_brand, ':', p_type, ':', CAST(p_size AS STRING)) AS key",
+        "'supplier_cnt' AS metric",
+        "CAST(supplier_cnt AS DOUBLE) AS value",
+    )
+    q17 = REGISTRY["tpch_small_qty_revenue"].fn(spark, sf_dir).selectExpr(
+        "'small_qty' AS section", "'brand5_economy' AS key",
+        "'avg_yearly' AS metric", "avg_yearly AS value",
+    )
+    q19 = REGISTRY["tpch_disjunctive_revenue"].fn(spark, sf_dir).selectExpr(
+        "'disjunctive' AS section", "'combo' AS key",
+        "'revenue' AS metric", "revenue AS value",
+    )
+    q20 = REGISTRY["tpch_excess_shipments"].fn(spark, sf_dir).selectExpr(
+        "'excess_ship' AS section",
+        "concat(CAST(s_suppkey AS STRING), ':', s_name) AS key",
+        "'present' AS metric",
+        "CAST(1 AS DOUBLE) AS value",
+    )
+    q21 = REGISTRY["tpch_waiting_suppliers"].fn(spark, sf_dir).selectExpr(
+        "'waiting' AS section",
+        "s_name AS key",
+        "'numwait' AS metric",
+        "CAST(numwait AS DOUBLE) AS value",
+    )
+    q22 = REGISTRY["tpch_dormant_customers"].fn(spark, sf_dir).selectExpr(
+        "'dormant' AS section",
+        "c_mktsegment AS key",
+        "stack(2, 'numcust', CAST(numcust AS DOUBLE), "
+        "'totacctbal', totacctbal) AS (metric, value)",
+    )
     return (
         pricing.unionByName(rev)
         .unionByName(topo)
@@ -4231,6 +4734,15 @@ def q_tpch_agg_suite(spark, sf_dir):
         .unionByName(q9)
         .unionByName(q2)
         .unionByName(q8)
+        .unionByName(q6)
+        .unionByName(q13)
+        .unionByName(q11)
+        .unionByName(q16)
+        .unionByName(q17)
+        .unionByName(q19)
+        .unionByName(q20)
+        .unionByName(q21)
+        .unionByName(q22)
     )
 
 
@@ -4254,7 +4766,16 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
          q7 AS ({REGISTRY["tpch_volume_shipping"].oracle}),
          q9 AS ({REGISTRY["tpch_product_type_profit"].oracle}),
          q2 AS ({REGISTRY["tpch_min_cost_supplier"].oracle}),
-         q8 AS ({REGISTRY["tpch_market_share"].oracle})
+         q8 AS ({REGISTRY["tpch_market_share"].oracle}),
+         q6 AS ({REGISTRY["tpch_forecast_revenue"].oracle}),
+         q13 AS ({REGISTRY["tpch_cust_order_distribution"].oracle}),
+         q11 AS ({REGISTRY["tpch_important_stock"].oracle}),
+         q16 AS ({REGISTRY["tpch_supplier_part_count"].oracle}),
+         q17 AS ({REGISTRY["tpch_small_qty_revenue"].oracle}),
+         q19 AS ({REGISTRY["tpch_disjunctive_revenue"].oracle}),
+         q20 AS ({REGISTRY["tpch_excess_shipments"].oracle}),
+         q21 AS ({REGISTRY["tpch_waiting_suppliers"].oracle}),
+         q22 AS MATERIALIZED ({REGISTRY["tpch_dormant_customers"].oracle})
     SELECT 'pricing' AS section, l_returnflag || ':' || l_linestatus AS key,
            'sum_qty' AS metric, sum_qty AS value FROM pricing
     UNION ALL SELECT 'pricing', l_returnflag || ':' || l_linestatus,
@@ -4319,6 +4840,26 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
            'best_unit_price', best_unit_price FROM q2
     UNION ALL SELECT 'market_share', CAST(o_year AS VARCHAR),
            'mkt_share', mkt_share FROM q8
+    UNION ALL SELECT 'forecast', '1997', 'lost_revenue', lost_revenue FROM q6
+    UNION ALL SELECT 'cust_order_dist', CAST(c_count AS VARCHAR),
+           'custdist', CAST(custdist AS DOUBLE) FROM q13
+    UNION ALL SELECT 'important_stock', CAST(p_partkey AS VARCHAR),
+           'part_value', part_value FROM q11
+    UNION ALL SELECT 'supplier_part_count',
+           p_brand || ':' || p_type || ':' || CAST(p_size AS VARCHAR),
+           'supplier_cnt', CAST(supplier_cnt AS DOUBLE) FROM q16
+    UNION ALL SELECT 'small_qty', 'brand5_economy', 'avg_yearly',
+           avg_yearly FROM q17
+    UNION ALL SELECT 'disjunctive', 'combo', 'revenue', revenue FROM q19
+    UNION ALL SELECT 'excess_ship',
+           CAST(s_suppkey AS VARCHAR) || ':' || s_name,
+           'present', CAST(1 AS DOUBLE) FROM q20
+    UNION ALL SELECT 'waiting', s_name, 'numwait',
+           CAST(numwait AS DOUBLE) FROM q21
+    UNION ALL SELECT 'dormant', c_mktsegment, 'numcust',
+           CAST(numcust AS DOUBLE) FROM q22
+    UNION ALL SELECT 'dormant', c_mktsegment, 'totacctbal',
+           totacctbal FROM q22
     """,
 )
 
@@ -5017,6 +5558,11 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "tpch_large_orders", "tpch_local_supplier_volume",
         "tpch_volume_shipping", "tpch_product_type_profit",
         "tpch_min_cost_supplier", "tpch_market_share",
+        "tpch_forecast_revenue", "tpch_cust_order_distribution",
+        "tpch_important_stock", "tpch_supplier_part_count",
+        "tpch_small_qty_revenue", "tpch_disjunctive_revenue",
+        "tpch_excess_shipments", "tpch_waiting_suppliers",
+        "tpch_dormant_customers",
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
