@@ -82,7 +82,7 @@ def tfidf_top_terms_oracle(top_k: int = 3) -> str:
         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
         n AS (SELECT count(*) AS n FROM documents),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT tf.doc_id, tf.token,
                  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
@@ -452,4 +452,163 @@ def ngram_heavy_hitters_oracle(n: int = 3, top_k: int = 25) -> str:
         grams AS (SELECT unnest({grams}) AS ngram FROM toks)
         SELECT ngram, count(*) AS cnt FROM grams
         GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT {top_k}
+    """
+
+
+# -- interpolated bigram-LM perplexity (CCNet-style quality filter) ---------
+
+# Interpolation weight on the bigram term; the unigram backoff carries the
+# rest. Fixed (not tuned) — the bucket CONTRACT, not the value, is the
+# operator's surface.
+PPL_LAMBDA = 0.7
+PPL_TERTILES = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def _ppl_scores_plan(docs: DataFrame) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM trained on
+    the corpus itself (the plan behind `lm_perplexity` — point plan-shape
+    tests here; the registered query reads the published checkpoint).
+
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·(c(w2)+1)/(T+V)
+    ppl(d)   = exp(−mean over d's adjacent-token transitions of ln p)
+
+    Every scored transition was counted into the LM (self-trained), so the
+    bigram join always hits; the add-one unigram backoff is what makes the
+    same model honest on HELD-OUT text (unseen w2 still scores).
+
+    Scale shape: transitions come from `transform(sequence(...))` over the
+    token array IN THE SCAN STAGE (no window, no shuffle to pair adjacent
+    tokens); per-(doc, bigram) compression is one shuffle with map-side
+    combine; the bigram-count join is the dominant shuffle and is
+    AQE-skew-splittable (hot bigrams like stopword pairs are real skew);
+    the unigram table and corpus scalars broadcast. Nothing in the plan
+    holds more than a vocabulary-sized table on any single node.
+    """
+    toks_expr = tokens_sql("spark", "text")
+    t = docs.select("doc_id", F.expr(toks_expr).alias("toks"))
+    toks = t.select("doc_id", F.explode("toks").alias("token"))
+    trans = (
+        t.where(F.expr("size(toks) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS prev, toks[i] AS token))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.prev", "pr.token")
+    )
+    dt = trans.groupBy("doc_id", "prev", "token").agg(F.count("*").alias("n"))
+    bg = dt.groupBy("prev", "token").agg(F.sum("n").alias("bg_cnt"))
+    ug = toks.groupBy("token").agg(F.count("*").alias("ug_cnt"))
+    scal = ug.agg(
+        F.sum("ug_cnt").cast("double").alias("t_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    lam = F.lit(PPL_LAMBDA)
+    p = lam * F.col("bg_cnt") / F.col("prev_cnt") + (F.lit(1.0) - lam) * (
+        F.col("ug_cnt") + F.lit(1.0)
+    ) / (F.col("t_total") + F.col("v_size"))
+    return (
+        dt.join(bg, ["prev", "token"])
+        .join(
+            F.broadcast(
+                ug.select(
+                    F.col("token").alias("prev"), F.col("ug_cnt").alias("prev_cnt")
+                )
+            ),
+            "prev",
+        )
+        .join(F.broadcast(ug), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.exp(-F.sum(F.col("n") * F.log(p)) / F.sum("n")), 4
+            ).alias("perplexity")
+        )
+    )
+
+
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document's perplexity under a corpus-trained bigram LM and
+    bucket the corpus into head/middle/tail at the exact perplexity
+    tertiles — the classic keep-the-head / sample-the-middle / drop-the-
+    tail curation signal.
+
+    The scored table is published through the session artifact registry
+    (shared dominant compute — the registered query, the text-scoring gate
+    suite, and any downstream curation step read one training pass) and the
+    tertile thresholds come from `exact_quantiles` (sketch-bracket +
+    exact-refine, bit-exact with DuckDB `quantile_cont`) over the
+    checkpointed scores — two docs-table-sized actions, no value-buffer
+    percentile aggregate. At 100 TB the thresholds would come from a
+    sample (CCNet itself computes them on a reference subset); the knob is
+    the `ps` argument of `exact_quantiles`, the bucket labeling is
+    unchanged. Docs with <2 tokens have no transitions and are (by
+    definition) unscored.
+    """
+    from .models import published
+    from .profile import exact_quantiles
+
+    scored = published(
+        docs,
+        "bigram_ppl",
+        (PPL_LAMBDA,),
+        lambda: _ppl_scores_plan(docs).localCheckpoint(eager=True),
+    )
+    t1, t2 = exact_quantiles(scored, "perplexity", list(PPL_TERTILES))
+    return scored.select(
+        "doc_id",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.lit(t1), "head")
+        .when(F.col("perplexity") <= F.lit(t2), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+def lm_perplexity_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    lam = PPL_LAMBDA
+    return f"""
+        WITH t AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM documents),
+        toks AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tr AS (
+          SELECT doc_id, pr[1] AS prev, pr[2] AS token
+          FROM (SELECT doc_id,
+                       unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS pr
+                FROM t WHERE len(toks) >= 2)),
+        dt AS MATERIALIZED (SELECT doc_id, prev, token, CAST(count(*) AS DOUBLE) AS n
+               FROM tr GROUP BY doc_id, prev, token),
+        bg AS (SELECT prev, token, sum(n) AS bg_cnt FROM dt GROUP BY prev, token),
+        ug AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS ug_cnt
+               FROM toks GROUP BY token),
+        scal AS (SELECT CAST(sum(ug_cnt) AS DOUBLE) AS t_total,
+                        CAST(count(*) AS DOUBLE) AS v_size FROM ug),
+        scored AS (
+          SELECT dt.doc_id,
+                 ROUND(exp(-(sum(dt.n * ln(
+                   {lam} * bg.bg_cnt / pu.ug_cnt
+                   + {1.0 - lam} * (wu.ug_cnt + 1.0)
+                     / (scal.t_total + scal.v_size))) / sum(dt.n))), 4)
+                   AS perplexity
+          FROM dt
+          JOIN bg ON dt.prev = bg.prev AND dt.token = bg.token
+          JOIN ug pu ON pu.token = dt.prev
+          JOIN ug wu ON wu.token = dt.token
+          CROSS JOIN scal
+          GROUP BY dt.doc_id),
+        th AS (SELECT quantile_cont(perplexity, {PPL_TERTILES[0]!r}) AS t1,
+                      quantile_cont(perplexity, {PPL_TERTILES[1]!r}) AS t2
+               FROM scored)
+        SELECT s.doc_id, s.perplexity,
+               CASE WHEN s.perplexity <= th.t1 THEN 'head'
+                    WHEN s.perplexity <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored s CROSS JOIN th
     """

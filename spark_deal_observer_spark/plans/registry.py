@@ -3021,6 +3021,17 @@ def q_unigram_logprob(spark, sf_dir):
     return rk.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("lm_perplexity", rk.lm_perplexity_oracle())
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity filter: per-doc perplexity under a
+    corpus-trained interpolated bigram LM, bucketed head/middle/tail at the
+    exact corpus tertiles. Transitions are extracted in the scan stage
+    (array zip, no window); the bigram-count join is the dominant,
+    AQE-skew-splittable shuffle; the scored table is a published session
+    artifact shared with the text-scoring gate suite."""
+    return rk.lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
 @register("grouped_topk_docs", rk.grouped_topk_oracle())
 def q_grouped_topk_docs(spark, sf_dir):
     """Top-3 documents per language by composite quality score — one shuffle
@@ -4986,9 +4997,16 @@ def q_text_scoring_suite(spark, sf_dir):
         "'token', CAST(NULL AS DOUBLE), token) "
         "AS (metric, value_num, value_str)",
     )
+    ppl = REGISTRY["lm_perplexity"].fn(spark, sf_dir).selectExpr(
+        "'ppl' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'perplexity', perplexity, CAST(NULL AS STRING), "
+        "'bucket', CAST(NULL AS DOUBLE), ppl_bucket) "
+        "AS (metric, value_num, value_str)",
+    )
     return (
         ug.unionByName(pii).unionByName(rep).unionByName(topk)
-        .unionByName(emb).unionByName(topics)
+        .unionByName(emb).unionByName(topics).unionByName(ppl)
     )
 
 
@@ -5000,7 +5018,8 @@ REGISTRY["text_scoring_suite"] = QueryDef(
          rep AS ({REGISTRY["text_repetition"].oracle}),
          topk AS ({REGISTRY["grouped_topk_docs"].oracle}),
          emb AS ({REGISTRY["doc_embeddings"].oracle}),
-         topics AS MATERIALIZED ({REGISTRY["cluster_topic_profile"].oracle})
+         topics AS MATERIALIZED ({REGISTRY["cluster_topic_profile"].oracle}),
+         ppl AS MATERIALIZED ({REGISTRY["lm_perplexity"].oracle})
     SELECT 'unigram' AS section, CAST(doc_id AS VARCHAR) AS key,
            'mean_logprob' AS metric, mean_logprob AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM ug
@@ -5032,6 +5051,10 @@ REGISTRY["text_scoring_suite"] = QueryDef(
     UNION ALL SELECT 'topics',
            CAST(cell AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
            'token', NULL, token FROM topics
+    UNION ALL SELECT 'ppl', CAST(doc_id AS VARCHAR), 'perplexity',
+           perplexity, NULL FROM ppl
+    UNION ALL SELECT 'ppl', CAST(doc_id AS VARCHAR), 'bucket',
+           NULL, ppl_bucket FROM ppl
     """,
 )
 
@@ -5578,6 +5601,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
         "grouped_topk_docs", "doc_embeddings", "cluster_topic_profile",
+        "lm_perplexity",
     ),
     "corpus_prep_suite": (
         "corpus_decontaminate", "corpus_decontaminate_bloom",
@@ -5748,6 +5772,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_ivf_kmeans",
     "doc_embeddings",
     "unigram_logprob",
+    "lm_perplexity",
     "grouped_topk_docs",
     "text_pii_scrub",
     "text_repetition",
