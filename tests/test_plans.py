@@ -388,3 +388,20 @@ def test_classic_multijoins_broadcast_dims(spark, name):
     assert "BroadcastHashJoin" in p, p
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in p, f"{marker} in {name} plan:\n{p}"
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """The bigram-LM scoring plan must pair adjacent tokens in the scan
+    stage (array zip via Generate — never a Window over a per-token
+    shuffle), broadcast the vocabulary-sized unigram table to both of its
+    join slots, and keep the whole pipeline JVM-side. Asserted on the plan
+    builder (`_ppl_scores_plan`) — the registered query reads its
+    published checkpoint, whose physical plan is a scan."""
+    from spark_deal_observer_spark.operators.ranking import _ppl_scores_plan
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    p = plan(_ppl_scores_plan(load_table(spark, SF_ORACLE, "documents")))
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p, f"{marker} in plan:\n{p}"

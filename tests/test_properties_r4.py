@@ -186,3 +186,22 @@ def test_domain_cap_enforces_quota(spark):
         assert ranks == list(range(1, len(rs) + 1)), src
         kept = sum(1 for r in rs if r["kept"])
         assert kept == min(10, len(rs)), (src, kept)
+
+
+def test_lm_perplexity_bucket_contract(spark):
+    """The perplexity filter's surface contract: every score is a genuine
+    perplexity (>= 1 — the interpolated probability can never exceed 1),
+    only docs with at least one token transition are scored, the tertile
+    buckets are value-ordered (max head ppl <= min middle <= min tail),
+    and each bucket holds roughly a third of the corpus."""
+    rows = REGISTRY["lm_perplexity"].fn(spark, SF_ORACLE).collect()
+    assert rows and all(r["perplexity"] >= 1.0 for r in rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["perplexity"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    n = len(rows)
+    for vals in by_bucket.values():
+        assert n / 5 <= len(vals) <= n / 2, {k: len(v) for k, v in by_bucket.items()}
