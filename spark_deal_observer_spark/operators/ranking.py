@@ -476,43 +476,71 @@ def _ppl_scores_plan(docs: DataFrame) -> DataFrame:
     bigram join always hits; the add-one unigram backoff is what makes the
     same model honest on HELD-OUT text (unseen w2 still scores).
 
-    Scale shape: transitions come from `transform(sequence(...))` over the
-    token array IN THE SCAN STAGE (no window, no shuffle to pair adjacent
-    tokens); per-(doc, bigram) compression is one shuffle with map-side
-    combine; the bigram-count join is the dominant shuffle and is
-    AQE-skew-splittable (hot bigrams like stopword pairs are real skew);
-    the unigram table and corpus scalars broadcast. Nothing in the plan
-    holds more than a vocabulary-sized table on any single node.
+    Scale shape — ONE corpus scan: each token array is prepended with a
+    sentinel BOS token (a single space — whitespace-split tokens can never
+    contain one, so it is collision-free by construction), and adjacent
+    pairs come from `arrays_zip(slice(...), slice(...))` IN THE SCAN STAGE
+    (codegen'd expressions, no window, no interpreted HOF lambda). Every
+    REAL token then appears exactly once as the target of a transition, so
+    the unigram LM falls out of the same per-(doc, bigram) aggregation
+    that feeds the bigram LM — no second tokenize pass (a naive
+    separate-unigram-scan shape measured 2× the scan work at sf0.1, and at
+    100 TB the scan IS the cost). The one corpus-sized shuffle is the
+    (doc, prev, token) compression with map-side combine, checkpointed as
+    the shared input of every aggregate (separate actions do not reuse
+    shuffle files — unchecked, the tokenize pass re-executes once per
+    consumer); everything downstream is vocabulary-sized: bigram and
+    unigram counts are small aggregates over the checkpoint, the unigram
+    LM broadcasts into both of its join slots, and the two corpus scalars
+    (T, V) fold to literals.
+    BOS transitions are excluded from scoring, which also preserves the
+    contract that docs with <2 real tokens are unscored.
     """
+    from .dedup import spread_cpu
+
     toks_expr = tokens_sql("spark", "text")
-    t = docs.select("doc_id", F.expr(toks_expr).alias("toks"))
-    toks = t.select("doc_id", F.explode("toks").alias("token"))
+    # spread: the tokenize pass is CPU-dominant and a small parquet corpus
+    # arrives as ONE split; no-op on a real many-split scan.
+    t = spread_cpu(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(f"concat(array(' '), {toks_expr})").alias("toks")
+    )
     trans = (
-        t.where(F.expr("size(toks) >= 2"))
-        .select(
+        t.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> struct(toks[i - 1] AS prev, toks[i] AS token))"
+                    "arrays_zip(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1))"
                 )
             ).alias("pr"),
         )
-        .select("doc_id", "pr.prev", "pr.token")
+        .select("doc_id", F.col("pr.0").alias("prev"), F.col("pr.1").alias("token"))
     )
-    dt = trans.groupBy("doc_id", "prev", "token").agg(F.count("*").alias("n"))
-    bg = dt.groupBy("prev", "token").agg(F.sum("n").alias("bg_cnt"))
-    ug = toks.groupBy("token").agg(F.count("*").alias("ug_cnt"))
-    scal = ug.agg(
-        F.sum("ug_cnt").cast("double").alias("t_total"),
-        F.count("*").cast("double").alias("v_size"),
+    # dt is the SHARED input of all three aggregates below (unigram LM,
+    # bigram LM, per-doc scoring) — checkpoint it so the corpus is scanned
+    # exactly once per training run (separate actions do not reuse shuffle
+    # files; without this the tokenize pass executes once per consumer).
+    # It is the per-doc DISTINCT-bigram compression of the corpus; at
+    # 100 TB this is the table a production run would persist DISK_ONLY
+    # for the duration of the two vocabulary-sized aggregates.
+    dt = (
+        trans.groupBy("doc_id", "prev", "token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
+    ug = dt.groupBy("token").agg(F.sum("n").alias("ug_cnt"))
+    t_total, v_size = (
+        ug.agg(F.sum("ug_cnt").cast("double"), F.count("*").cast("double"))
+        .first()
+    )
+    real = dt.where(F.col("prev") != F.lit(" "))
+    bg = real.groupBy("prev", "token").agg(F.sum("n").alias("bg_cnt"))
     lam = F.lit(PPL_LAMBDA)
     p = lam * F.col("bg_cnt") / F.col("prev_cnt") + (F.lit(1.0) - lam) * (
         F.col("ug_cnt") + F.lit(1.0)
-    ) / (F.col("t_total") + F.col("v_size"))
+    ) / (F.lit(float(t_total)) + F.lit(float(v_size)))
     return (
-        dt.join(bg, ["prev", "token"])
+        real.join(bg, ["prev", "token"])
         .join(
             F.broadcast(
                 ug.select(
@@ -522,7 +550,6 @@ def _ppl_scores_plan(docs: DataFrame) -> DataFrame:
             "prev",
         )
         .join(F.broadcast(ug), "token")
-        .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -576,8 +603,8 @@ def lm_perplexity_oracle() -> str:
     toks = tokens_sql("duckdb", "text")
     lam = PPL_LAMBDA
     return f"""
-        WITH t AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM documents),
-        toks AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, list_prepend(' ', {toks}) AS toks FROM documents),
         tr AS (
           SELECT doc_id, pr[1] AS prev, pr[2] AS token
           FROM (SELECT doc_id,
@@ -585,9 +612,9 @@ def lm_perplexity_oracle() -> str:
                 FROM t WHERE len(toks) >= 2)),
         dt AS MATERIALIZED (SELECT doc_id, prev, token, CAST(count(*) AS DOUBLE) AS n
                FROM tr GROUP BY doc_id, prev, token),
-        bg AS (SELECT prev, token, sum(n) AS bg_cnt FROM dt GROUP BY prev, token),
-        ug AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS ug_cnt
-               FROM toks GROUP BY token),
+        ug AS MATERIALIZED (SELECT token, sum(n) AS ug_cnt FROM dt GROUP BY token),
+        bg AS (SELECT prev, token, sum(n) AS bg_cnt FROM dt
+               WHERE prev <> ' ' GROUP BY prev, token),
         scal AS (SELECT CAST(sum(ug_cnt) AS DOUBLE) AS t_total,
                         CAST(count(*) AS DOUBLE) AS v_size FROM ug),
         scored AS (
@@ -602,6 +629,7 @@ def lm_perplexity_oracle() -> str:
           JOIN ug pu ON pu.token = dt.prev
           JOIN ug wu ON wu.token = dt.token
           CROSS JOIN scal
+          WHERE dt.prev <> ' '
           GROUP BY dt.doc_id),
         th AS (SELECT quantile_cont(perplexity, {PPL_TERTILES[0]!r}) AS t1,
                       quantile_cont(perplexity, {PPL_TERTILES[1]!r}) AS t2
