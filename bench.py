@@ -104,6 +104,12 @@ HEADLINE = [
     # cluster distinctive-vocabulary report over own-corpus k-means
     "hll_set_ops_audit",
     "cluster_topic_profile",
+    # r4 continuation: model-based curation trainers — bigram-LM perplexity
+    # filter (also melted into text_scoring_suite) and DSIR importance
+    # resampling with the full sampler gate suite
+    "lm_perplexity",
+    "dsir_importance_sample",
+    "corpus_sampling_suite",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -32,6 +32,7 @@ from ..functions.hashing import (
     hash32_sql,
     hashed_shingles_sql,
     hashed_token_ngrams_sql,
+    token_ngrams_sql,
     tokens_sql,
 )
 from ..functions.text import lang_id_sql, quality_sql
@@ -599,6 +600,192 @@ def weighted_sample_oracle(n: int = WS_TOP_N) -> str:
                ROUND(ROUND(ln({u}), 6) / n_chars, 9) AS priority
         FROM documents WHERE n_chars > 0
         ORDER BY priority DESC, doc_id LIMIT {n}
+    """
+
+
+# -- DSIR importance resampling ----------------------------------------------
+
+# Hashed n-gram feature buckets (the paper uses 10k over CommonCrawl;
+# scaled to the fixture vocabulary), curated exemplar sources standing in
+# for the paper's formal-text target, and the resample size.
+DSIR_M = 1024
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_TOP_K = 50
+
+
+def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
+    """Every raw-pool document's DSIR log importance weight, (doc_id, logw)
+    — the training+scoring plan under `dsir_importance_sample` (point
+    plan-shape tests here; the registered query reads the published
+    checkpoint).
+
+    Features are token unigrams plus token bigrams (bigrams contain a
+    space so the two classes can never collide; the degenerate <2-token
+    tail gram is dropped for the same reason), hashed into DSIR_M buckets.
+    The scan-stage trick is the same BOS-sentinel transition table as the
+    perplexity trainer: with a single-space BOS prepended, every real
+    token occurrence is exactly one transition target, so ONE per-(doc,
+    prev, token) aggregation yields occurrence-exact unigram counts
+    (target column) AND bigram counts (prev <> BOS rows) — the md5 bucket
+    hash then runs on the compressed distinct-bigram rows, not once per
+    raw occurrence, and every expression stays codegen'd (an
+    explode-the-feature-strings shape with an interpreted n-gram HOF
+    lambda measured ~2× slower at sf0.1). Both feature LMs are DSIR_M-row
+    aggregates over the shared per-(doc, bucket) table (checkpointed —
+    separate actions share no shuffle files), joined back as ONE broadcast
+    delta table (delta_b = ln p̂_target(b) − ln p̂_raw(b), add-one
+    smoothed, each ln rounded to 6dp so libm ulp drift can't split the
+    engines); the log weight is one per-doc aggregate."""
+    from .dedup import spread_cpu
+
+    toks_expr = tokens_sql("spark", "text")
+    t = spread_cpu(docs.select("doc_id", "source", "text")).select(
+        "doc_id",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
+        F.expr(f"concat(array(' '), {toks_expr})").alias("toks"),
+    )
+    trans = t.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1))"
+            )
+        ).alias("pr"),
+    ).select(
+        "doc_id", "is_target",
+        F.col("pr.0").alias("prev"), F.col("pr.1").alias("token"),
+    )
+    dtc = trans.groupBy("doc_id", "is_target", "prev", "token").agg(
+        F.count("*").alias("n")
+    )
+    bucket_of = lambda e: F.expr(f"({hash32_sql(e, 'spark')}) % {DSIR_M}")  # noqa: E731
+    # Both feature buckets are computed as plain columns BEFORE the explode
+    # (the generator consumes attribute refs — md5 inside the Generate's
+    # array constructor is the known janino fusion hazard), and emitted by
+    # ONE pass over dtc: a unionAll of two projections instead lets
+    # Catalyst push the prev-filter below the aggregate, splitting the
+    # branches into two full scan+aggregate executions (measured 2× the
+    # corpus-pass cost at sf0.1).
+    feats = (
+        dtc.select(
+            "doc_id",
+            "is_target",
+            "n",
+            bucket_of("token").alias("ubucket"),
+            F.when(
+                F.col("prev") != F.lit(" "),
+                bucket_of("concat_ws(' ', prev, token)"),
+            ).alias("bbucket"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            "n",
+            F.explode(
+                F.array_compact(F.array(F.col("ubucket"), F.col("bbucket")))
+            ).alias("bucket"),
+        )
+    )
+    ft = (
+        feats.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.sum("n").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lm = ft.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("tc"),
+        F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("rc"),
+    ).localCheckpoint(eager=True)
+    t_total, r_total = lm.agg(
+        F.sum("tc").cast("double"), F.sum("rc").cast("double")
+    ).first()
+    delta = F.round(
+        F.log((F.col("tc") + F.lit(1.0)) / F.lit(float(t_total) + DSIR_M)), 6
+    ) - F.round(
+        F.log((F.col("rc") + F.lit(1.0)) / F.lit(float(r_total) + DSIR_M)), 6
+    )
+    return (
+        ft.where(~F.col("is_target"))
+        .join(F.broadcast(lm.select("bucket", delta.alias("delta"))), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("delta")), 4).alias("logw"))
+    )
+
+
+def dsir_importance_sample(docs: DataFrame, k: int = DSIR_TOP_K) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): fit two bag-of-hashed-n-grams
+    unigram feature LMs — one on a curated target set, one on the raw
+    pool — weight every raw document by its log importance ratio
+    log p_target(x) − log p_raw(x), and draw a weight-proportional sample
+    without replacement via Gumbel-top-k.
+
+    The published artifact is the SCORED table (one row per raw doc — the
+    train-once/resample-forever boundary: every consumer, including the
+    sampling gate suite and any k, rides one training pass); the resample
+    head is TakeOrdered over it — no global sort. The Gumbel draw is the
+    usual deterministic hash of the PRIMARY KEY, never rand().
+    """
+    from .models import published
+
+    scored = published(
+        docs,
+        "dsir_logw",
+        (DSIR_M, DSIR_TARGET_SOURCES),
+        lambda: _dsir_logw_plan(docs).localCheckpoint(eager=True),
+    )
+    u = f"(({hash32_sql('CAST(doc_id AS STRING)', 'spark')}) % 100000 + 1) / 100001.0"
+    gumbel = F.expr(f"ROUND(-ln(-ln({u})), 6)")
+    return (
+        scored.select(
+            "doc_id",
+            "logw",
+            F.round(F.col("logw") + gumbel, 4).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def dsir_importance_sample_oracle(k: int = DSIR_TOP_K) -> str:
+    toks = tokens_sql("duckdb", "text")
+    grams = token_ngrams_sql("duckdb", "toks", 2)
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    u = f"(({hash32_sql('CAST(doc_id AS STRING)', 'duckdb')}) % 100000 + 1) / 100001.0"
+    m = DSIR_M
+    return f"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, source IN ({srcs}) AS is_target, {toks} AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, is_target,
+                 unnest(list_concat(toks, CASE WHEN len(toks) >= 2
+                        THEN {grams} ELSE [] END)) AS feat
+          FROM t),
+        ft AS MATERIALIZED (
+          SELECT doc_id, is_target, ({hash32_sql('feat', 'duckdb')}) % {m} AS bucket,
+                 count(*) AS c
+          FROM f GROUP BY doc_id, is_target, bucket),
+        lm AS MATERIALIZED (
+          SELECT bucket,
+                 sum(CASE WHEN is_target THEN c ELSE 0 END) AS tc,
+                 sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS rc
+          FROM ft GROUP BY bucket),
+        tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt,
+                       CAST(sum(rc) AS DOUBLE) AS tr FROM lm),
+        lmd AS (
+          SELECT bucket,
+                 ROUND(ln((tc + 1.0) / (tt + {m})), 6)
+                   - ROUND(ln((rc + 1.0) / (tr + {m})), 6) AS delta
+          FROM lm CROSS JOIN tot),
+        logw AS (
+          SELECT ft.doc_id, ROUND(sum(ft.c * lmd.delta), 4) AS logw
+          FROM ft JOIN lmd USING (bucket)
+          WHERE NOT ft.is_target GROUP BY ft.doc_id)
+        SELECT doc_id, logw,
+               ROUND(logw + ROUND(-ln(-ln({u})), 6), 4) AS gumbel_key
+        FROM logw ORDER BY gumbel_key DESC, doc_id LIMIT {k}
     """
 
 

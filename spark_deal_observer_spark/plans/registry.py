@@ -3072,6 +3072,17 @@ def q_corpus_weighted_sample(spark, sf_dir):
     return cp.weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("dsir_importance_sample", cp.dsir_importance_sample_oracle())
+def q_dsir_importance_sample(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed token uni+bigram
+    feature LMs fit on a curated target set vs the raw pool, every raw doc
+    weighted by its log importance ratio, Gumbel-top-k weight-proportional
+    resample. One corpus scan (published per-(doc, bucket) count artifact),
+    two DSIR_M-row LM aggregates joined back as one broadcast delta table,
+    TakeOrdered head — no global sort, deterministic hash draw."""
+    return cp.dsir_importance_sample(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_difficulty_bins", cp.difficulty_bins_oracle())
 def q_corpus_difficulty_bins(spark, sf_dir):
     """Quartile curriculum bins by quality score: one-row exact-percentile
@@ -3387,17 +3398,20 @@ def q_filter_suite(spark, sf_dir):
     SELECT 'weighted' AS sampler, doc_id FROM ({cp.weighted_sample_oracle()})
     UNION ALL
     SELECT 'fixed_k' AS sampler, doc_id FROM ({cp.grouped_fixed_sample_oracle()})
+    UNION ALL
+    SELECT 'dsir' AS sampler, doc_id FROM ({cp.dsir_importance_sample_oracle()})
     """,
 )
 def q_corpus_sampling_suite(spark, sf_dir):
-    """The four corpus samplers' selections in one driver row: hash
-    train/val split (val side), policy-table stratified rates,
-    temperature-weighted (alpha=0.5) mixture rates, and A-ES weighted
-    top-n — each tagged with its sampler and reduced to the chosen doc_id
-    set (full per-sampler schemas stay registered below the fold). All
-    four share the deterministic hash-the-primary-key draw, so the union
-    is reproducible across engines; three scan-stage filters plus one
-    TakeOrdered, no extra shuffles beyond the single-op forms."""
+    """The corpus samplers' selections in one driver row: hash train/val
+    split (val side), policy-table stratified rates, temperature-weighted
+    (alpha=0.5) mixture rates, A-ES weighted top-n, per-group fixed-k, and
+    DSIR importance resampling — each tagged with its sampler and reduced
+    to the chosen doc_id set (full per-sampler schemas stay registered
+    below the fold). All share the deterministic hash-the-primary-key
+    draw, so the union is reproducible across engines; scan-stage filters
+    plus TakeOrdered heads, no extra shuffles beyond the single-op
+    forms."""
     docs = _t(spark, sf_dir, "documents")
 
     def pick(df, tag):
@@ -3409,6 +3423,7 @@ def q_corpus_sampling_suite(spark, sf_dir):
         .unionAll(pick(cp.mixture_sample(docs), "mixture"))
         .unionAll(pick(cp.weighted_sample(docs), "weighted"))
         .unionAll(pick(cp.grouped_fixed_sample(docs), "fixed_k"))
+        .unionAll(pick(cp.dsir_importance_sample(docs), "dsir"))
     )
 
 
@@ -5539,6 +5554,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "corpus_sampling_suite": (
         "corpus_train_val_split", "stratified_sample", "corpus_mixture_sample",
         "corpus_weighted_sample", "corpus_fixed_sample",
+        "dsir_importance_sample",
     ),
     "dedup_pair_verify_suite": (
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
@@ -5782,6 +5798,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_mixture_sample",
     "corpus_token_chunks",
     "corpus_weighted_sample",
+    "dsir_importance_sample",
     "dedup_duplicate_spans",
     "dedup_canonical_pick",
     "corpus_global_shuffle",

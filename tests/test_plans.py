@@ -405,3 +405,25 @@ def test_lm_perplexity_plan_shape(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p, f"{marker} in plan:\n{p}"
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR: the scoring plan must broadcast the DSIR_M-row delta table
+    and stay windowless and JVM-only (asserted on `_dsir_logw_plan` — the
+    registered query reads its published checkpoint, whose physical plan
+    is a scan); the registered resample head must plan as TakeOrdered,
+    never a global sort."""
+    from spark_deal_observer_spark.operators.corpus import (
+        _dsir_logw_plan, dsir_importance_sample,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    p = plan(_dsir_logw_plan(docs))
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p, f"{marker} in plan:\n{p}"
+    head = plan(dsir_importance_sample(docs))
+    assert "TakeOrderedAndProject" in head, head
+    assert "Window" not in head, head

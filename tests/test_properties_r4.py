@@ -205,3 +205,39 @@ def test_lm_perplexity_bucket_contract(spark):
     n = len(rows)
     for vals in by_bucket.values():
         assert n / 5 <= len(vals) <= n / 2, {k: len(v) for k, v in by_bucket.items()}
+
+
+def test_dsir_selects_target_like_raw_docs(spark):
+    """DSIR's contract: exactly top-k rows, drawn only from the RAW pool
+    (target exemplars are never resampled into their own expansion), keys
+    ordered, and the selection is importance-biased — the selected docs'
+    mean log weight must exceed the raw-pool mean (deterministic on the
+    fixture: the Gumbel draw is a hash of the primary key)."""
+    from spark_deal_observer_spark.operators.corpus import (
+        DSIR_TARGET_SOURCES, DSIR_TOP_K,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    sel = REGISTRY["dsir_importance_sample"].fn(spark, SF_ORACLE).collect()
+    assert len(sel) == DSIR_TOP_K
+    keys = [r["gumbel_key"] for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    assert all(srcs[r["doc_id"]] not in DSIR_TARGET_SOURCES for r in sel)
+    raw_n = docs.where(~F.col("source").isin(*DSIR_TARGET_SOURCES)).count()
+    assert 0 < len(sel) < raw_n
+    # importance bias: the whole scored pool (k = pool size rides the same
+    # published artifact, no extra corpus scan) must have a lower mean log
+    # weight than the resampled head
+    from spark_deal_observer_spark.operators.corpus import dsir_importance_sample
+
+    pool = dsir_importance_sample(docs, k=raw_n).collect()
+    assert len(pool) >= len(sel)
+    sel_mean = sum(r["logw"] for r in sel) / len(sel)
+    pool_mean = sum(r["logw"] for r in pool) / len(pool)
+    assert sel_mean > pool_mean, (sel_mean, pool_mean)
