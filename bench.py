@@ -110,6 +110,9 @@ HEADLINE = [
     "lm_perplexity",
     "dsir_importance_sample",
     "corpus_sampling_suite",
+    # r4 continuation: the composed per-doc curation decision table — every
+    # trained signal consulted per document via its published artifact
+    "corpus_curation_report",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

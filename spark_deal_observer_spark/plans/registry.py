@@ -3532,6 +3532,102 @@ def q_corpus_e2e_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_curation_report",
+    f"""
+    WITH gate AS MATERIALIZED (SELECT doc_id FROM ({cp.quality_gate_oracle()})),
+    canon AS MATERIALIZED (
+      SELECT doc_id, keep FROM (
+        {{CANON}}
+      )),
+    ppl AS MATERIALIZED (SELECT doc_id, ppl_bucket FROM ({{PPL}})),
+    clf AS MATERIALIZED (SELECT doc_id, predicted FROM ({{CLF}})),
+    r AS (
+      SELECT d.doc_id,
+             (g.doc_id IS NOT NULL) AS gate_pass,
+             canon.keep AS dedup_keep,
+             COALESCE(ppl.ppl_bucket, 'unscored') AS ppl_bucket,
+             clf.predicted AS clf_keep
+      FROM documents d
+      LEFT JOIN gate g ON g.doc_id = d.doc_id
+      JOIN canon ON canon.doc_id = d.doc_id
+      LEFT JOIN ppl ON ppl.doc_id = d.doc_id
+      JOIN clf ON clf.doc_id = d.doc_id)
+    SELECT doc_id, gate_pass, dedup_keep, ppl_bucket, clf_keep,
+           CASE WHEN NOT gate_pass THEN 'quality_gate'
+                WHEN NOT dedup_keep THEN 'near_dup'
+                WHEN ppl_bucket IN ('tail', 'unscored') THEN 'ppl_tail'
+                WHEN NOT clf_keep THEN 'classifier'
+                ELSE 'keep' END AS reason,
+           (gate_pass AND dedup_keep AND ppl_bucket IN ('head', 'middle')
+            AND clf_keep) AS decision
+    FROM r
+    """.replace(
+        "{CANON}",
+        dd.canonical_pick_oracle(
+            dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle())
+        ),
+    ).replace("{PPL}", rk.lm_perplexity_oracle()).replace(
+        "{CLF}", clf.classifier_scores_oracle()
+    ),
+)
+def q_corpus_curation_report(spark, sf_dir):
+    """The full per-document curation DECISION table — every model-based
+    and rule-based signal the pipeline trains, composed into one auditable
+    keep/drop verdict with the first failing stage as the reason: C4-style
+    quality gate, near-dup canonical survivorship (LSH → CC → quality
+    pick), bigram-LM perplexity bucket (tail and unscored docs drop), and
+    the trained quality classifier. Every signal rides its published
+    session artifact (cluster map, perplexity scores, classifier weights),
+    so the composition costs four doc_id-keyed joins beyond what the
+    trainers already paid — the artifact registry IS the reason a real
+    pipeline can afford to consult every model per document."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = cp.quality_gate(docs).select("doc_id", F.lit(True).alias("gate_pass"))
+    canon = dd.canonical_pick(
+        docs, dd.connected_components(dd.minhash_lsh_star_edges(docs))
+    ).select("doc_id", F.col("keep").alias("dedup_keep"))
+    ppl = rk.lm_perplexity(docs).select("doc_id", "ppl_bucket")
+    scores = clf.classifier_scores(docs).select(
+        "doc_id", F.col("predicted").alias("clf_keep")
+    )
+    r = (
+        docs.select("doc_id")
+        .join(gate, "doc_id", "left")
+        .join(canon, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("gate_pass", F.lit(False)).alias("gate_pass"),
+            "dedup_keep",
+            F.coalesce("ppl_bucket", F.lit("unscored")).alias("ppl_bucket"),
+            "clf_keep",
+        )
+    )
+    reason = (
+        F.when(~F.col("gate_pass"), "quality_gate")
+        .when(~F.col("dedup_keep"), "near_dup")
+        .when(F.col("ppl_bucket").isin("tail", "unscored"), "ppl_tail")
+        .when(~F.col("clf_keep"), "classifier")
+        .otherwise("keep")
+    )
+    return r.select(
+        "doc_id",
+        "gate_pass",
+        "dedup_keep",
+        "ppl_bucket",
+        "clf_keep",
+        reason.alias("reason"),
+        (
+            F.col("gate_pass")
+            & F.col("dedup_keep")
+            & F.col("ppl_bucket").isin("head", "middle")
+            & F.col("clf_keep")
+        ).alias("decision"),
+    )
+
+
 @register("cms_token_counts", sk.cms_token_counts_oracle())
 def q_cms_token_counts(spark, sf_dir):
     """Count–min sketch over the token stream + probe audit: the sketch is
@@ -5799,6 +5895,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_token_chunks",
     "corpus_weighted_sample",
     "dsir_importance_sample",
+    "corpus_curation_report",
     "dedup_duplicate_spans",
     "dedup_canonical_pick",
     "corpus_global_shuffle",

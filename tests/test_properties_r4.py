@@ -241,3 +241,29 @@ def test_dsir_selects_target_like_raw_docs(spark):
     sel_mean = sum(r["logw"] for r in sel) / len(sel)
     pool_mean = sum(r["logw"] for r in pool) / len(pool)
     assert sel_mean > pool_mean, (sel_mean, pool_mean)
+
+
+def test_curation_report_covers_corpus_with_consistent_verdicts(spark):
+    """The curation decision table must cover EVERY document exactly once,
+    and its verdict columns must be internally consistent: decision is true
+    iff reason is 'keep', and the reason must name the FIRST failing stage
+    in gate -> dedup -> perplexity -> classifier order."""
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    rows = REGISTRY["corpus_curation_report"].fn(spark, SF_ORACLE).collect()
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    for r in rows:
+        assert r["decision"] == (r["reason"] == "keep"), r
+        if not r["gate_pass"]:
+            expect = "quality_gate"
+        elif not r["dedup_keep"]:
+            expect = "near_dup"
+        elif r["ppl_bucket"] in ("tail", "unscored"):
+            expect = "ppl_tail"
+        elif not r["clf_keep"]:
+            expect = "classifier"
+        else:
+            expect = "keep"
+        assert r["reason"] == expect, r
