@@ -613,11 +613,10 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 DSIR_TOP_K = 50
 
 
-def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
-    """Every raw-pool document's DSIR log importance weight, (doc_id, logw)
-    — the training+scoring plan under `dsir_importance_sample` (point
-    plan-shape tests here; the registered query reads the published
-    checkpoint).
+def _dsir_bucket_counts(src: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+    """(doc_id, *extra, bucket, c): hashed uni+bigram feature bucket counts
+    of a (doc_id, *extra, text) table — the shared feature extractor under
+    both DSIR training and online scoring.
 
     Features are token unigrams plus token bigrams (bigrams contain a
     space so the two classes can never collide; the degenerate <2-token
@@ -630,23 +629,14 @@ def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
     hash then runs on the compressed distinct-bigram rows, not once per
     raw occurrence, and every expression stays codegen'd (an
     explode-the-feature-strings shape with an interpreted n-gram HOF
-    lambda measured ~2× slower at sf0.1). Both feature LMs are DSIR_M-row
-    aggregates over the shared per-(doc, bucket) table (checkpointed —
-    separate actions share no shuffle files), joined back as ONE broadcast
-    delta table (delta_b = ln p̂_target(b) − ln p̂_raw(b), add-one
-    smoothed, each ln rounded to 6dp so libm ulp drift can't split the
-    engines); the log weight is one per-doc aggregate."""
-    from .dedup import spread_cpu
-
+    lambda measured ~2× slower at sf0.1)."""
     toks_expr = tokens_sql("spark", "text")
-    t = spread_cpu(docs.select("doc_id", "source", "text")).select(
-        "doc_id",
-        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
-        F.expr(f"concat(array(' '), {toks_expr})").alias("toks"),
+    t = src.select(
+        "doc_id", *extra, F.expr(f"concat(array(' '), {toks_expr})").alias("toks")
     )
     trans = t.select(
         "doc_id",
-        "is_target",
+        *extra,
         F.explode(
             F.expr(
                 "arrays_zip(slice(toks, 1, size(toks) - 1), "
@@ -654,10 +644,10 @@ def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
             )
         ).alias("pr"),
     ).select(
-        "doc_id", "is_target",
+        "doc_id", *extra,
         F.col("pr.0").alias("prev"), F.col("pr.1").alias("token"),
     )
-    dtc = trans.groupBy("doc_id", "is_target", "prev", "token").agg(
+    dtc = trans.groupBy("doc_id", *extra, "prev", "token").agg(
         F.count("*").alias("n")
     )
     bucket_of = lambda e: F.expr(f"({hash32_sql(e, 'spark')}) % {DSIR_M}")  # noqa: E731
@@ -671,7 +661,7 @@ def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
     feats = (
         dtc.select(
             "doc_id",
-            "is_target",
+            *extra,
             "n",
             bucket_of("token").alias("ubucket"),
             F.when(
@@ -681,22 +671,58 @@ def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            "is_target",
+            *extra,
             "n",
             F.explode(
                 F.array_compact(F.array(F.col("ubucket"), F.col("bbucket")))
             ).alias("bucket"),
         )
     )
-    ft = (
-        feats.groupBy("doc_id", "is_target", "bucket")
-        .agg(F.sum("n").alias("c"))
-        .localCheckpoint(eager=True)
+    return feats.groupBy("doc_id", *extra, "bucket").agg(F.sum("n").alias("c"))
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """The published corpus feature table (doc_id, is_target, bucket, c) —
+    the SHARED DOMINANT COMPUTE of the DSIR family: the one corpus scan +
+    corpus-sized shuffle, consumed by both feature LMs, the per-doc log
+    weights, and the online model build. Spread wide before the tokenize
+    pass (CPU-dominant; a small parquet corpus arrives as one split)."""
+    from .dedup import spread_cpu
+    from .models import published
+
+    return published(
+        docs,
+        "dsir_ft",
+        (DSIR_M, DSIR_TARGET_SOURCES),
+        lambda: _dsir_bucket_counts(
+            spread_cpu(
+                docs.select(
+                    "doc_id",
+                    F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
+                    "text",
+                )
+            ),
+            ("is_target",),
+        ).localCheckpoint(eager=True),
     )
+
+
+def dsir_model(docs: DataFrame) -> tuple[DataFrame, float]:
+    """The trained DSIR model: a DSIR_M-row broadcastable delta table
+    (bucket, delta) with delta_b = ln p̂_target(b) − ln p̂_raw(b) (add-one
+    smoothed, each ln rounded to 6dp so libm ulp drift can't split
+    engines), plus the default delta an UNSEEN bucket scores under the
+    same smoothing — what makes the model honest on held-out text. Cheap
+    aggregates over the published feature table (per the artifact rule,
+    the delta itself is rederived, not published — only the corpus pass
+    is)."""
+    import math
+
+    ft = _dsir_features(docs)
     lm = ft.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("tc"),
         F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("rc"),
-    ).localCheckpoint(eager=True)
+    )
     t_total, r_total = lm.agg(
         F.sum("tc").cast("double"), F.sum("rc").cast("double")
     ).first()
@@ -705,9 +731,51 @@ def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
     ) - F.round(
         F.log((F.col("rc") + F.lit(1.0)) / F.lit(float(r_total) + DSIR_M)), 6
     )
+    default = round(math.log(1.0 / (float(t_total) + DSIR_M)), 6) - round(
+        math.log(1.0 / (float(r_total) + DSIR_M)), 6
+    )
+    return (
+        lm.select("bucket", delta.alias("delta")).localCheckpoint(eager=True),
+        default,
+    )
+
+
+def score_with_dsir(
+    batch: DataFrame, delta_df: DataFrame, default_delta: float
+) -> DataFrame:
+    """(doc_id, logw): score ANY (doc_id, text) batch under a trained DSIR
+    model — the online half of train-once/score-forever. Per batch: the
+    scan-stage feature extractor, one broadcast join against the DSIR_M-row
+    delta table (LEFT: buckets never seen in training fall back to the
+    smoothed default), one per-doc aggregate. No corpus access, no refit."""
+    b = _dsir_bucket_counts(batch.select("doc_id", "text"), ())
+    return (
+        b.join(F.broadcast(delta_df), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * F.coalesce(F.col("delta"), F.lit(float(default_delta)))
+                ),
+                4,
+            ).alias("logw")
+        )
+    )
+
+
+def _dsir_logw_plan(docs: DataFrame) -> DataFrame:
+    """Every raw-pool document's DSIR log importance weight, (doc_id, logw)
+    — the training+scoring plan under `dsir_importance_sample` (point
+    plan-shape tests here; the registered query reads the published
+    checkpoint). The published feature table feeds both the model build
+    and the weight aggregate, so the corpus is scanned exactly once; the
+    log weight is one per-doc aggregate over a broadcast delta join."""
+    ft = _dsir_features(docs)
+    delta_df, _ = dsir_model(docs)
     return (
         ft.where(~F.col("is_target"))
-        .join(F.broadcast(lm.select("bucket", delta.alias("delta"))), "bucket")
+        .join(F.broadcast(delta_df), "bucket")
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("delta")), 4).alias("logw"))
     )

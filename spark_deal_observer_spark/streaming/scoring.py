@@ -43,3 +43,38 @@ class ModelScoringSink:
         return self.spark.read.option("basePath", self.out_path).parquet(
             f"{self.out_path}/batch_id=*"
         )
+
+
+class DsirScoringSink:
+    """foreachBatch body: DSIR-score micro-batches with the published model
+    — the online half of importance-based data selection: an ingestion
+    pipeline scores arriving documents against the OFFLINE-trained target
+    /raw feature LMs and admits by weight, never refitting per batch.
+
+    Same contract as `ModelScoringSink`: the model (DSIR_M-row delta table
+    + the smoothed default for buckets unseen in training) comes from the
+    session artifact registry at sink construction; per batch the plan is
+    the scan-stage feature extractor, one broadcast join, one per-doc
+    aggregate; `out_path/batch_id=N` overwrite keeps replays
+    effectively-once."""
+
+    def __init__(self, spark: SparkSession, train_docs: DataFrame, out_path: str):
+        from ..operators.corpus import dsir_model
+
+        self.spark = spark
+        self.out_path = out_path
+        self.delta_df, self.default_delta = dsir_model(train_docs)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        from ..operators.corpus import score_with_dsir
+
+        scored = score_with_dsir(batch, self.delta_df, self.default_delta)
+        (
+            scored.write.mode("overwrite")
+            .parquet(f"{self.out_path}/batch_id={batch_id}")
+        )
+
+    def read_scores(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.out_path).parquet(
+            f"{self.out_path}/batch_id=*"
+        )

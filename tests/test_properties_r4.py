@@ -267,3 +267,45 @@ def test_curation_report_covers_corpus_with_consistent_verdicts(spark):
         else:
             expect = "keep"
         assert r["reason"] == expect, r
+
+
+def test_dsir_stream_scoring_matches_offline_and_handles_unseen_vocab(spark, tmp_path):
+    """DSIR micro-batch scoring with the published model must (a) reproduce
+    the offline log weights for raw-pool docs, (b) score held-out text
+    whose features were never seen in training via the smoothed default
+    delta (finite, non-null), and (c) replay idempotently."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.operators.corpus import DSIR_TARGET_SOURCES
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.scoring import DsirScoringSink
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sink = DsirScoringSink(spark, docs, str(tmp_path / "dsir"))
+
+    raw = docs.where(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+    b1 = raw.where("doc_id < 100").select("doc_id", "text")
+    unseen = spark.createDataFrame(
+        [(10**9, "qqqxyzzy glorbulax qqqxyzzy fnordwick glorbulax")],
+        "doc_id long, text string",
+    )
+    sink.process_batch(b1, 0)
+    sink.process_batch(unseen, 1)
+
+    got = {r["doc_id"]: r["logw"] for r in sink.read_scores().collect()}
+    # offline weights for the same docs: the full scored pool rides the
+    # published artifact (k = pool size exposes every raw doc's logw)
+    from spark_deal_observer_spark.operators.corpus import dsir_importance_sample
+
+    offline = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_importance_sample(docs, k=raw.count()).collect()
+        if r["doc_id"] < 100
+    }
+    for d, w in offline.items():
+        assert abs(got[d] - w) < 1e-3, (d, got[d], w)
+    assert got[10**9] is not None and got[10**9] == got[10**9]  # finite
+    assert 10**9 not in offline
+
+    sink.process_batch(b1, 0)  # at-least-once replay of batch 0
+    assert sink.read_scores().count() == len(offline) + 1
