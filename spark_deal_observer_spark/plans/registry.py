@@ -5933,6 +5933,17 @@ DRIVER_ORDER: tuple[str, ...] = (
     "tokenizer_stats",       # per-lang compression over the published BPE ladder
     "approx_distinct_users",
     "approx_quantiles_by_type",
+    # classic-analytics single-op forms (the compound tpch_agg_suite holds
+    # the gate slot; these trail so the curated prefix is unchanged)
+    "tpch_forecast_revenue",
+    "tpch_cust_order_distribution",
+    "tpch_important_stock",
+    "tpch_supplier_part_count",
+    "tpch_small_qty_revenue",
+    "tpch_disjunctive_revenue",
+    "tpch_excess_shipments",
+    "tpch_waiting_suppliers",
+    "tpch_dormant_customers",
 )
 
 
