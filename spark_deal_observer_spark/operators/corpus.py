@@ -857,6 +857,71 @@ def dsir_importance_sample_oracle(k: int = DSIR_TOP_K) -> str:
     """
 
 
+# -- token-budget admission ---------------------------------------------------
+
+BUDGET_FRAC_DENOM = 2  # admit the best docs up to half the corpus tokens
+
+
+def budget_admission(docs: DataFrame) -> DataFrame:
+    """Quality-ordered token-budget admission: admit documents in
+    descending quality order until the cumulative token count reaches the
+    budget (half the corpus tokens) — the curation step that turns a
+    ranked corpus into a fixed-size training set.
+
+    The naive form is `sum(tokens) OVER (ORDER BY quality DESC)` — which
+    Spark plans as an Exchange to ONE partition (the global-sort
+    scale-killer). This uses `global_prefix_sum` (operators/prefix.py):
+    range-partition on (quality DESC, doc_id), per-range cumulative
+    window, exclusive per-partition offsets — #partitions rows to the
+    driver, everything row-scaled distributed. The budget itself is one
+    1-row aggregate folded to a literal; admission is a scan-stage
+    comparison."""
+    from .prefix import global_prefix_sum
+
+    q = quality_sql("spark", "text")
+    d = docs.select(
+        "doc_id",
+        F.expr(q["n_tokens"]).cast("bigint").alias("n_tokens"),
+        F.round(F.expr(q["quality_score"]), 6).alias("quality_score"),
+    )
+    total = d.agg(F.sum("n_tokens")).first()[0] or 0
+    budget = int(total) // BUDGET_FRAC_DENOM
+    c = global_prefix_sum(
+        d,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return c.select(
+        "doc_id",
+        "quality_score",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.lit(budget)).alias("admitted"),
+    )
+
+
+def budget_admission_oracle() -> str:
+    q = quality_sql("duckdb", "text")
+    return f"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST({q["n_tokens"]} AS BIGINT) AS n_tokens,
+                 ROUND({q["quality_score"]}, 6) AS quality_score
+          FROM documents),
+        tot AS (SELECT CAST(sum(n_tokens) // {BUDGET_FRAC_DENOM} AS BIGINT)
+                  AS budget FROM d),
+        c AS (SELECT doc_id, quality_score, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM d)
+        SELECT doc_id, quality_score, n_tokens, cum_tokens,
+               (cum_tokens <= tot.budget) AS admitted
+        FROM c CROSS JOIN tot
+    """
+
+
 # -- curriculum difficulty binning -------------------------------------------
 
 BIN_QUANTILES = (0.25, 0.5, 0.75)

@@ -3072,6 +3072,17 @@ def q_corpus_weighted_sample(spark, sf_dir):
     return cp.weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_budget_admission", cp.budget_admission_oracle())
+def q_corpus_budget_admission(spark, sf_dir):
+    """Quality-ordered token-budget admission: cumulative token counts in
+    descending quality order via the two-phase global prefix sum
+    (operators/prefix.py — range partition + per-range window + exclusive
+    partition offsets), never the single-partition Exchange a bare global
+    ORDER BY window plans; admission is a scan-stage comparison against a
+    1-row budget literal."""
+    return cp.budget_admission(_t(spark, sf_dir, "documents"))
+
+
 @register("dsir_importance_sample", cp.dsir_importance_sample_oracle())
 def q_dsir_importance_sample(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): hashed token uni+bigram
@@ -3400,6 +3411,9 @@ def q_filter_suite(spark, sf_dir):
     SELECT 'fixed_k' AS sampler, doc_id FROM ({cp.grouped_fixed_sample_oracle()})
     UNION ALL
     SELECT 'dsir' AS sampler, doc_id FROM ({cp.dsir_importance_sample_oracle()})
+    UNION ALL
+    SELECT 'budget' AS sampler, doc_id
+    FROM ({cp.budget_admission_oracle()}) WHERE admitted
     """,
 )
 def q_corpus_sampling_suite(spark, sf_dir):
@@ -3424,6 +3438,7 @@ def q_corpus_sampling_suite(spark, sf_dir):
         .unionAll(pick(cp.weighted_sample(docs), "weighted"))
         .unionAll(pick(cp.grouped_fixed_sample(docs), "fixed_k"))
         .unionAll(pick(cp.dsir_importance_sample(docs), "dsir"))
+        .unionAll(pick(cp.budget_admission(docs).where("admitted"), "budget"))
     )
 
 
@@ -5650,7 +5665,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "corpus_sampling_suite": (
         "corpus_train_val_split", "stratified_sample", "corpus_mixture_sample",
         "corpus_weighted_sample", "corpus_fixed_sample",
-        "dsir_importance_sample",
+        "dsir_importance_sample", "corpus_budget_admission",
     ),
     "dedup_pair_verify_suite": (
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
@@ -5895,6 +5910,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_token_chunks",
     "corpus_weighted_sample",
     "dsir_importance_sample",
+    "corpus_budget_admission",
     "corpus_curation_report",
     "dedup_duplicate_spans",
     "dedup_canonical_pick",

@@ -427,3 +427,14 @@ def test_dsir_plan_shape(spark):
     head = plan(dsir_importance_sample(docs))
     assert "TakeOrderedAndProject" in head, head
     assert "Window" not in head, head
+
+
+def test_budget_admission_avoids_single_partition_window(spark):
+    """The token-budget admission must never plan the global ORDER BY
+    window's Exchange-to-one-partition: the two-phase prefix sum keeps the
+    window partitioned by range (the primitive's whole point)."""
+    p = plan(q(spark, "corpus_budget_admission"))
+    assert "Window" in p, p
+    assert "SinglePartition" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p, f"{marker} in plan:\n{p}"

@@ -309,3 +309,46 @@ def test_dsir_stream_scoring_matches_offline_and_handles_unseen_vocab(spark, tmp
 
     sink.process_batch(b1, 0)  # at-least-once replay of batch 0
     assert sink.read_scores().count() == len(offline) + 1
+
+
+def test_global_prefix_sum_matches_naive_window(spark):
+    """The two-phase prefix sum must equal the naive single-partition
+    global window exactly — on unsorted input, across many partitions,
+    with negative values, and on empty input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spark_deal_observer_spark.operators.prefix import global_prefix_sum
+
+    rows = [(i, ((i * 37) % 101) - 13) for i in range(997)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["cum"]
+        for r in global_prefix_sum(
+            df, [F.col("k")], "v", "cum", n_parts=13
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert global_prefix_sum(df.limit(0), [F.col("k")], "v").count() == 0
+
+
+def test_budget_admission_is_maximal_quality_prefix(spark):
+    """Admission must be exactly the descending-quality prefix that fits
+    the budget: admitted tokens <= half the corpus tokens, the next doc in
+    order would overflow, and no rejected doc outranks an admitted one."""
+    rows = REGISTRY["corpus_budget_admission"].fn(spark, SF_ORACLE).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total // 2
+    rows.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+    cum = 0
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum, r
+        assert r["admitted"] == (cum <= budget), r
+    admitted = [r for r in rows if r["admitted"]]
+    assert admitted and len(admitted) < len(rows)
