@@ -129,6 +129,79 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
     return hourly.unionByName(daily)
 
 
+def rollup_backfill(events: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate repair for LATE data: merge a late
+    slice into the standing hourly rollup, touching ONLY the buckets the
+    late rows land in — the incremental-view-maintenance contract that
+    makes out-of-order repair cost proportional to the late data, never a
+    corpus rescan.
+
+    The late slice is a deterministic stand-in (every event with
+    event_id % 10 == 0 "arrived late"); count/sum are lossless partial
+    merges, so merged = base ⊕ late is exact. Output: corrected
+    (event_type, bucket_ts, n_events, sum_value) for touched buckets only,
+    plus n_late for repair accounting.
+
+    Scale shape: the late side aggregates to its own (small) bucket set;
+    the base side is semi-pruned by a BROADCAST of the late bucket keys
+    before it ever joins (at production scale the base rollup is a stored
+    table and the semi-join is a partition-pruning scan), then the merge
+    is a broadcast left join from the late buckets. Nothing downstream of
+    the two grouped aggregates is corpus-sized. The oracle mirrors the
+    merge STRUCTURE (base partial + late partial), keeping float addition
+    order identical across engines."""
+    late_pred = F.col("event_id") % 10 == 0
+    hour = trunc_ntz("hour", "ts")
+    base = (
+        events.where(~late_pred)
+        .groupBy("event_type", hour.alias("bucket_ts"))
+        .agg(F.count("*").alias("n_base"), F.sum("value").alias("s_base"))
+    )
+    lt = (
+        events.where(late_pred)
+        .groupBy("event_type", hour.alias("bucket_ts"))
+        .agg(F.count("*").alias("n_late"), F.sum("value").alias("s_late"))
+    )
+    touched = base.join(
+        F.broadcast(lt.select("event_type", "bucket_ts")),
+        ["event_type", "bucket_ts"],
+        "semi",
+    )
+    return (
+        lt.join(F.broadcast(touched), ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            (F.coalesce("n_base", F.lit(0)) + F.col("n_late")).alias("n_events"),
+            F.round(
+                F.coalesce("s_base", F.lit(0.0)) + F.col("s_late"), 4
+            ).alias("sum_value"),
+            "n_late",
+        )
+    )
+
+
+def rollup_backfill_oracle() -> str:
+    return """
+        WITH base AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_base, sum(value) AS s_base
+          FROM events WHERE event_id % 10 <> 0
+          GROUP BY event_type, date_trunc('hour', ts)),
+        lt AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_late, sum(value) AS s_late
+          FROM events WHERE event_id % 10 = 0
+          GROUP BY event_type, date_trunc('hour', ts))
+        SELECT lt.event_type, CAST(lt.bucket_ts AS TIMESTAMP) AS bucket_ts,
+               COALESCE(base.n_base, 0) + lt.n_late AS n_events,
+               ROUND(COALESCE(base.s_base, 0) + lt.s_late, 4) AS sum_value,
+               lt.n_late
+        FROM lt LEFT JOIN base
+          ON base.event_type = lt.event_type AND base.bucket_ts = lt.bucket_ts
+    """
+
+
 def hypertable_rollup_oracle() -> str:
     return """
         WITH hourly_raw AS (

@@ -3145,6 +3145,17 @@ def q_hypertable_rollup(spark, sf_dir):
     return iv.hypertable_rollup(_t(spark, sf_dir, "events"))
 
 
+@register("rollup_backfill", iv.rollup_backfill_oracle())
+def q_rollup_backfill(spark, sf_dir):
+    """Incremental continuous-aggregate repair: merge the late slice into
+    the standing hourly rollup, touching only the buckets late rows land
+    in — repair cost proportional to the late data (late-side aggregate +
+    broadcast-semi-pruned base), never a corpus rescan; count/sum merge
+    losslessly and the oracle mirrors the merge structure so float
+    addition order is identical across engines."""
+    return iv.rollup_backfill(_t(spark, sf_dir, "events"))
+
+
 from ..operators import layout as zl  # noqa: E402
 
 
@@ -4625,6 +4636,19 @@ def q_temporal_history_suite(spark, sf_dir):
         )
         .selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
     )
+    bf = (
+        REGISTRY["rollup_backfill"].fn(spark, sf_dir)
+        .selectExpr(
+            "'backfill' AS section",
+            f"concat(event_type, ':', CAST(timestampdiff(SECOND, "
+            f"{_EPOCH_NTZ}, bucket_ts) AS STRING)) AS key",
+            "stack(3, 'n_events', CAST(n_events AS DOUBLE), "
+            "'sum_value', sum_value, "
+            "'n_late', CAST(n_late AS DOUBLE)) "
+            "AS (metric, value_num)",
+        )
+        .selectExpr("section", "key", "metric", "value_num", null_str, null_ts)
+    )
     scd = REGISTRY["scd2_deal_history"].fn(spark, sf_dir).selectExpr(
         "'scd2' AS section",
         f"concat(CAST(id AS STRING), ':', CAST(timestampdiff(SECOND, "
@@ -4635,7 +4659,10 @@ def q_temporal_history_suite(spark, sf_dir):
         "'valid_to', CAST(NULL AS DOUBLE), CAST(NULL AS STRING), valid_to) "
         "AS (metric, value_num, value_str, value_ts)",
     )
-    return asof.unionByName(sess).unionByName(iv).unionByName(roll).unionByName(scd)
+    return (
+        asof.unionByName(sess).unionByName(iv).unionByName(roll)
+        .unionByName(bf).unionByName(scd)
+    )
 
 
 REGISTRY["temporal_history_suite"] = QueryDef(
@@ -4645,6 +4672,7 @@ REGISTRY["temporal_history_suite"] = QueryDef(
          sess AS ({REGISTRY["sessionize_events"].oracle}),
          iv AS ({REGISTRY["interval_range_join"].oracle}),
          roll AS ({REGISTRY["hypertable_rollup"].oracle}),
+         bf AS ({REGISTRY["rollup_backfill"].oracle}),
          scd AS ({REGISTRY["scd2_deal_history"].oracle})
     SELECT 'asof' AS section, CAST(purchase_id AS VARCHAR) AS key,
            'user_id' AS metric, CAST(user_id AS DOUBLE) AS value_num,
@@ -4674,6 +4702,18 @@ REGISTRY["temporal_history_suite"] = QueryDef(
            grain || ':' || event_type || ':' ||
            CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
            'sum_value', sum_value, NULL, NULL FROM roll
+    UNION ALL SELECT 'backfill',
+           event_type || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE), NULL, NULL FROM bf
+    UNION ALL SELECT 'backfill',
+           event_type || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
+           'sum_value', sum_value, NULL, NULL FROM bf
+    UNION ALL SELECT 'backfill',
+           event_type || ':' ||
+           CAST(date_diff('second', TIMESTAMP '1970-01-01', bucket_ts) AS VARCHAR),
+           'n_late', CAST(n_late AS DOUBLE), NULL, NULL FROM bf
     UNION ALL SELECT 'scd2',
            CAST(id AS VARCHAR) || ':' ||
            CAST(date_diff('second', TIMESTAMP '1970-01-01', valid_from) AS VARCHAR),
@@ -5719,7 +5759,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "temporal_history_suite": (
         "asof_join_last_view", "sessionize_events", "interval_range_join",
-        "hypertable_rollup", "scd2_deal_history",
+        "hypertable_rollup", "rollup_backfill", "scd2_deal_history",
     ),
     "multimodal_suite": (
         "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
@@ -5824,6 +5864,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sessionize_events",
     "interval_range_join",
     "hypertable_rollup",
+    "rollup_backfill",
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",

@@ -76,3 +76,23 @@ def test_coverage_md_is_current():
     )
     after = (repo / "COVERAGE.md").read_text()
     assert before == after, "COVERAGE.md is stale: run scripts/gen_coverage.py and commit"
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_no_single_partition_window_anywhere(spark, name):
+    """No query may plan a Window (or global Sort) over an Exchange to ONE
+    partition — the whole-corpus-through-one-task scale killer a bare
+    `... OVER (ORDER BY ...)` silently produces. Scalar 1-row reduces
+    legitimately use SinglePartition exchanges; only a row-scaled operator
+    consuming one is flagged. The sanctioned alternative is
+    operators/prefix.py::global_prefix_sum (range partition + per-range
+    window + exclusive offsets)."""
+    p = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln or ("Sort " in ln and "global=true" in ln):
+            below = "\n".join(lines[i : i + 4])
+            assert "SinglePartition" not in below, (
+                f"{name}: row-scaled operator over a single-partition "
+                f"exchange:\n{below}"
+            )

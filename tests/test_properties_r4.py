@@ -352,3 +352,28 @@ def test_budget_admission_is_maximal_quality_prefix(spark):
         assert r["admitted"] == (cum <= budget), r
     admitted = [r for r in rows if r["admitted"]]
     assert admitted and len(admitted) < len(rows)
+
+
+def test_rollup_backfill_merge_equals_recompute(spark):
+    """IVM correctness: merged (base + late) bucket values must equal the
+    full recompute (hypertable_rollup's hourly grain) for every touched
+    bucket — counts exactly, sums to rounding tolerance (the merge and the
+    recompute add the same doubles in different order) — and the repair
+    must emit ONLY buckets that actually received late rows."""
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    rep = REGISTRY["rollup_backfill"].fn(spark, SF_ORACLE).collect()
+    assert rep
+    full = {
+        (r["event_type"], r["bucket_ts"]): r
+        for r in REGISTRY["hypertable_rollup"].fn(spark, SF_ORACLE).collect()
+        if r["grain"] == "hour"
+    }
+    events = load_table(spark, SF_ORACLE, "events")
+    n_late_total = events.where("event_id % 10 = 0").count()
+    assert sum(r["n_late"] for r in rep) == n_late_total
+    for r in rep:
+        assert r["n_late"] >= 1, r  # only touched buckets
+        f = full[(r["event_type"], r["bucket_ts"])]
+        assert r["n_events"] == f["n_events"], (r, f)
+        assert abs(r["sum_value"] - f["sum_value"]) < 1e-3, (r, f)
