@@ -1020,3 +1020,113 @@ def cluster_topic_profile_oracle(
                CAST(cnt AS BIGINT) AS cnt, score
         FROM ranked WHERE rank <= {topk}
     """
+
+
+# -- MMR diversity rerank -----------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    pool_n: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998): from
+    the exact-cosine top-`pool_n` candidates, greedily select `k` results
+    maximizing lam·relevance − (1−lam)·max-similarity-to-already-selected —
+    the diversity-aware retrieval head (dedups near-identical hits that a
+    pure top-k returns).
+
+    Scale split: the DISTRIBUTED work is the candidate pool construction
+    (ANN top-pool over the corpus — here the exact brute-force tier; any
+    indexed tier drops in); the greedy rerank is O(k·pool²) over CONSTANTS
+    (20 candidates → 380 pairwise cosines, computed in-plan over a
+    checkpointed pool and collected once — bounded by pool_n, never by the
+    corpus). An unrolled in-plan greedy would add k scheduler rounds for
+    zero scale benefit. Every cosine is pre-rounded to 6dp, so the
+    driver-side float arithmetic is bit-identical to the oracle's. The
+    step-1 score is lam·rel (no diversity term yet, the standard MMR
+    convention)."""
+    spark = emb.sparkSession
+    pool = (
+        brute_force_topk(emb, query_vec_id, pool_n)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", F.col("cosine").alias("rel"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = pool.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sims = {
+        (r["a"], r["b"]): r["sim"]
+        for r in a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", F.expr(cosine_spark("ea", "eb")).alias("sim"))
+        .collect()
+    }
+    rel = {r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()}
+    # 1-lam must be the SAME double the oracle's SQL literal parses to
+    # (1.0 - 0.7 is one ulp off the literal 0.3) or boundary ROUNDs split.
+    coef = round(1.0 - lam, 10)
+    selected: list[tuple[int, int, float, float]] = []  # rank, vec_id, rel, mmr
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for v in sorted(remaining):  # vec_id ascending = deterministic tiebreak
+            if selected:
+                max_sim = max(sims[(v, s[1])] for s in selected)
+                score = round(lam * rel[v] - coef * max_sim, 6)
+            else:
+                score = round(lam * rel[v], 6)
+            if best is None or score > best[1]:
+                best = (v, score)
+        selected.append((len(selected) + 1, best[0], rel[best[0]], best[1]))
+        remaining.discard(best[0])
+    return spark.createDataFrame(
+        selected, "rank int, vec_id bigint, rel double, mmr double"
+    ).orderBy("rank")
+
+
+def mmr_rerank_oracle(
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    pool_n: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    cos = cosine_duck("a.embedding", "b.embedding")
+    steps = []
+    for i in range(1, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        if i == 1:
+            steps.append(
+                f"s1 AS (SELECT vec_id, rel, ROUND({lam} * rel, 6) AS mmr "
+                f"FROM pe ORDER BY mmr DESC, vec_id LIMIT 1)"
+            )
+        else:
+            steps.append(
+                f"s{i} AS (SELECT pe.vec_id, pe.rel, "
+                f"ROUND({lam} * pe.rel - {round(1.0 - lam, 10)} * "
+                f"(SELECT max(sim) FROM sims "
+                f" WHERE sims.a = pe.vec_id AND sims.b IN ({prev})), 6) AS mmr "
+                f"FROM pe WHERE pe.vec_id NOT IN ({prev}) "
+                f"ORDER BY mmr DESC, pe.vec_id LIMIT 1)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+        WITH pool AS MATERIALIZED ({brute_force_topk_oracle(query_vec_id, pool_n)}),
+        pe AS MATERIALIZED (
+          SELECT p.vec_id, p.cosine AS rel, e.embedding
+          FROM pool p JOIN embeddings e USING (vec_id)),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS sim
+          FROM pe a JOIN pe b ON a.vec_id != b.vec_id),
+        {", ".join(steps)}
+        SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank
+    """

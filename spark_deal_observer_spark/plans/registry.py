@@ -3472,6 +3472,18 @@ def q_classifier_quality(spark, sf_dir):
     return clf.classifier_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("retrieval_mmr", sim.mmr_rerank_oracle())
+def q_retrieval_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance diversity rerank: greedy
+    lam*relevance - (1-lam)*max-sim-to-selected over the exact-cosine
+    top-20 pool — the diversity-aware retrieval head. Distributed work is
+    the corpus-wide pool construction; the greedy is O(k*pool^2) over
+    CONSTANTS (bounded by pool size, never the corpus), with every cosine
+    pre-rounded so driver arithmetic is bit-identical to the oracle's
+    unrolled k-step CTEs."""
+    return sim.mmr_rerank(_t(spark, sf_dir, "embeddings"))
+
+
 @register("hybrid_retrieval_rrf", rk.hybrid_rrf_oracle())
 def q_hybrid_retrieval_rrf(spark, sf_dir):
     """Hybrid lexical+vector retrieval head: BM25 top-20 and cosine top-20
@@ -5960,6 +5972,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
+    "retrieval_mmr",         # MMR diversity rerank over the exact-cosine pool
     "embedding_random_projection",
     "ngram_heavy_hitters",
     "table_profile",

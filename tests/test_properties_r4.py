@@ -377,3 +377,38 @@ def test_rollup_backfill_merge_equals_recompute(spark):
         f = full[(r["event_type"], r["bucket_ts"])]
         assert r["n_events"] == f["n_events"], (r, f)
         assert abs(r["sum_value"] - f["sum_value"]) < 1e-3, (r, f)
+
+
+def test_mmr_rerank_is_more_diverse_than_topk(spark):
+    """MMR's contract: rank 1 is the relevance argmax, selections are k
+    distinct members of the candidate pool, and the selected set's mean
+    pairwise similarity is no higher than the pure top-k head's (diversity
+    is the operator's whole point; deterministic on the fixture)."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.operators.similarity import (
+        MMR_K, MMR_POOL, brute_force_topk, cosine_spark,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    sel = REGISTRY["retrieval_mmr"].fn(spark, SF_ORACLE).collect()
+    assert [r["rank"] for r in sel] == list(range(1, MMR_K + 1))
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    pool = brute_force_topk(emb, 0, MMR_POOL).collect()
+    pool_ids = [r["vec_id"] for r in pool]
+    assert sel[0]["vec_id"] == pool_ids[0]  # relevance argmax first
+    ids = [r["vec_id"] for r in sel]
+    assert len(set(ids)) == MMR_K and set(ids) <= set(pool_ids)
+
+    def mean_pairwise(vec_ids):
+        sub = emb.where(F.col("vec_id").isin(vec_ids))
+        a = sub.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+        b = sub.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+        rows = (
+            a.join(b, F.col("a") < F.col("b"))
+            .select(F.expr(cosine_spark("ea", "eb")).alias("s"))
+            .collect()
+        )
+        return sum(r["s"] for r in rows) / len(rows)
+
+    assert mean_pairwise(ids) <= mean_pairwise(pool_ids[:MMR_K]) + 1e-9
