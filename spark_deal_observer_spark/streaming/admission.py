@@ -1,0 +1,82 @@
+"""Streaming token-budget admission: the online half of the quality-ordered
+budget gate (operators/corpus.py::budget_admission) — an ingestion pipeline
+admits arriving documents best-first until a global token budget is spent,
+then closes.
+
+Semantics contract:
+  * WITHIN a micro-batch, admission is exactly the batch's descending-
+    quality prefix that fits the remaining budget — computed with the
+    two-phase global prefix sum (operators/prefix.py), never a single-
+    partition window, so an arbitrarily large batch still scales;
+  * ACROSS batches, arrival order wins (a later, better doc cannot evict
+    an admitted one) — the inherent online-vs-offline gap, documented
+    rather than hidden: the offline `corpus_budget_admission` is the
+    globally optimal reference;
+  * admission consumes budget, so replay is NOT idempotent by re-merge —
+    the sink keeps a processed-batch ledger (same discipline as the CMS
+    monitor, streaming/frequency.py) and recovers both the ledger and the
+    consumed total from its own durable output on restart.
+
+Reference analog: the observer's submit loop admits deals page by page
+against an external acceptance budget (spark-api-submit-deals.js:17-29).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_sql
+from ..operators.prefix import global_prefix_sum
+
+
+class BudgetAdmissionSink:
+    """foreachBatch body: quality-ordered admission under a token budget."""
+
+    def __init__(self, spark: SparkSession, budget: int, out_path: str):
+        self.spark = spark
+        self.budget = int(budget)
+        self.out_path = out_path
+        self._applied: set[int] = set()
+        self._consumed = 0
+        base = f"{out_path}/admitted"
+        if os.path.isdir(base):
+            for entry in os.listdir(base):
+                m = re.fullmatch(r"batch_id=(\d+)", entry)
+                if m:
+                    self._applied.add(int(m.group(1)))
+            if self._applied:
+                row = (
+                    self.read_admitted().agg(F.sum("n_tokens")).first()
+                )
+                self._consumed = int(row[0] or 0)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if batch_id in self._applied:
+            return  # consuming budget twice would double-spend: ledger first
+        remaining = self.budget - self._consumed
+        q = quality_sql("spark", "text")
+        d = batch.select(
+            "doc_id",
+            F.expr(q["n_tokens"]).cast("bigint").alias("n_tokens"),
+            F.round(F.expr(q["quality_score"]), 6).alias("quality_score"),
+        )
+        admitted = global_prefix_sum(
+            d,
+            [F.col("quality_score").desc(), F.col("doc_id")],
+            "n_tokens",
+            "cum_tokens",
+        ).where(F.col("cum_tokens") <= F.lit(remaining))
+        out = f"{self.out_path}/admitted/batch_id={batch_id}"
+        admitted.write.mode("overwrite").parquet(out)
+        spent = self.spark.read.parquet(out).agg(F.sum("n_tokens")).first()[0]
+        self._consumed += int(spent or 0)
+        self._applied.add(batch_id)
+
+    def read_admitted(self) -> DataFrame:
+        return self.spark.read.option(
+            "basePath", f"{self.out_path}/admitted"
+        ).parquet(f"{self.out_path}/admitted/batch_id=*")

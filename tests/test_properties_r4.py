@@ -412,3 +412,49 @@ def test_mmr_rerank_is_more_diverse_than_topk(spark):
         return sum(r["s"] for r in rows) / len(rows)
 
     assert mean_pairwise(ids) <= mean_pairwise(pool_ids[:MMR_K]) + 1e-9
+
+
+def test_streaming_budget_admission_spends_once_and_recovers(spark, tmp_path):
+    """The streaming budget gate must (a) admit each batch's descending-
+    quality prefix under the REMAINING budget, (b) never overspend across
+    batches, (c) ignore a replayed batch (admission consumes budget — the
+    ledger must drop it before state), and (d) recover ledger + consumed
+    total from its own output on restart."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.admission import BudgetAdmissionSink
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    b1 = docs.where("doc_id < 200")
+    b2 = docs.where("doc_id >= 200 AND doc_id < 400")
+    b1_tokens = int(
+        b1.agg(F.sum(F.expr("size(filter(split(text, ' '), t -> length(t) > 0))"))).first()[0]
+    )
+    budget = b1_tokens + 500  # batch 1 fits whole; batch 2 gets ~500 tokens
+    sink = BudgetAdmissionSink(spark, budget, str(tmp_path / "adm"))
+    sink.process_batch(b1, 0)
+    sink.process_batch(b2, 1)
+    rows = sink.read_admitted().collect()
+    got_b1 = [r for r in rows if r["doc_id"] < 200]
+    got_b2 = [r for r in rows if r["doc_id"] >= 200]
+    assert sum(r["n_tokens"] for r in got_b1) == b1_tokens  # all admitted
+    total = sum(r["n_tokens"] for r in rows)
+    assert total <= budget
+    assert got_b2, "batch 2 should admit at least one doc"
+    # batch-2 admission is its quality prefix under the remainder
+    b2_sorted = sorted(got_b2, key=lambda r: (-r["quality_score"], r["doc_id"]))
+    cum = 0
+    for r in b2_sorted:
+        cum += r["n_tokens"]
+        assert cum <= budget - b1_tokens
+    # replay: ledger drops it, nothing double-spends
+    sink.process_batch(b1, 0)
+    assert sink.read_admitted().count() == len(rows)
+    # restart recovery: a fresh sink on the same path knows the ledger and
+    # the consumed total — an exhausted budget admits nothing more
+    sink2 = BudgetAdmissionSink(spark, budget, str(tmp_path / "adm"))
+    assert sink2._consumed == total and sink2._applied == {0, 1}
+    sink2.process_batch(docs.where("doc_id >= 400 AND doc_id < 600"), 2)
+    extra = sink2.read_admitted().where("doc_id >= 400").collect()
+    assert sum(r["n_tokens"] for r in extra) <= budget - total
