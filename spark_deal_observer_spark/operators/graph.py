@@ -141,3 +141,83 @@ def pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
         WITH {joined}
         SELECT node, pr AS pagerank FROM pr{n_iter}
     """
+
+
+# -- label propagation communities --------------------------------------------
+
+LPA_ITER = 2
+
+
+def label_propagation(
+    orders: DataFrame, lineitem: DataFrame, n_iter: int = LPA_ITER
+) -> DataFrame:
+    """(node, community) after `n_iter` synchronous label-propagation
+    rounds (Raghavan et al. 2007): every node starts as its own label and
+    per round adopts the most frequent label among its neighbors AND
+    itself (the self-vote damps the oscillation synchronous LPA exhibits
+    on bipartite graphs — this customer↔supplier graph is exactly that),
+    ties broken by the smallest label. Deterministic by construction:
+    fixed rounds, exact counts, total tie order.
+
+    Same iterative dataflow discipline as pagerank above: the published
+    graph build is reused, the label vector is NODE-sized and broadcasts
+    into the fact-sized edge join, and the per-node argmax is a
+    struct-min AGGREGATE (cnt desc, label asc) — never a window."""
+    wedges, nodes = _graph_structure(orders, lineitem)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        neighbor_votes = (
+            wedges.join(F.broadcast(labels), wedges.src == labels.node)
+            .select(F.col("dst").alias("vnode"), "label")
+        )
+        self_votes = labels.select(F.col("node").alias("vnode"), "label")
+        votes = (
+            neighbor_votes.unionByName(self_votes)
+            .groupBy("vnode", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("vnode")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("vnode").alias("node"), F.col("m.label").alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_oracle(n_iter: int = LPA_ITER) -> str:
+    parts = [
+        """base AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS STRING) AS cnode,
+                            's' || CAST(l.l_suppkey AS STRING) AS snode
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        """edges AS (SELECT cnode AS src, snode AS dst FROM base
+                     UNION ALL SELECT snode, cnode FROM base)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""v{i} AS (
+                SELECT vnode, label, count(*) AS cnt FROM (
+                  SELECT e.dst AS vnode, p.label
+                  FROM edges e JOIN l{i} p ON e.src = p.node
+                  UNION ALL SELECT node AS vnode, label FROM l{i})
+                GROUP BY vnode, label)"""
+        )
+        parts.append(
+            f"""l{i + 1} AS (
+                SELECT vnode AS node, label FROM (
+                  SELECT vnode, label,
+                         row_number() OVER (PARTITION BY vnode
+                           ORDER BY cnt DESC, label) AS rn
+                  FROM v{i}) WHERE rn = 1)"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT node, label AS community FROM l{n_iter}
+    """

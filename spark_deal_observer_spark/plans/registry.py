@@ -2958,7 +2958,12 @@ def q_multimodal_dedup(spark, sf_dir):
     )
 
 
-from ..operators.graph import pagerank, pagerank_oracle  # noqa: E402
+from ..operators.graph import (  # noqa: E402
+    label_propagation,
+    label_propagation_oracle,
+    pagerank,
+    pagerank_oracle,
+)
 
 
 @register("pagerank_entities", pagerank_oracle())
@@ -2968,6 +2973,18 @@ def q_pagerank_entities(spark, sf_dir):
     edges⋈ranks shuffle + one dst aggregate per round, inter-round ROUND
     pins both engines to identical doubles."""
     return pagerank(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register("graph_communities", label_propagation_oracle())
+def q_graph_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the customer↔supplier graph, self-vote damped for the bipartite
+    oscillation, deterministic (fixed rounds, exact counts, smallest-label
+    ties). Reuses the published graph build; the per-node winner is a
+    struct-min aggregate, never a window."""
+    return label_propagation(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
 
 
 @register("fuzzy_name_pairs", dd.fuzzy_name_pairs_oracle())
@@ -5856,6 +5873,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
     # graph / entity resolution
     "pagerank_entities",     # fixed-iteration link analysis
+    "graph_communities",     # label-propagation communities, same graph build
     "fuzzy_name_pairs",      # PassJoin-blocked edit-distance join
     # event-time / history operators
     "temporal_history_suite",  # as-of + sessionize + interval join + rollup + SCD2

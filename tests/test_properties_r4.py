@@ -458,3 +458,16 @@ def test_streaming_budget_admission_spends_once_and_recovers(spark, tmp_path):
     sink2.process_batch(docs.where("doc_id >= 400 AND doc_id < 600"), 2)
     extra = sink2.read_admitted().where("doc_id >= 400").collect()
     assert sum(r["n_tokens"] for r in extra) <= budget - total
+
+
+def test_label_propagation_groups_nodes(spark):
+    """LPA output covers every graph node exactly once, every community
+    label is itself a member node's id (labels only ever copy node ids),
+    and propagation actually grouped something (fewer communities than
+    nodes, more than one)."""
+    rows = REGISTRY["graph_communities"].fn(spark, SF_ORACLE).collect()
+    nodes = {r["node"] for r in rows}
+    assert len(rows) == len(nodes)
+    comms = {r["community"] for r in rows}
+    assert comms <= nodes
+    assert 1 < len(comms) < len(nodes)
