@@ -1130,3 +1130,67 @@ def mmr_rerank_oracle(
         {", ".join(steps)}
         SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank
     """
+
+
+# -- semantic decontamination --------------------------------------------------
+
+SEM_DECON_PROBES = 5
+SEM_DECON_T = 0.3
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    n_probes: int = SEM_DECON_PROBES,
+    threshold: float = SEM_DECON_T,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus vectors whose
+    cosine against ANY probe (benchmark item) reaches the threshold —
+    the semantic complement of the n-gram decontaminator
+    (corpus.py::contaminated_docs), catching paraphrased leakage exact
+    shingles miss.
+
+    Same 100 TB shape as the lexical variant: the probe set is KBs and
+    BROADCAST (the bounded ×n_probes fan-out is a scan-stage multiplier,
+    not a shuffle); per-doc reduction is one max-struct aggregate carrying
+    the nearest probe for auditability (ties → smallest probe id)."""
+    probes = emb.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    cos = F.expr(cosine_spark("embedding", "pvec"))
+    return (
+        emb.where(F.col("vec_id") >= n_probes)
+        .crossJoin(F.broadcast(probes))
+        .select("vec_id", "probe_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("probe_id")).alias("np"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cos").alias("max_cos"),
+            (-F.col("m.np")).alias("nearest_probe"),
+        )
+        .where(F.col("max_cos") >= threshold)
+    )
+
+
+def semantic_decontaminate_oracle(
+    n_probes: int = SEM_DECON_PROBES, threshold: float = SEM_DECON_T
+) -> str:
+    cos = cosine_duck("e.embedding", "p.pvec")
+    return f"""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, embedding AS pvec
+          FROM embeddings WHERE vec_id < {n_probes}),
+        c AS MATERIALIZED (
+          SELECT e.vec_id, p.probe_id, {cos} AS cos
+          FROM embeddings e CROSS JOIN probes p
+          WHERE e.vec_id >= {n_probes}),
+        m AS (SELECT vec_id, max(cos) AS max_cos FROM c GROUP BY vec_id)
+        SELECT m.vec_id, m.max_cos, min(c.probe_id) AS nearest_probe
+        FROM m JOIN c ON c.vec_id = m.vec_id AND c.cos = m.max_cos
+        WHERE m.max_cos >= {threshold}
+        GROUP BY m.vec_id, m.max_cos
+    """

@@ -3489,6 +3489,17 @@ def q_classifier_quality(spark, sf_dir):
     return clf.classifier_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_decontaminate_semantic", sim.semantic_decontaminate_oracle())
+def q_corpus_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination: corpus vectors whose max
+    cosine against any broadcast probe reaches the threshold, with the
+    nearest probe kept for auditability — the semantic complement of the
+    shingle-hash decontaminator, catching paraphrased leakage exact
+    n-grams miss. Probe fan-out is a bounded scan-stage multiplier; the
+    per-doc reduction is one max-struct aggregate."""
+    return sim.semantic_decontaminate(_t(spark, sf_dir, "embeddings"))
+
+
 @register("retrieval_mmr", sim.mmr_rerank_oracle())
 def q_retrieval_mmr(spark, sf_dir):
     """Maximal Marginal Relevance diversity rerank: greedy
@@ -5991,6 +6002,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
     "retrieval_mmr",         # MMR diversity rerank over the exact-cosine pool
+    "corpus_decontaminate_semantic",  # embedding-space probe decontamination
     "embedding_random_projection",
     "ngram_heavy_hitters",
     "table_profile",

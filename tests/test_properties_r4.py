@@ -471,3 +471,22 @@ def test_label_propagation_groups_nodes(spark):
     comms = {r["community"] for r in rows}
     assert comms <= nodes
     assert 1 < len(comms) < len(nodes)
+
+
+def test_semantic_decontamination_flags_a_strict_subset(spark):
+    """The semantic decontaminator must flag something (the fixture has
+    near-duplicate embeddings) but never everything, every flagged row's
+    max_cos must clear the threshold with a valid probe id, and no probe
+    flags itself."""
+    from spark_deal_observer_spark.operators.similarity import (
+        SEM_DECON_PROBES, SEM_DECON_T,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    rows = REGISTRY["corpus_decontaminate_semantic"].fn(spark, SF_ORACLE).collect()
+    n = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert 0 < len(rows) < n - SEM_DECON_PROBES
+    for r in rows:
+        assert r["max_cos"] >= SEM_DECON_T
+        assert 0 <= r["nearest_probe"] < SEM_DECON_PROBES
+        assert r["vec_id"] >= SEM_DECON_PROBES
