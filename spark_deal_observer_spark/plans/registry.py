@@ -5518,6 +5518,13 @@ def q_corpus_prep_suite(spark, sf_dir):
         "'min_ck', CAST(min_ck AS DOUBLE), 'max_ck', CAST(max_ck AS DOUBLE)) "
         "AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    sd = REGISTRY["corpus_decontaminate_semantic"].fn(spark, sf_dir).selectExpr(
+        "'sem_decon' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'max_cos', max_cos, "
+        "'nearest_probe', CAST(nearest_probe AS DOUBLE)) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         de.unionByName(bl)
         .unionByName(pk)
@@ -5527,6 +5534,7 @@ def q_corpus_prep_suite(spark, sf_dir):
         .unionByName(gs)
         .unionByName(dc)
         .unionByName(zo)
+        .unionByName(sd)
     )
 
 
@@ -5534,6 +5542,7 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
     REGISTRY["corpus_prep_suite"].fn,
     f"""
     WITH de AS MATERIALIZED ({REGISTRY["corpus_decontaminate"].oracle}),
+         sd AS MATERIALIZED ({REGISTRY["corpus_decontaminate_semantic"].oracle}),
          bl AS MATERIALIZED ({REGISTRY["corpus_decontaminate_bloom"].oracle}),
          pk AS MATERIALIZED ({REGISTRY["corpus_pack_manifest"].oracle}),
          ch AS MATERIALIZED ({REGISTRY["corpus_token_chunks"].oracle}),
@@ -5589,6 +5598,10 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
            CAST(min_ck AS DOUBLE), NULL FROM zo
     UNION ALL SELECT 'zorder', CAST(tile AS VARCHAR), 'max_ck',
            CAST(max_ck AS DOUBLE), NULL FROM zo
+    UNION ALL SELECT 'sem_decon', CAST(vec_id AS VARCHAR), 'max_cos',
+           max_cos, NULL FROM sd
+    UNION ALL SELECT 'sem_decon', CAST(vec_id AS VARCHAR), 'nearest_probe',
+           CAST(nearest_probe AS DOUBLE), NULL FROM sd
     """,
 )
 
@@ -5814,7 +5827,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "corpus_decontaminate", "corpus_decontaminate_bloom",
         "corpus_pack_manifest", "corpus_token_chunks", "corpus_difficulty_bins",
         "corpus_token_doc_freq", "corpus_global_shuffle", "corpus_domain_cap",
-        "zorder_layout",
+        "zorder_layout", "corpus_decontaminate_semantic",
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
@@ -5884,7 +5897,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
     # graph / entity resolution
     "pagerank_entities",     # fixed-iteration link analysis
-    "graph_communities",     # label-propagation communities, same graph build
     "fuzzy_name_pairs",      # PassJoin-blocked edit-distance join
     # event-time / history operators
     "temporal_history_suite",  # as-of + sessionize + interval join + rollup + SCD2
@@ -6003,6 +6015,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
     "retrieval_mmr",         # MMR diversity rerank over the exact-cosine pool
     "corpus_decontaminate_semantic",  # embedding-space probe decontamination
+    "graph_communities",     # label-propagation communities, same graph build
     "embedding_random_projection",
     "ngram_heavy_hitters",
     "table_profile",
