@@ -5726,6 +5726,99 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
 )
 
 
+@register("retrieval_suite", None)  # oracle assembled below from components
+def q_retrieval_suite(spark, sf_dir):
+    """Retrieval heads in one gate slot: per-document TF-IDF top terms,
+    hybrid BM25+cosine RRF fusion, and the MMR diversity rerank, melted to
+    (section, key, metric, value_num). Each component keeps its own plan
+    shape (broadcast corpus scalars, bounded candidate pools, TakeOrdered
+    heads); the union is plan-level only — no exchange is added beyond the
+    components' own."""
+    tf = REGISTRY["tfidf_top_terms"].fn(spark, sf_dir).selectExpr(
+        "'tfidf' AS section",
+        "concat(CAST(doc_id AS STRING), ':', token) AS key",
+        "stack(2, 'score', score, 'rank', CAST(rank AS DOUBLE)) "
+        "AS (metric, value_num)",
+    )
+    rr = REGISTRY["hybrid_retrieval_rrf"].fn(spark, sf_dir).selectExpr(
+        "'rrf' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(3, 'rrf_score', rrf_score, "
+        "'bm25_rank', CAST(bm25_rank AS DOUBLE), "
+        "'cos_rank', CAST(cos_rank AS DOUBLE)) AS (metric, value_num)",
+    )
+    mm = REGISTRY["retrieval_mmr"].fn(spark, sf_dir).selectExpr(
+        "'mmr' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(3, 'rank', CAST(rank AS DOUBLE), 'rel', rel, 'mmr', mmr) "
+        "AS (metric, value_num)",
+    )
+    return tf.unionByName(rr).unionByName(mm)
+
+
+REGISTRY["retrieval_suite"] = QueryDef(
+    REGISTRY["retrieval_suite"].fn,
+    f"""
+    WITH suite_tf AS MATERIALIZED ({REGISTRY["tfidf_top_terms"].oracle}),
+         suite_rr AS MATERIALIZED ({REGISTRY["hybrid_retrieval_rrf"].oracle}),
+         suite_mm AS MATERIALIZED ({REGISTRY["retrieval_mmr"].oracle})
+    SELECT 'tfidf' AS section,
+           CAST(doc_id AS VARCHAR) || ':' || token AS key,
+           'score' AS metric, score AS value_num FROM suite_tf
+    UNION ALL SELECT 'tfidf', CAST(doc_id AS VARCHAR) || ':' || token,
+           'rank', CAST("rank" AS DOUBLE) FROM suite_tf
+    UNION ALL SELECT 'rrf', CAST(doc_id AS VARCHAR), 'rrf_score',
+           rrf_score FROM suite_rr
+    UNION ALL SELECT 'rrf', CAST(doc_id AS VARCHAR), 'bm25_rank',
+           CAST(bm25_rank AS DOUBLE) FROM suite_rr
+    UNION ALL SELECT 'rrf', CAST(doc_id AS VARCHAR), 'cos_rank',
+           CAST(cos_rank AS DOUBLE) FROM suite_rr
+    UNION ALL SELECT 'mmr', CAST(vec_id AS VARCHAR), 'rank',
+           CAST("rank" AS DOUBLE) FROM suite_mm
+    UNION ALL SELECT 'mmr', CAST(vec_id AS VARCHAR), 'rel', rel FROM suite_mm
+    UNION ALL SELECT 'mmr', CAST(vec_id AS VARCHAR), 'mmr', mmr FROM suite_mm
+    """,
+)
+
+
+@register("graph_suite", None)  # oracle assembled below from components
+def q_graph_suite(spark, sf_dir):
+    """Graph-analytics family in one gate slot: fixed-iteration PageRank
+    and synchronous label-propagation communities over the same published
+    customer↔supplier order graph, melted to (section, key, metric,
+    value_num, value_str). Both components ride the one published edge
+    build; ranks/labels are node-sized broadcasts per round, so the union
+    re-shuffles nothing."""
+    pr = REGISTRY["pagerank_entities"].fn(spark, sf_dir).selectExpr(
+        "'pagerank' AS section",
+        "node AS key",
+        "'pagerank' AS metric",
+        "pagerank AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    cm = REGISTRY["graph_communities"].fn(spark, sf_dir).selectExpr(
+        "'communities' AS section",
+        "node AS key",
+        "'community' AS metric",
+        "CAST(NULL AS DOUBLE) AS value_num",
+        "community AS value_str",
+    )
+    return pr.unionByName(cm)
+
+
+REGISTRY["graph_suite"] = QueryDef(
+    REGISTRY["graph_suite"].fn,
+    f"""
+    WITH pr AS MATERIALIZED ({REGISTRY["pagerank_entities"].oracle}),
+         cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle})
+    SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
+           pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
+    UNION ALL SELECT 'communities', node, 'community',
+           CAST(NULL AS DOUBLE), community FROM cm
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # driver ordering
 #
@@ -5836,6 +5929,11 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "corpus_e2e_pipeline": ("corpus_quality_gate",),
     "hybrid_retrieval_rrf": ("bm25_scores",),
+    "retrieval_suite": (
+        "tfidf_top_terms", "hybrid_retrieval_rrf", "retrieval_mmr",
+        "bm25_scores",
+    ),
+    "graph_suite": ("pagerank_entities", "graph_communities"),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),
 }
@@ -5878,8 +5976,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "kmeans_cells",          # Lloyd-trained quantizer (iterative algorithm)
     "knn_join",              # set-wise top-k neighbors
     # training-data pipeline: ranking / scoring / tokenization
-    "tfidf_top_terms",       # ranking-family lead
-    "hybrid_retrieval_rrf",  # BM25 + vector cosine fused by RRF (covers bm25_scores)
+    "retrieval_suite",       # TF-IDF + BM25⊕cosine RRF + MMR rerank, one slot
+    "corpus_curation_report",  # every trained signal composed per-document
     "classifier_quality",    # trained logistic model over std'ized features (in-plan GD)
     "bpe_encode",            # learned-merge tokenizer applied (covers bpe_merges ladder)
     # training-data pipeline: text analysis
@@ -5896,7 +5994,7 @@ DRIVER_ORDER: tuple[str, ...] = (
                              # canonical pick + first-per-key
     "corpus_sampling_suite", # split + stratified + mixture + A-ES weighted
     # graph / entity resolution
-    "pagerank_entities",     # fixed-iteration link analysis
+    "graph_suite",           # PageRank + label-propagation communities, one slot
     "fuzzy_name_pairs",      # PassJoin-blocked edit-distance join
     # event-time / history operators
     "temporal_history_suite",  # as-of + sessionize + interval join + rollup + SCD2
@@ -6005,7 +6103,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_weighted_sample",
     "dsir_importance_sample",
     "corpus_budget_admission",
-    "corpus_curation_report",
     "dedup_duplicate_spans",
     "dedup_canonical_pick",
     "corpus_global_shuffle",
@@ -6013,8 +6110,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
+    "tfidf_top_terms",       # single-op forms of the retrieval_suite compound
+    "hybrid_retrieval_rrf",
     "retrieval_mmr",         # MMR diversity rerank over the exact-cosine pool
     "corpus_decontaminate_semantic",  # embedding-space probe decontamination
+    "pagerank_entities",     # single-op forms of the graph_suite compound
     "graph_communities",     # label-propagation communities, same graph build
     "embedding_random_projection",
     "ngram_heavy_hitters",

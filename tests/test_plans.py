@@ -359,11 +359,11 @@ def test_gate_prefix_is_the_curated_fifty():
         "event_to_deal", "dedup_minhash_lsh", "dedup_clusters",
         "dedup_pair_verify_suite", "dedup_embedding", "dedup_semantic",
         "ann_recall_report", "ann_tier_suite", "kmeans_cells", "knn_join",
-        "tfidf_top_terms", "hybrid_retrieval_rrf", "classifier_quality",
+        "retrieval_suite", "corpus_curation_report", "classifier_quality",
         "bpe_encode", "text_metrics", "text_winnow_fingerprints",
         "text_scoring_suite", "multimodal_suite", "corpus_e2e_pipeline",
         "corpus_prep_suite", "dedup_lifecycle_suite", "corpus_sampling_suite",
-        "pagerank_entities", "fuzzy_name_pairs", "temporal_history_suite",
+        "graph_suite", "fuzzy_name_pairs", "temporal_history_suite",
         "windowed_counts", "profile_suite", "event_analytics_suite",
         "sketch_suite", "diff_session_recall_suite", "tpch_agg_suite",
         "ml_eval_suite",
