@@ -187,9 +187,14 @@ def pq_adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     )
 
 
-def _pq_ctes(n_iter: int, *, with_final_assign: bool = False) -> list[str]:
+def _pq_ctes(
+    n_iter: int, *, with_final_assign: bool = False, prefix: str = ""
+) -> list[str]:
     """The PQ Lloyd rounds unrolled as DuckDB CTEs (subs → cb0 → a0 → cb1
-    → …), mirroring `_kmeans_ctes` (similarity.py:248)."""
+    → …), mirroring `_kmeans_ctes` (similarity.py:248). `prefix` renames
+    every CTE so the ladder can share one WITH clause with the coarse
+    k-means ladder (ivf_pq_topk_oracle) whose CTEs also use a{{i}}."""
+    p = prefix
     sub_selects = " UNION ALL ".join(
         f"""SELECT vec_id, {m} AS m,
             list_transform(embedding[{m * DSUB + 1}:{(m + 1) * DSUB}],
@@ -198,30 +203,30 @@ def _pq_ctes(n_iter: int, *, with_final_assign: bool = False) -> list[str]:
         for m in range(M_SUB)
     )
     parts = [
-        f"subs AS ({sub_selects})",
-        f"""cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
-             FROM subs WHERE vec_id < {K_CODES})""",
+        f"{p}subs AS ({sub_selects})",
+        f"""{p}cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
+             FROM {p}subs WHERE vec_id < {K_CODES})""",
     ]
     l2 = _l2_duck("s.sub", "c.cvec")
     n_assign = n_iter + 1 if with_final_assign else n_iter
     for i in range(n_assign):
         parts.append(
-            f"""a{i} AS (SELECT vec_id, m, sub, code, d FROM (
+            f"""{p}a{i} AS (SELECT vec_id, m, sub, code, d FROM (
                  SELECT s.vec_id, s.m, s.sub, c.code, {l2} AS d,
                         row_number() OVER (PARTITION BY s.vec_id, s.m
                                            ORDER BY {l2}, c.code) AS rn
-                 FROM subs s JOIN cb{i} c ON s.m = c.m) WHERE rn = 1)"""
+                 FROM {p}subs s JOIN {p}cb{i} c ON s.m = c.m) WHERE rn = 1)"""
         )
         if i == n_iter:
             break
         parts.append(
-            f"""mu{i} AS (SELECT a.m, a.code, g.pos, ROUND(avg(a.sub[g.pos + 1]), 6) AS val
-                 FROM a{i} a CROSS JOIN generate_series(0, {DSUB - 1}) AS g(pos)
+            f"""{p}mu{i} AS (SELECT a.m, a.code, g.pos, ROUND(avg(a.sub[g.pos + 1]), 6) AS val
+                 FROM {p}a{i} a CROSS JOIN generate_series(0, {DSUB - 1}) AS g(pos)
                  GROUP BY a.m, a.code, g.pos)"""
         )
         parts.append(
-            f"cb{i + 1} AS (SELECT m, code, list(val ORDER BY pos) AS cvec "
-            f"FROM mu{i} GROUP BY m, code)"
+            f"{p}cb{i + 1} AS (SELECT m, code, list(val ORDER BY pos) AS cvec "
+            f"FROM {p}mu{i} GROUP BY m, code)"
         )
     return parts
 
@@ -253,6 +258,113 @@ def pq_adc_topk_oracle(query_vec_id: int = 0, k: int = 10, n_iter: int = PQ_ITER
     """
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ composed index (the FAISS-IVFPQ shape, Jégou et al. 2011,
+    without residual encoding): the trained coarse quantizer prunes WHICH
+    vectors are scanned (top-`n_probe` cells by query-centroid cosine) and
+    the PQ codes shrink WHAT the scan reads (ADC table lookups, never the
+    embedding column).
+
+    Both trained artifacts are the PUBLISHED session models — the k-means
+    ladder shared with `kmeans_cells`/`ivf_kmeans_topk` and the PQ
+    codebooks shared with `pq_codes`/`pq_adc_topk` — so composing the two
+    tiers costs zero extra training passes. At 100 TB the cell assignment
+    + codes ARE the stored index, written partitioned by cell: the probe
+    filter becomes partition pruning, the distance table (M·K rows) and
+    probe list (n_probe rows) broadcast, and the only corpus-sized work is
+    the ADC lookup-sum + TakeOrdered inside the probed cells — 1/(C/probe)
+    of the corpus reading 4-int codes."""
+    from .models import published
+    from .similarity import _kmeans_assign, _kmeans_fit, cosine_spark
+
+    vecs = emb.select("vec_id", "embedding")
+    cents, _ = _kmeans_fit(emb, n_cells, n_iter)
+    cb = _pq_fit(emb)
+    subs = _subvectors(vecs)
+    # The stored index: (vec_id, cell) ⋈ (vec_id, m, code) — the one-off
+    # build pass a deployment writes cell-partitioned. Published per
+    # logical input so the recall report / tier suite never re-encode.
+    index = published(
+        vecs,
+        "ivf_pq_index",
+        (n_cells, n_iter, M_SUB, K_CODES),
+        lambda: _kmeans_assign(vecs, cents)
+        .select("vec_id", "cell")
+        .join(_pq_assign(subs, cb).select("vec_id", "m", "code"), "vec_id")
+        .localCheckpoint(eager=True),
+    )
+    q = vecs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", F.expr(cosine_spark("cvec", "qvec")).alias("aff"))
+        .orderBy(F.col("aff").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    qsub = subs.where(F.col("vec_id") == query_vec_id).select(
+        "m", F.col("sub").alias("qsub")
+    )
+    dtab = cb.join(F.broadcast(qsub), "m").select(
+        "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    )
+    return (
+        index.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    pq_iter: int = PQ_ITER,
+) -> str:
+    from .similarity import _kmeans_ctes, cosine_duck
+
+    km = _kmeans_ctes(n_cells, n_iter, with_final_assign=True)
+    pqc = _pq_ctes(pq_iter, with_final_assign=True, prefix="pq_")
+    joined = ",\n        ".join(km + pqc)
+    cos = cosine_duck("q.qvec", "c.cvec")
+    l2 = _l2_duck("q.qsub", "c.cvec")
+    return f"""
+        WITH {joined},
+        qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM vecs
+               WHERE vec_id = {query_vec_id}),
+        probe AS (SELECT c.cell FROM c{n_iter} c CROSS JOIN qv q
+                  ORDER BY {cos} DESC, c.cell LIMIT {n_probe}),
+        qsub AS (SELECT m, sub AS qsub FROM pq_subs WHERE vec_id = {query_vec_id}),
+        dtab AS (SELECT c.m, c.code, {l2} AS d
+                 FROM pq_cb{pq_iter} c JOIN qsub q ON c.m = q.m),
+        cand AS (SELECT a.vec_id FROM a{n_iter} a JOIN probe p ON a.cell = p.cell
+                 WHERE a.vec_id != {query_vec_id}),
+        adc AS (SELECT pa.vec_id, ROUND(sum(t.d), 6) AS adc_dist
+                FROM pq_a{pq_iter} pa JOIN cand USING (vec_id)
+                JOIN dtab t ON pa.m = t.m AND pa.code = t.code
+                GROUP BY pa.vec_id)
+        SELECT adc.vec_id, e.label, adc.adc_dist
+        FROM adc JOIN embeddings e ON e.vec_id = adc.vec_id
+        ORDER BY adc.adc_dist, adc.vec_id LIMIT {k}
+    """
+
+
 __all__ = [
     "M_SUB",
     "DSUB",
@@ -262,4 +374,6 @@ __all__ = [
     "pq_codes_oracle",
     "pq_adc_topk",
     "pq_adc_topk_oracle",
+    "ivf_pq_topk",
+    "ivf_pq_topk_oracle",
 ]

@@ -2923,6 +2923,17 @@ def q_ann_pq_adc(spark, sf_dir):
     return pq.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf_pq", pq.ivf_pq_topk_oracle())
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composed tier (coarse-cell prune × compressed-code ADC): the
+    trained k-means quantizer restricts the scan to the query's n_probe
+    nearest cells and the PQ codes replace the embedding read inside them
+    — the 100 TB index shape where scan volume drops by BOTH the probe
+    fraction and the ~64× code compression. Reuses the published k-means
+    ladder and PQ codebooks; zero extra training passes."""
+    return pq.ivf_pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -3845,7 +3856,8 @@ from ..operators.sessions import (  # noqa: E402
     WITH bf AS (SELECT vec_id FROM ({sim.brute_force_topk_oracle()}) t),
     ivf AS (SELECT vec_id FROM ({sim.ivf_kmeans_topk_oracle()}) t),
     lsh AS (SELECT vec_id FROM ({sim.lsh_multiprobe_topk_oracle()}) t),
-    pqm AS (SELECT vec_id FROM ({pq.pq_adc_topk_oracle()}) t)
+    pqm AS (SELECT vec_id FROM ({pq.pq_adc_topk_oracle()}) t),
+    ivpq AS (SELECT vec_id FROM ({pq.ivf_pq_topk_oracle()}) t)
     SELECT 'ivf_kmeans' AS method,
            ROUND(CAST((SELECT count(*) FROM ivf JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
              AS recall
@@ -3855,6 +3867,9 @@ from ..operators.sessions import (  # noqa: E402
     UNION ALL
     SELECT 'pq_adc',
            ROUND(CAST((SELECT count(*) FROM pqm JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+    UNION ALL
+    SELECT 'ivf_pq',
+           ROUND(CAST((SELECT count(*) FROM ivpq JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
     """,
 )
 def q_ann_recall_report(spark, sf_dir):
@@ -3885,6 +3900,7 @@ def q_ann_recall_report(spark, sf_dir):
         ("ivf_kmeans", sim.ivf_kmeans_topk(emb, 0, k)),
         ("lsh_multiprobe", sim.lsh_multiprobe_topk(emb, 0, k)),
         ("pq_adc", pq.pq_adc_topk(emb, 0, k)),
+        ("ivf_pq", pq.ivf_pq_topk(emb, 0, k)),
     ]
     parts = []
     for name, df in methods:
@@ -5328,10 +5344,16 @@ def q_ann_tier_suite(spark, sf_dir):
         "'val' AS metric",
         "val AS value",
     )
+    ivpq = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).selectExpr(
+        "'ivf_pq' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'adc_dist', adc_dist) "
+        "AS (metric, value)",
+    )
     return (
         bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
         .unionByName(ivl).unionByName(lb).unionByName(ivk)
-        .unionByName(pqc).unionByName(rp)
+        .unionByName(pqc).unionByName(rp).unionByName(ivpq)
     )
 
 
@@ -5346,7 +5368,8 @@ REGISTRY["ann_tier_suite"] = QueryDef(
          lb AS ({REGISTRY["ann_lsh_bucket"].oracle}),
          ivk AS MATERIALIZED ({REGISTRY["ann_ivf_kmeans"].oracle}),
          pqc AS MATERIALIZED ({REGISTRY["pq_codes"].oracle}),
-         rp AS MATERIALIZED ({REGISTRY["embedding_random_projection"].oracle})
+         rp AS MATERIALIZED ({REGISTRY["embedding_random_projection"].oracle}),
+         ivpq AS MATERIALIZED ({REGISTRY["ann_ivf_pq"].oracle})
     SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
            'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
     UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
@@ -5378,6 +5401,10 @@ REGISTRY["ann_tier_suite"] = QueryDef(
     UNION ALL SELECT 'random_projection',
            CAST(vec_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
            'val', val FROM rp
+    UNION ALL SELECT 'ivf_pq', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM ivpq
+    UNION ALL SELECT 'ivf_pq', CAST(vec_id AS VARCHAR), 'adc_dist',
+           adc_dist FROM ivpq
     """,
 )
 
@@ -5858,12 +5885,12 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "ann_recall_report": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
-        "ann_pq_adc",
+        "ann_pq_adc", "ann_ivf_pq",
     ),
     "ann_tier_suite": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
         "ann_pq_adc", "ann_ivf_label", "ann_lsh_bucket", "ann_ivf_kmeans",
-        "pq_codes", "embedding_random_projection",
+        "pq_codes", "embedding_random_projection", "ann_ivf_pq",
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
@@ -6107,6 +6134,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_canonical_pick",
     "corpus_global_shuffle",
     "pq_codes",
+    "ann_ivf_pq",            # coarse-prune × compressed-code ADC composed tier
     "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf

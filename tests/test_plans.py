@@ -390,6 +390,17 @@ def test_classic_multijoins_broadcast_dims(spark, name):
         assert marker not in p, f"{marker} in {name} plan:\n{p}"
 
 
+def test_ivf_pq_plan_shape(spark):
+    """The composed IVF-PQ tier must keep every small side broadcast —
+    probe list, distance table, centroid table, query vector — with no
+    sort-merge join or cartesian anywhere: the only corpus-sized work is
+    the code-scan ADC aggregate inside the probed cells."""
+    p = plan(q(spark, "ann_ivf_pq"))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
 def test_lm_perplexity_plan_shape(spark):
     """The bigram-LM scoring plan must pair adjacent tokens in the scan
     stage (array zip via Generate — never a Window over a per-token

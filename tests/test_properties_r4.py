@@ -9,14 +9,17 @@ from spark_deal_observer_spark.plans.registry import REGISTRY
 
 # Published minimum recall@10 (vs exact brute-force cosine, probe vec 0,
 # sf0.01). Training, hashing, and tie-breaks are all deterministic, so the
-# measured values (ivf 0.7, lsh 0.7, pq 0.5 at r4) cannot drift with
-# partitioning — a drop below these floors means an index REGRESSION, not
-# noise. PQ's floor is lowest by design: its L2-metric search is scored
-# against a cosine ground truth (the honest mixed-metric number).
+# measured values (ivf 0.7, lsh 0.7, pq 0.5, ivf_pq 0.4 at r4) cannot
+# drift with partitioning — a drop below these floors means an index
+# REGRESSION, not noise. PQ's floor is lowest by design: its L2-metric
+# search is scored against a cosine ground truth (the honest mixed-metric
+# number); ivf_pq stacks the probe prune's misses on top of that, so its
+# floor sits below pq_adc's measured value.
 RECALL_FLOORS = {
     "ivf_kmeans": 0.6,
     "lsh_multiprobe": 0.5,
     "pq_adc": 0.3,
+    "ivf_pq": 0.3,
 }
 
 
