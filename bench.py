@@ -113,6 +113,15 @@ HEADLINE = [
     # r4 continuation: the composed per-doc curation decision table — every
     # trained signal consulted per document via its published artifact
     "corpus_curation_report",
+    # r4 extension: retrieval + graph gate compounds, the composed IVF-PQ
+    # tier (coarse prune × compressed-code ADC), MMR rerank, label
+    # propagation, and the k-anonymity/l-diversity governance audit
+    "retrieval_suite",
+    "graph_suite",
+    "ann_ivf_pq",
+    "retrieval_mmr",
+    "graph_communities",
+    "privacy_kanon_audit",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

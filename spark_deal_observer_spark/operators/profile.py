@@ -480,3 +480,56 @@ def embedding_source_drift_oracle() -> str:
                ROUND(1 - ({cos}), 6) AS drift
         FROM svec s CROSS JOIN cvec c JOIN n ON n.source = s.source
     """
+
+
+# ---------------------------------------------------------------------------
+# privacy / governance: k-anonymity + l-diversity audit
+# ---------------------------------------------------------------------------
+
+K_ANON = 10  # minimum group size per quasi-identifier combination
+L_DIV = 3    # minimum distinct sensitive values per group
+
+
+def k_anonymity_audit(customer: DataFrame) -> DataFrame:
+    """(c_nationkey, c_mktsegment, n, l_distinct, k_ok, l_ok): the
+    re-identification audit a data-release / training-data governance
+    step runs before publishing — every quasi-identifier combination
+    (nation × market segment) must hide each member among ≥ K_ANON peers
+    (k-anonymity, Sweeney 2002) AND span ≥ L_DIV distinct sensitive
+    values (l-diversity, Machanavajjhala et al. 2007; the sensitive
+    attribute here is the account-balance band). Groups failing either
+    test are the generalize-or-suppress work list.
+
+    One groupBy shuffle over the QI columns; the exact distinct count is
+    Spark's two-phase partial-distinct aggregate. At 100 TB the QI
+    cardinality (|nation| × |segment|) bounds the reduce side to a
+    dimension-sized table regardless of row count."""
+    sens = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    return (
+        customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct(sens).cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "l_distinct",
+            (F.col("n") >= K_ANON).alias("k_ok"),
+            (F.col("l_distinct") >= L_DIV).alias("l_ok"),
+        )
+    )
+
+
+def k_anonymity_audit_oracle() -> str:
+    return f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) AS BIGINT)
+                 AS l_distinct,
+               count(*) >= {K_ANON} AS k_ok,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) >= {L_DIV} AS l_ok
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """

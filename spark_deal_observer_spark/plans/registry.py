@@ -3936,6 +3936,16 @@ def q_classifier_eval(spark, sf_dir):
     return clf.classifier_eval(_t(spark, sf_dir, "documents"))
 
 
+@register("privacy_kanon_audit", pf.k_anonymity_audit_oracle())
+def q_privacy_kanon_audit(spark, sf_dir):
+    """k-anonymity + l-diversity governance audit over the customer
+    dimension's quasi-identifiers (nation × market segment, sensitive =
+    account-balance band): the pre-release privacy gate of a
+    training-data pipeline. One QI-keyed groupBy whose reduce side is
+    dimension-cardinality-bounded regardless of corpus size."""
+    return pf.k_anonymity_audit(_t(spark, sf_dir, "customer"))
+
+
 @register("constraint_violations", pf.constraint_violations_oracle())
 def q_constraint_violations(spark, sf_dir):
     """Data-contract validation: NOT-NULL / range / domain checks as
@@ -4065,7 +4075,8 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     WITH tp AS ({pf.table_profile_oracle()}),
          co AS ({pf.column_correlations_oracle()}),
          wi AS ({pf.winsorized_stats_oracle()}),
-         ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()})
+         ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()}),
+         ka AS ({pf.k_anonymity_audit_oracle()})
     SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
            CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
     UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
@@ -4085,6 +4096,14 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
            CAST(n_docs AS DOUBLE), NULL FROM ed
     UNION ALL SELECT 'embedding_drift', source, 'cos_sim', cos_sim, NULL FROM ed
     UNION ALL SELECT 'embedding_drift', source, 'drift', drift, NULL FROM ed
+    UNION ALL SELECT 'kanon', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
+           'n', CAST(n AS DOUBLE), NULL FROM ka
+    UNION ALL SELECT 'kanon', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
+           'l_distinct', CAST(l_distinct AS DOUBLE), NULL FROM ka
+    UNION ALL SELECT 'kanon', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
+           'k_ok', CAST(CAST(k_ok AS INT) AS DOUBLE), NULL FROM ka
+    UNION ALL SELECT 'kanon', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
+           'l_ok', CAST(CAST(l_ok AS INT) AS DOUBLE), NULL FROM ka
     """,
 )
 def q_profile_suite(spark, sf_dir):
@@ -4130,7 +4149,19 @@ def q_profile_suite(spark, sf_dir):
         "'drift', drift) AS (metric, value_num)",
         "CAST(NULL AS STRING) AS value_str",
     )
-    return tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
+    ka_m = REGISTRY["privacy_kanon_audit"].fn(spark, sf_dir).selectExpr(
+        "'kanon' AS section",
+        "concat(CAST(c_nationkey AS STRING), ':', c_mktsegment) AS key",
+        "stack(4, 'n', CAST(n AS DOUBLE), "
+        "'l_distinct', CAST(l_distinct AS DOUBLE), "
+        "'k_ok', CAST(CAST(k_ok AS INT) AS DOUBLE), "
+        "'l_ok', CAST(CAST(l_ok AS INT) AS DOUBLE)) AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return (
+        tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
+        .unionByName(ka_m)
+    )
 
 
 @register("event_analytics_suite", None)  # oracle assembled below from components
@@ -5894,7 +5925,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
-        "embedding_source_drift",
+        "embedding_source_drift", "privacy_kanon_audit",
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
@@ -6161,6 +6192,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "source_ngram_overlap",  # cross-source contamination matrix
     "corpus_domain_cap",     # per-source quota enforcement
     "winsorized_stats",
+    "privacy_kanon_audit",   # k-anonymity + l-diversity governance gate
     "running_totals",
     "cohort_retention",
     "constraint_violations",
