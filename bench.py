@@ -122,6 +122,10 @@ HEADLINE = [
     "retrieval_mmr",
     "graph_communities",
     "privacy_kanon_audit",
+    # r4 extension: residual-encoded IVF-PQ (the recorded negative result)
+    # and near-exact SQ8 scalar quantization
+    "ann_ivf_pq_residual",
+    "ann_sq8",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import DIM
+from .similarity import DIM, cosine_spark
 
 M_SUB = 4  # subspaces
 DSUB = DIM // M_SUB  # dims per subspace
@@ -188,18 +188,25 @@ def pq_adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
 
 
 def _pq_ctes(
-    n_iter: int, *, with_final_assign: bool = False, prefix: str = ""
+    n_iter: int,
+    *,
+    with_final_assign: bool = False,
+    prefix: str = "",
+    vecs_sql: str | None = None,
 ) -> list[str]:
     """The PQ Lloyd rounds unrolled as DuckDB CTEs (subs → cb0 → a0 → cb1
     → …), mirroring `_kmeans_ctes` (similarity.py:248). `prefix` renames
     every CTE so the ladder can share one WITH clause with the coarse
-    k-means ladder (ivf_pq_topk_oracle) whose CTEs also use a{{i}}."""
+    k-means ladder (ivf_pq_topk_oracle) whose CTEs also use a{{i}};
+    `vecs_sql` trains over any (vec_id, embedding DOUBLE[]) source — e.g.
+    the residual vectors of the IVF-PQ residual twin."""
     p = prefix
+    src = f"({vecs_sql}) t" if vecs_sql else "embeddings"
     sub_selects = " UNION ALL ".join(
         f"""SELECT vec_id, {m} AS m,
             list_transform(embedding[{m * DSUB + 1}:{(m + 1) * DSUB}],
                            x -> CAST(x AS DOUBLE)) AS sub
-            FROM embeddings"""
+            FROM {src}"""
         for m in range(M_SUB)
     )
     parts = [
@@ -365,15 +372,267 @@ def ivf_pq_topk_oracle(
     """
 
 
+def _residual_vecs(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, embedding): each vector minus its trained-cell
+    centroid — the quantity residual PQ encodes. Cell means are already
+    6-dp-rounded per Lloyd round, and float→double upcast is exact, so
+    the subtraction is bit-identical across engines with no extra
+    rounding."""
+    from .similarity import _kmeans_assign
+
+    return _kmeans_assign(vecs, cents).join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
+        ).alias("embedding"),
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ (the full Jégou et al. 2011 design): PQ
+    codebooks are trained on x − centroid(cell(x)) instead of x, so the
+    codes spend their entire budget on the WITHIN-cell structure the
+    coarse quantizer can't express — the standard recall upgrade over
+    `ivf_pq_topk` at identical index size (5 small ints per vector).
+
+    The search-side change is that the ADC table becomes per-PROBED-CELL
+    (the query residual differs per cell): n_probe·M·K rows — still KBs,
+    still broadcast. Everything else keeps the composed-tier shape: the
+    scan reads codes inside the probed cells only, and both trained
+    artifacts (the shared k-means ladder + the residual codebooks) are
+    published session models."""
+    from .models import published
+    from .similarity import _kmeans_fit, cosine_spark
+
+    vecs = emb.select("vec_id", "embedding")
+    cents, _ = _kmeans_fit(emb, n_cells, n_iter)
+    rvecs = _residual_vecs(vecs, cents)
+    rcb = published(
+        vecs,
+        "pq_codebook_residual",
+        (n_cells, n_iter, M_SUB, K_CODES, PQ_ITER),
+        lambda: _pq_rounds(rvecs.select("vec_id", "embedding"), PQ_ITER),
+    )
+    index = published(
+        vecs,
+        "ivf_pq_residual_index",
+        (n_cells, n_iter, M_SUB, K_CODES, PQ_ITER),
+        lambda: rvecs.select("vec_id", "cell")
+        .join(
+            _pq_assign(_subvectors(rvecs.select("vec_id", "embedding")), rcb)
+            .select("vec_id", "m", "code"),
+            "vec_id",
+        )
+        .localCheckpoint(eager=True),
+    )
+    q = vecs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", "cvec", F.expr(cosine_spark("cvec", "qvec")).alias("aff"))
+        .orderBy(F.col("aff").desc(), F.col("cell"))
+        .limit(n_probe)
+    )
+    # per-cell query residual, sliced into subspaces in one projection
+    qr = probe.crossJoin(F.broadcast(q)).select(
+        "cell",
+        F.expr("zip_with(qvec, cvec, (x, c) -> CAST(x AS DOUBLE) - c)").alias("rq"),
+    )
+    qrsubs = qr.select(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(f"slice(rq, {m * DSUB + 1}, {DSUB})").alias("qsub"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("s"),
+    ).select("cell", F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
+    dtab = qrsubs.join(rcb, "m").select(
+        "cell", "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    )
+    return (
+        index.join(F.broadcast(probe.select("cell")), "cell")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_residual_topk_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    pq_iter: int = PQ_ITER,
+) -> str:
+    from .similarity import _kmeans_ctes, cosine_duck
+
+    km = _kmeans_ctes(n_cells, n_iter, with_final_assign=True)
+    rvecs_sql = f"""SELECT v.vec_id,
+             list_transform(generate_series(1, {DIM}),
+                            i -> CAST(v.embedding[i] AS DOUBLE) - c.cvec[i]) AS embedding
+        FROM vecs v JOIN a{n_iter} a USING (vec_id)
+        JOIN c{n_iter} c USING (cell)"""
+    pqc = _pq_ctes(
+        pq_iter, with_final_assign=True, prefix="rpq_", vecs_sql=rvecs_sql
+    )
+    joined = ",\n        ".join(km + pqc)
+    cos = cosine_duck("q.qvec", "c.cvec")
+    l2 = _l2_duck("q.qsub", "c.cvec")
+    return f"""
+        WITH {joined},
+        qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM vecs
+               WHERE vec_id = {query_vec_id}),
+        probe AS (SELECT c.cell, c.cvec FROM c{n_iter} c CROSS JOIN qv q
+                  ORDER BY {cos} DESC, c.cell LIMIT {n_probe}),
+        qr AS (SELECT p.cell,
+                      list_transform(generate_series(1, {DIM}),
+                                     i -> CAST(q.qvec[i] AS DOUBLE) - p.cvec[i]) AS rq
+               FROM probe p CROSS JOIN qv q),
+        qrsubs AS ({" UNION ALL ".join(
+            f"SELECT cell, {m} AS m, rq[{m * DSUB + 1}:{(m + 1) * DSUB}] AS qsub FROM qr"
+            for m in range(M_SUB)
+        )}),
+        dtab AS (SELECT q.cell, c.m, c.code, {l2} AS d
+                 FROM rpq_cb{pq_iter} c JOIN qrsubs q ON c.m = q.m),
+        cand AS (SELECT a.vec_id, a.cell FROM a{n_iter} a
+                 JOIN probe p ON a.cell = p.cell
+                 WHERE a.vec_id != {query_vec_id}),
+        adc AS (SELECT pa.vec_id, ROUND(sum(t.d), 6) AS adc_dist
+                FROM rpq_a{pq_iter} pa
+                JOIN cand ON cand.vec_id = pa.vec_id
+                JOIN dtab t ON t.cell = cand.cell
+                           AND pa.m = t.m AND pa.code = t.code
+                GROUP BY pa.vec_id)
+        SELECT adc.vec_id, e.label, adc.adc_dist
+        FROM adc JOIN embeddings e ON e.vec_id = adc.vec_id
+        ORDER BY adc.adc_dist, adc.vec_id LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8): per-dimension affine int8 codes — the 4×
+# compression middle ground between raw floats and PQ's 64× (FAISS SQ8)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # int8 code range 0..255
+
+
+def _sq_stats(emb: DataFrame) -> DataFrame:
+    """1-row (lo, hi): the GLOBAL min/max over every embedding coordinate —
+    the trained quantizer is two scalars, published per corpus snapshot.
+    One scan-stage explode + a two-phase min/max aggregate; a per-dimension
+    pair would also work but measures no better on near-isotropic
+    embeddings and widens the broadcast 64×."""
+    from .models import published
+
+    vecs = emb.select("vec_id", "embedding")
+    return published(
+        vecs,
+        "sq8_stats",
+        (SQ_LEVELS,),
+        lambda: vecs.select(F.explode("embedding").alias("v"))
+        .agg(
+            F.round(F.min(F.col("v").cast("double")), 6).alias("lo"),
+            F.round(F.max(F.col("v").cast("double")), 6).alias("hi"),
+        )
+        .localCheckpoint(eager=True),
+    )
+
+
+def _sq_encode_expr() -> str:
+    """code_i = round((x_i - lo) / (hi - lo) * 255): exact given identical
+    lo/hi (published, 6-dp-rounded), so both engines mint identical codes."""
+    return (
+        f"transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - lo) "
+        f"/ (hi - lo) * {SQ_LEVELS}, 0) AS INT))"
+    )
+
+
+def sq_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate cosine top-k over DEQUANTIZED int8 codes: the corpus
+    side reads 64 bytes per vector instead of 256 (the stored index is the
+    codes + two scalars), the query stays full-precision — the asymmetric
+    trade SQ8 deployments make. Dequantized values are 6-dp-rounded so the
+    cosine is bit-identical across engines."""
+    stats = _sq_stats(emb)
+    deq = (
+        f"transform({_sq_encode_expr()}, "
+        f"c -> ROUND(lo + CAST(c AS DOUBLE) / {SQ_LEVELS} * (hi - lo), 6))"
+    )
+    coded = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", "label", F.expr(deq).alias("dq")
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = F.expr(cosine_spark("dq", "qvec"))
+    return (
+        coded.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def sq_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
+    from .similarity import cosine_duck
+
+    deq = (
+        f"list_transform(embedding, x -> ROUND(s.lo + "
+        f"CAST(round((CAST(x AS DOUBLE) - s.lo) / (s.hi - s.lo) * {SQ_LEVELS}, 0) "
+        f"AS DOUBLE) / {SQ_LEVELS} * (s.hi - s.lo), 6))"
+    )
+    cos = cosine_duck("d.dq", "q.embedding")
+    return f"""
+        WITH stats AS (SELECT ROUND(min(CAST(u.v AS DOUBLE)), 6) AS lo,
+                              ROUND(max(CAST(u.v AS DOUBLE)), 6) AS hi
+                       FROM embeddings, unnest(embedding) AS u(v)),
+        deq AS (SELECT e.vec_id, e.label, {deq} AS dq
+                FROM embeddings e CROSS JOIN stats s)
+        SELECT d.vec_id, d.label, {cos} AS cosine
+        FROM deq d, (SELECT embedding FROM embeddings
+                     WHERE vec_id = {query_vec_id}) q
+        WHERE d.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, d.vec_id LIMIT {k}
+    """
+
+
 __all__ = [
     "M_SUB",
     "DSUB",
     "K_CODES",
     "PQ_ITER",
+    "SQ_LEVELS",
     "pq_codes",
     "pq_codes_oracle",
     "pq_adc_topk",
     "pq_adc_topk_oracle",
     "ivf_pq_topk",
     "ivf_pq_topk_oracle",
+    "ivf_pq_residual_topk",
+    "ivf_pq_residual_topk_oracle",
+    "sq_topk",
+    "sq_topk_oracle",
 ]

