@@ -162,3 +162,58 @@ def zorder_tiles_oracle() -> str:
         FROM keyed
         GROUP BY tile
     """
+
+
+COMPACT_TARGET = 50_000  # target output-file payload (chars as byte proxy)
+
+
+def compaction_plan(docs: DataFrame) -> DataFrame:
+    """(source, file_id, n_docs, total_chars): the small-file compaction
+    planner — within each source, documents are packed in doc_id order
+    into output files of ~COMPACT_TARGET payload via the exclusive
+    running-size bin (floor(cum_before / target)), the deterministic
+    streaming-friendly alternative to first-fit-decreasing (no global
+    sort, no driver loop).
+
+    The window partitions by source, so the plan step shuffles each
+    source's FILE-LEVEL rows once and sources pack in parallel; at 100 TB
+    the input is the catalog's per-file stats table (path, bytes), not
+    per-document rows — the shape is identical, the row count is
+    |files|."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = docs.select("doc_id", "source", "n_chars").select(
+        "source",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / COMPACT_TARGET
+        )
+        .cast("int")
+        .alias("file_id"),
+    )
+    return assigned.groupBy("source", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def compaction_plan_oracle() -> str:
+    return f"""
+        WITH assigned AS (
+            SELECT source,
+                   n_chars,
+                   CAST(floor(COALESCE(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {COMPACT_TARGET}) AS INT) AS file_id
+            FROM documents)
+        SELECT source, file_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM assigned GROUP BY source, file_id
+    """

@@ -69,3 +69,46 @@ def salted_distinct_count(
         .agg(F.count_distinct(F.col(distinct_col)).alias("_d"))
     )
     return per_cell.groupBy(group_col).agg(F.sum("_d").cast("bigint").alias(alias))
+
+
+def join_key_skew_report(events: DataFrame, key: str = "user_id", top_n: int = 15) -> DataFrame:
+    """(key_value, cnt, share, x_avg): the heaviest join/group keys with
+    their corpus share and multiple-of-average — the diagnosis report a
+    pipeline runs BEFORE choosing salting/AQE-skew-join mitigations (the
+    measured companion of `salted_equi_join`; SCALE.md's rule is measure
+    bucket skew before trusting any uniformity argument).
+
+    One map-side-combined groupBy + a broadcast 1-row scalar join +
+    TakeOrdered: at 100 TB the reduce side is |keys|-bounded and the
+    report never materializes more than top_n rows."""
+    counts = events.groupBy(key).agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("_tot"),
+        F.avg("cnt").alias("_avg"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(key).cast("string").alias("key_value"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("_avg"), 6).alias("x_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key_value"))
+        .limit(top_n)
+    )
+
+
+def join_key_skew_report_oracle(key: str = "user_id", top_n: int = 15) -> str:
+    return f"""
+        WITH counts AS (SELECT CAST({key} AS VARCHAR) AS key_value,
+                               CAST(count(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY {key}),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS _tot, avg(cnt) AS _avg
+                FROM counts)
+        SELECT c.key_value, c.cnt,
+               ROUND(c.cnt / t._tot, 6) AS share,
+               ROUND(c.cnt / t._avg, 6) AS x_avg
+        FROM counts c CROSS JOIN tot t
+        ORDER BY c.cnt DESC, c.key_value LIMIT {top_n}
+    """

@@ -3220,6 +3220,34 @@ def q_zorder_layout(spark, sf_dir):
     return zl.zorder_tiles(_t(spark, sf_dir, "orders"))
 
 
+@register("compaction_plan", zl.compaction_plan_oracle())
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: per-source exclusive running-size
+    bins pack documents into ~target-payload output files without a
+    global sort or driver loop — the table-maintenance job every
+    long-running 100 TB deployment schedules (at scale the input is the
+    catalog's per-FILE stats, same shape, |files| rows)."""
+    return zl.compaction_plan(_t(spark, sf_dir, "documents"))
+
+
+@register("join_key_skew_report", None)  # oracle attached below
+def q_join_key_skew_report(spark, sf_dir):
+    """Heavy-key diagnosis for join/group planning: the top keys with
+    corpus share and multiple-of-average — the measurement that decides
+    between plain, salted, and AQE-skew-join strategies (SCALE.md's rule:
+    measure skew before trusting any uniformity argument)."""
+    from ..operators.skew import join_key_skew_report
+
+    return join_key_skew_report(_t(spark, sf_dir, "events"))
+
+
+from ..operators.skew import join_key_skew_report_oracle as _skew_oracle  # noqa: E402
+
+REGISTRY["join_key_skew_report"] = QueryDef(
+    REGISTRY["join_key_skew_report"].fn, _skew_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # compound driver queries
 #
@@ -4108,7 +4136,8 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
          co AS ({pf.column_correlations_oracle()}),
          wi AS ({pf.winsorized_stats_oracle()}),
          ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()}),
-         ka AS ({pf.k_anonymity_audit_oracle()})
+         ka AS ({pf.k_anonymity_audit_oracle()}),
+         skw AS ({_skew_oracle()})
     SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
            CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
     UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
@@ -4136,6 +4165,9 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
            'k_ok', CAST(CAST(k_ok AS INT) AS DOUBLE), NULL FROM ka
     UNION ALL SELECT 'kanon', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
            'l_ok', CAST(CAST(l_ok AS INT) AS DOUBLE), NULL FROM ka
+    UNION ALL SELECT 'skew', key_value, 'cnt', CAST(cnt AS DOUBLE), NULL FROM skw
+    UNION ALL SELECT 'skew', key_value, 'share', share, NULL FROM skw
+    UNION ALL SELECT 'skew', key_value, 'x_avg', x_avg, NULL FROM skw
     """,
 )
 def q_profile_suite(spark, sf_dir):
@@ -4190,9 +4222,16 @@ def q_profile_suite(spark, sf_dir):
         "'l_ok', CAST(CAST(l_ok AS INT) AS DOUBLE)) AS (metric, value_num)",
         "CAST(NULL AS STRING) AS value_str",
     )
+    sk_m = REGISTRY["join_key_skew_report"].fn(spark, sf_dir).selectExpr(
+        "'skew' AS section",
+        "key_value AS key",
+        "stack(3, 'cnt', CAST(cnt AS DOUBLE), 'share', share, "
+        "'x_avg', x_avg) AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
     return (
         tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
-        .unionByName(ka_m)
+        .unionByName(ka_m).unionByName(sk_m)
     )
 
 
@@ -5638,6 +5677,13 @@ def q_corpus_prep_suite(spark, sf_dir):
         "'nearest_probe', CAST(nearest_probe AS DOUBLE)) "
         "AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    co = REGISTRY["compaction_plan"].fn(spark, sf_dir).selectExpr(
+        "'compaction' AS section",
+        "concat(source, ':', CAST(file_id AS STRING)) AS key",
+        "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
+        "'total_chars', CAST(total_chars AS DOUBLE)) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         de.unionByName(bl)
         .unionByName(pk)
@@ -5648,6 +5694,7 @@ def q_corpus_prep_suite(spark, sf_dir):
         .unionByName(dc)
         .unionByName(zo)
         .unionByName(sd)
+        .unionByName(co)
     )
 
 
@@ -5663,7 +5710,8 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
          df AS MATERIALIZED ({REGISTRY["corpus_token_doc_freq"].oracle}),
          gs AS MATERIALIZED ({REGISTRY["corpus_global_shuffle"].oracle}),
          dc AS MATERIALIZED ({REGISTRY["corpus_domain_cap"].oracle}),
-         zo AS MATERIALIZED ({REGISTRY["zorder_layout"].oracle})
+         zo AS MATERIALIZED ({REGISTRY["zorder_layout"].oracle}),
+         cpl AS MATERIALIZED ({REGISTRY["compaction_plan"].oracle})
     SELECT 'decontaminate' AS section, CAST(doc_id AS VARCHAR) AS key,
            'n_shared' AS metric, CAST(n_shared AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM de
@@ -5715,6 +5763,10 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
            max_cos, NULL FROM sd
     UNION ALL SELECT 'sem_decon', CAST(vec_id AS VARCHAR), 'nearest_probe',
            CAST(nearest_probe AS DOUBLE), NULL FROM sd
+    UNION ALL SELECT 'compaction', source || ':' || CAST(file_id AS VARCHAR),
+           'n_docs', CAST(n_docs AS DOUBLE), NULL FROM cpl
+    UNION ALL SELECT 'compaction', source || ':' || CAST(file_id AS VARCHAR),
+           'total_chars', CAST(total_chars AS DOUBLE), NULL FROM cpl
     """,
 )
 
@@ -5982,6 +6034,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
         "embedding_source_drift", "privacy_kanon_audit",
+        "join_key_skew_report",
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
@@ -6035,6 +6088,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "corpus_pack_manifest", "corpus_token_chunks", "corpus_difficulty_bins",
         "corpus_token_doc_freq", "corpus_global_shuffle", "corpus_domain_cap",
         "zorder_layout", "corpus_decontaminate_semantic",
+        "compaction_plan",
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
@@ -6251,6 +6305,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_domain_cap",     # per-source quota enforcement
     "winsorized_stats",
     "privacy_kanon_audit",   # k-anonymity + l-diversity governance gate
+    "join_key_skew_report",  # heavy-key diagnosis for join strategy choice
+    "compaction_plan",       # small-file bin packing, per-source windows
     "running_totals",
     "cohort_retention",
     "constraint_violations",
