@@ -96,3 +96,44 @@ def test_search_matches_batch_operator(spark, tmp_path):
         for r in ivf_pq_topk(emb, 0, 10).collect()
     ]
     assert got == want
+
+
+def test_sink_through_structured_streaming(spark, tmp_path):
+    """End-to-end through a real readStream → foreachBatch → restart: two
+    parquet drops arrive as separate streaming triggers, the maintained
+    index equals the direct-call result, and re-running the stream with
+    the same checkpoint ingests nothing twice."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    src = tmp_path / "arrivals"
+    ckpt = str(tmp_path / "ckpt")
+    batches = _splits(emb)
+    batches[0].coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    sink = AnnIndexMaintenanceSink(spark, emb, str(tmp_path / "idx"))
+    schema = emb.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n0 = batches[0].count()
+    assert sink.read_index().select("vec_id").distinct().count() == n0
+
+    # second arrival: only the new file is processed on the next trigger
+    batches[1].coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+    assert (
+        sink.read_index().select("vec_id").distinct().count() == emb.count()
+    )
+    before = _index_rows(sink)
+
+    # replaying the stream with the same checkpoint ingests nothing twice
+    run()
+    assert _index_rows(sink) == before
