@@ -221,3 +221,78 @@ def label_propagation_oracle(n_iter: int = LPA_ITER) -> str:
         WITH {joined}
         SELECT node, label AS community FROM l{n_iter}
     """
+
+
+# -- market-basket co-occurrence (bipartite projection) ------------------------
+
+BASKET_CAP = 20   # top-M suppliers kept per customer basket
+COPURCHASE_TOP = 20
+
+
+def copurchase_pairs(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    cap: int = BASKET_CAP,
+    top_n: int = COPURCHASE_TOP,
+) -> DataFrame:
+    """(supp_a, supp_b, n_customers): the strongest supplier co-purchase
+    pairs — frequent-itemset mining at k=2 over the customer→supplier
+    bipartite graph's projection, the classic market-basket /
+    related-items analysis.
+
+    The scale hazard is the per-basket pair explosion (baskets here reach
+    102 suppliers; power-law baskets at 100 TB are unbounded), so each
+    basket is CAPPED to its top-`cap` suppliers by purchase intensity
+    (lineitem count, suppkey tiebreak) BEFORE the pair join — the same
+    bounded-block discipline as the dedup candidate stages; the cap is
+    explicit capped-co-occurrence semantics, not an approximation of the
+    uncapped count. Plan: one (cust, supp) aggregate, one per-customer
+    window over ≤|basket| rows, an equi-self-join on the customer key
+    (codegen'd, AQE-skew-splittable), and a map-side-combined pair count
+    — pair volume is customers × C(cap,2), linear in customers."""
+    from pyspark.sql.window import Window
+
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cust").orderBy(F.col("w").desc(), F.col("supp"))
+    )
+    top = cs.select("cust", "supp", rn.alias("rn")).where(F.col("rn") <= cap)
+    a = top.select("cust", F.col("supp").alias("supp_a"))
+    b = top.select("cust", F.col("supp").alias("supp_b"))
+    return (
+        a.join(b, "cust")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "supp_a", "supp_b")
+        .limit(top_n)
+    )
+
+
+def copurchase_pairs_oracle(
+    cap: int = BASKET_CAP, top_n: int = COPURCHASE_TOP
+) -> str:
+    return f"""
+        WITH cs AS (
+            SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+                   count(*) AS w
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_custkey, l.l_suppkey),
+        top AS (
+            SELECT cust, supp FROM (
+                SELECT cust, supp,
+                       row_number() OVER (PARTITION BY cust
+                                          ORDER BY w DESC, supp) AS rn
+                FROM cs) WHERE rn <= {cap})
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM top a JOIN top b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+        ORDER BY n_customers DESC, supp_a, supp_b LIMIT {top_n}
+    """

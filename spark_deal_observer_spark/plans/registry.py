@@ -3008,6 +3008,23 @@ def q_pagerank_entities(spark, sf_dir):
     return pagerank(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
+from ..operators.graph import (  # noqa: E402
+    copurchase_pairs,
+    copurchase_pairs_oracle,
+)
+
+
+@register("copurchase_pairs", copurchase_pairs_oracle())
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (frequent itemsets at k=2): strongest
+    supplier pairs by shared customers over the capped bipartite
+    projection — per-basket top-M cap bounds the pair join (the dedup
+    family's bounded-block discipline applied to basket analysis)."""
+    return copurchase_pairs(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 @register("graph_communities", label_propagation_oracle())
 def q_graph_communities(spark, sf_dir):
     """Synchronous label-propagation communities (Raghavan et al. 2007)
@@ -5968,18 +5985,29 @@ def q_graph_suite(spark, sf_dir):
         "CAST(NULL AS DOUBLE) AS value_num",
         "community AS value_str",
     )
-    return pr.unionByName(cm)
+    cop = REGISTRY["copurchase_pairs"].fn(spark, sf_dir).selectExpr(
+        "'copurchase' AS section",
+        "concat(CAST(supp_a AS STRING), ':', CAST(supp_b AS STRING)) AS key",
+        "'n_customers' AS metric",
+        "CAST(n_customers AS DOUBLE) AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return pr.unionByName(cm).unionByName(cop)
 
 
 REGISTRY["graph_suite"] = QueryDef(
     REGISTRY["graph_suite"].fn,
     f"""
     WITH pr AS MATERIALIZED ({REGISTRY["pagerank_entities"].oracle}),
-         cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle})
+         cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle}),
+         cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle})
     SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
            pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
     UNION ALL SELECT 'communities', node, 'community',
            CAST(NULL AS DOUBLE), community FROM cm
+    UNION ALL SELECT 'copurchase',
+           CAST(supp_a AS VARCHAR) || ':' || CAST(supp_b AS VARCHAR),
+           'n_customers', CAST(n_customers AS DOUBLE), NULL FROM cop
     """,
 )
 
@@ -6101,7 +6129,9 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "tfidf_top_terms", "hybrid_retrieval_rrf", "retrieval_mmr",
         "bm25_scores",
     ),
-    "graph_suite": ("pagerank_entities", "graph_communities"),
+    "graph_suite": (
+        "pagerank_entities", "graph_communities", "copurchase_pairs",
+    ),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),
 }
@@ -6287,6 +6317,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_decontaminate_semantic",  # embedding-space probe decontamination
     "pagerank_entities",     # single-op forms of the graph_suite compound
     "graph_communities",     # label-propagation communities, same graph build
+    "copurchase_pairs",      # market-basket k=2 itemsets, capped baskets
     "embedding_random_projection",
     "ngram_heavy_hitters",
     "table_profile",
