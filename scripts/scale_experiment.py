@@ -35,6 +35,16 @@ DEFAULT_QUERIES = [
     "hypertable_rollup",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    # r4 extension: composed/compressed ANN tiers, graph + basket family,
+    # governance + layout-ops reports
+    "ann_ivf_pq",
+    "ann_ivf_pq_residual",
+    "ann_sq8",
+    "graph_communities",
+    "copurchase_pairs",
+    "privacy_kanon_audit",
+    "join_key_skew_report",
+    "compaction_plan",
 ]
 
 
