@@ -1160,3 +1160,97 @@ def source_overlap_oracle() -> str:
         JOIN counts ca ON ca.source = p.source_a
         JOIN counts cb ON cb.source = p.source_b
     """
+
+
+# -- global line-level dedup (CCNet/RefinedWeb-style) --------------------------
+
+LINE_W = 8  # tokens per "line" (the corpus is a whitespace token stream)
+
+
+def _line_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line): non-overlapping LINE_W-token windows per doc —
+    the whitespace-corpus stand-in for CCNet's newline-delimited lines.
+    Pure scan-stage expansion: split once, slice per window index."""
+    lines = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {LINE_W}) AS INT) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {LINE_W} + 1, {LINE_W}), ' '))"
+    )
+    return docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+
+
+def dedup_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): corpus-wide line-level dedup
+    with document reassembly — every line occurrence EXCEPT its global
+    first (smallest (doc_id, pos)) is removed and the survivors are
+    rejoined in order, the CCNet / RefinedWeb boilerplate-removal stage
+    that document-level dedup cannot express (it rewrites documents
+    instead of dropping them).
+
+    Plan: one scan-stage window expansion, one (line-hash) shuffle for the
+    global argmin (map-side-combinable struct-min, never a window over
+    the full occurrence table), one hash-keyed join back, and a per-doc
+    reassembly aggregate whose buffer is bounded by document length. The
+    hash shuffle moves 16-byte digests + (doc_id, pos) — at 100 TB the
+    lines themselves stay in the scan stage."""
+    occ = _line_table(docs).select(
+        "doc_id", "pos", "line", F.md5("line").alias("lh")
+    )
+    firsts = occ.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        occ.join(firsts, "lh")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_lines_oracle() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+        occ AS (SELECT doc_id, pos,
+                       array_to_string(ts[(pos * {LINE_W} + 1):(pos * {LINE_W} + {LINE_W})], ' ') AS line
+                FROM (SELECT doc_id, ts,
+                             CAST(unnest(range(0, CAST(ceil(len(ts) / {LINE_W}.0) AS INT))) AS INT) AS pos
+                      FROM toks)),
+        ranked AS (SELECT doc_id, pos, line,
+                          row_number() OVER (PARTITION BY md5(line)
+                                             ORDER BY doc_id, pos) AS rn
+                   FROM occ),
+        kept AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_kept,
+                        string_agg(line, ' ' ORDER BY pos) AS clean_text
+                 FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                   FROM occ GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """

@@ -3131,6 +3131,16 @@ def q_dedup_duplicate_spans(spark, sf_dir):
     return dd.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_lines", dd.dedup_lines_oracle())
+def q_dedup_lines(spark, sf_dir):
+    """CCNet/RefinedWeb-style global line-level dedup WITH document
+    reassembly: every line occurrence except its corpus-wide first is
+    removed and survivors are rejoined in order — the rewrite stage
+    (5% of lines at sf0.01) that span MINING reports but cannot apply.
+    One hash shuffle of 16-byte digests; lines stay in the scan stage."""
+    return dd.dedup_lines(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_weighted_sample", cp.weighted_sample_oracle())
 def q_corpus_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement in one pass (exponential-keys
@@ -5816,6 +5826,19 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
         "'first_doc', CAST(first_doc AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    ln = REGISTRY["dedup_lines"].fn(spark, sf_dir).selectExpr(
+        "'lines' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'n_lines', CAST(n_lines AS DOUBLE), "
+        "'n_kept', CAST(n_kept AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    ln_t = REGISTRY["dedup_lines"].fn(spark, sf_dir).selectExpr(
+        "'lines' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'clean_text' AS metric",
+        "CAST(NULL AS DOUBLE) AS value_num",
+        "clean_text AS value_str",
+    )
     cp_ = REGISTRY["dedup_canonical_pick"].fn(spark, sf_dir).selectExpr(
         "'canonical' AS section",
         "CAST(doc_id AS STRING) AS key",
@@ -5854,6 +5877,7 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
     return (
         inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
         .unionByName(ex).unionByName(sh).unionByName(aj)
+        .unionByName(ln).unionByName(ln_t)
     )
 
 
@@ -5862,6 +5886,7 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
     f"""
     WITH inc AS MATERIALIZED ({REGISTRY["dedup_incremental"].oracle}),
          ov AS MATERIALIZED ({REGISTRY["source_ngram_overlap"].oracle}),
+         ln AS MATERIALIZED ({REGISTRY["dedup_lines"].oracle}),
          sp AS MATERIALIZED ({REGISTRY["dedup_duplicate_spans"].oracle}),
          cp AS MATERIALIZED ({REGISTRY["dedup_canonical_pick"].oracle}),
          fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle}),
@@ -5904,6 +5929,12 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
            CAST(NULL AS DOUBLE), CAST(simhash AS VARCHAR) FROM sh
     UNION ALL SELECT 'anti_insert', CAST(o_orderkey AS VARCHAR), 'new_key',
            CAST(1 AS DOUBLE), NULL FROM aj
+    UNION ALL SELECT 'lines', CAST(doc_id AS VARCHAR), 'n_lines',
+           CAST(n_lines AS DOUBLE), NULL FROM ln
+    UNION ALL SELECT 'lines', CAST(doc_id AS VARCHAR), 'n_kept',
+           CAST(n_kept AS DOUBLE), NULL FROM ln
+    UNION ALL SELECT 'lines', CAST(doc_id AS VARCHAR), 'clean_text',
+           CAST(NULL AS DOUBLE), clean_text FROM ln
     """,
 )
 
@@ -6120,6 +6151,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
+        "dedup_lines",
         "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
         "dedup_simhash", "anti_join_dedup",
     ),
@@ -6302,6 +6334,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dsir_importance_sample",
     "corpus_budget_admission",
     "dedup_duplicate_spans",
+    "dedup_lines",           # CCNet-style global line dedup with reassembly
     "dedup_canonical_pick",
     "corpus_global_shuffle",
     "pq_codes",
