@@ -45,6 +45,7 @@ DEFAULT_QUERIES = [
     "privacy_kanon_audit",
     "join_key_skew_report",
     "compaction_plan",
+    "dedup_lines",
 ]
 
 
