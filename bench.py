@@ -126,6 +126,9 @@ HEADLINE = [
     # and near-exact SQ8 scalar quantization
     "ann_ivf_pq_residual",
     "ann_sq8",
+    # r4 extension: line-level dedup rewrite and capped market basket
+    "dedup_lines",
+    "copurchase_pairs",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays
