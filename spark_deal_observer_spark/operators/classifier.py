@@ -360,3 +360,56 @@ def classifier_eval_oracle() -> str:
                      THEN 2 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END, 6) AS f1
         FROM cells
     """
+
+
+CALIB_BINS = 10
+
+
+def calibration_report(docs: DataFrame) -> DataFrame:
+    """(bin, n, mean_prob, frac_positive, gap): the reliability diagram of
+    the trained classifier — predicted probabilities bucketed into
+    CALIB_BINS equal-width bins, each bin's mean prediction against its
+    empirical positive rate, and the signed calibration gap. The sum of
+    |gap| weighted by bin mass is the ECE a model card reports; emitting
+    the per-bin rows keeps the report value-checkable and lets the reader
+    aggregate either way.
+
+    One pass over the scored output (published feature table underneath):
+    a map-side-combinable aggregate on the bin key, ROUND(6) divisions
+    for cross-engine parity. prob = 1.0 folds into the top bin (least(...)
+    caps the bin index) so no mass is dropped at the boundary."""
+    scored = classifier_scores(docs)
+    b = F.least(
+        F.floor(F.col("prob") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg(F.col("prob").cast("double")), 6).alias("mean_prob"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("frac_positive"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_prob",
+            "frac_positive",
+            F.round(F.col("mean_prob") - F.col("frac_positive"), 6).alias("gap"),
+        )
+    )
+
+
+def calibration_report_oracle() -> str:
+    return f"""
+        WITH scored AS ({classifier_scores_oracle()}),
+        binned AS (
+          SELECT least(CAST(floor(prob * {CALIB_BINS}) AS INT),
+                       {CALIB_BINS - 1}) AS bin,
+                 prob, label
+          FROM scored)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(prob), 6) AS mean_prob,
+               ROUND(avg(label), 6) AS frac_positive,
+               ROUND(ROUND(avg(prob), 6) - ROUND(avg(label), 6), 6) AS gap
+        FROM binned GROUP BY bin
+    """

@@ -4023,6 +4023,15 @@ def q_classifier_eval(spark, sf_dir):
     return clf.classifier_eval(_t(spark, sf_dir, "documents"))
 
 
+@register("classifier_calibration", clf.calibration_report_oracle())
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability diagram of the trained classifier: per-probability-bin
+    mean prediction vs empirical positive rate with the signed gap — the
+    calibration page of the model card (Σ|gap|·mass = ECE). One bin-keyed
+    aggregate over the scored output; published model reused."""
+    return clf.calibration_report(_t(spark, sf_dir, "documents"))
+
+
 @register("privacy_kanon_audit", pf.k_anonymity_audit_oracle())
 def q_privacy_kanon_audit(spark, sf_dir):
     """k-anonymity + l-diversity governance audit over the customer
@@ -5590,7 +5599,13 @@ def q_ml_eval_suite(spark, sf_dir):
         "'split', CAST(NULL AS DOUBLE), split) "
         "AS (metric, value_num, value_str)",
     )
-    return ev.unionByName(neg).unionByName(sp)
+    ca = REGISTRY["classifier_calibration"].fn(spark, sf_dir).selectExpr(
+        "'calibration' AS section",
+        "CAST(bin AS STRING) AS key",
+        "stack(4, 'n', CAST(n AS DOUBLE), 'mean_prob', mean_prob, "
+        "'frac_positive', frac_positive, 'gap', gap) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return ev.unionByName(neg).unionByName(sp).unionByName(ca)
 
 
 REGISTRY["ml_eval_suite"] = QueryDef(
@@ -5598,7 +5613,8 @@ REGISTRY["ml_eval_suite"] = QueryDef(
     f"""
     WITH ev AS ({REGISTRY["classifier_eval"].oracle}),
          neg AS ({REGISTRY["contrastive_negatives"].oracle}),
-         sp AS ({REGISTRY["corpus_train_val_split"].oracle})
+         sp AS ({REGISTRY["corpus_train_val_split"].oracle}),
+         ca AS MATERIALIZED ({REGISTRY["classifier_calibration"].oracle})
     -- ev's training SQL is expensive: reference the CTE ONCE (DuckDB
     -- inlines per reference) and unpivot via a metric-name cross join
     SELECT 'eval' AS section, 'overall' AS key, m.metric,
@@ -5618,6 +5634,14 @@ REGISTRY["ml_eval_suite"] = QueryDef(
            CAST(split_bucket AS DOUBLE), NULL FROM sp
     UNION ALL SELECT 'split', CAST(doc_id AS VARCHAR), 'split',
            NULL, split FROM sp
+    UNION ALL SELECT 'calibration', CAST(bin AS VARCHAR), 'n',
+           CAST(n AS DOUBLE), NULL FROM ca
+    UNION ALL SELECT 'calibration', CAST(bin AS VARCHAR), 'mean_prob',
+           mean_prob, NULL FROM ca
+    UNION ALL SELECT 'calibration', CAST(bin AS VARCHAR), 'frac_positive',
+           frac_positive, NULL FROM ca
+    UNION ALL SELECT 'calibration', CAST(bin AS VARCHAR), 'gap',
+           gap, NULL FROM ca
     """,
 )
 
@@ -6128,6 +6152,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
+        "classifier_calibration",
     ),
     "temporal_history_suite": (
         "asof_join_last_view", "sessionize_events", "interval_range_join",
@@ -6376,6 +6401,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "constraint_violations",
     "percentile_rank_orders",
     "classifier_eval",
+    "classifier_calibration", # reliability bins over the published model
     "contrastive_negatives",
     "ann_brute_force",       # single-op forms inside ann_recall_report
     "ann_lsh_multiprobe",
