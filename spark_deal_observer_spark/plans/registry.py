@@ -5850,13 +5850,14 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
         "'first_doc', CAST(first_doc AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
-    ln = REGISTRY["dedup_lines"].fn(spark, sf_dir).selectExpr(
+    ln_df = REGISTRY["dedup_lines"].fn(spark, sf_dir)
+    ln = ln_df.selectExpr(
         "'lines' AS section",
         "CAST(doc_id AS STRING) AS key",
         "stack(2, 'n_lines', CAST(n_lines AS DOUBLE), "
         "'n_kept', CAST(n_kept AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
-    ln_t = REGISTRY["dedup_lines"].fn(spark, sf_dir).selectExpr(
+    ln_t = ln_df.selectExpr(
         "'lines' AS section",
         "CAST(doc_id AS STRING) AS key",
         "'clean_text' AS metric",
