@@ -1292,3 +1292,54 @@ def domain_cap_oracle(cap: int = DOMAIN_CAP_K) -> str:
                rank_in_source <= {cap} AS kept
         FROM ranked
     """
+
+
+VOCAB_MIN_DF = 3        # tokens in fewer docs are 'rare'
+VOCAB_MAX_DF_FRAC = 0.5  # tokens in more than this doc fraction are 'stopword'
+
+
+def vocab_prune_report(docs: DataFrame) -> DataFrame:
+    """(token, df, occurrences, verdict): vocabulary-construction hygiene —
+    tokens too RARE to earn an embedding/merge slot (df < VOCAB_MIN_DF)
+    and too UBIQUITOUS to carry signal (df > VOCAB_MAX_DF_FRAC of docs)
+    flagged with their document frequency and total occurrence mass; kept
+    tokens are omitted so the report is pruned-vocabulary-sized. One
+    token shuffle + a broadcast 1-row corpus count."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    )
+    stats = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+        F.count("*").cast("bigint").alias("occurrences"),
+    )
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    verdict = (
+        F.when(F.col("df") < VOCAB_MIN_DF, "rare")
+        .when(F.col("df") > VOCAB_MAX_DF_FRAC * F.col("n_docs"), "stopword")
+        .otherwise("keep")
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select("token", "df", "occurrences", verdict.alias("verdict"))
+        .where(F.col("verdict") != "keep")
+    )
+
+
+def vocab_prune_report_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        stats AS (SELECT token,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                         CAST(count(*) AS BIGINT) AS occurrences
+                  FROM toks GROUP BY token),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT token, df, occurrences,
+               CASE WHEN df < {VOCAB_MIN_DF} THEN 'rare'
+                    WHEN df > {VOCAB_MAX_DF_FRAC} * n.n_docs THEN 'stopword'
+                    ELSE 'keep' END AS verdict
+        FROM stats CROSS JOIN n
+        WHERE (CASE WHEN df < {VOCAB_MIN_DF} THEN 'rare'
+                    WHEN df > {VOCAB_MAX_DF_FRAC} * n.n_docs THEN 'stopword'
+                    ELSE 'keep' END) != 'keep'
+    """

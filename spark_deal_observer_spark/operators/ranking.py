@@ -640,3 +640,35 @@ def lm_perplexity_oracle() -> str:
                     ELSE 'tail' END AS ppl_bucket
         FROM scored s CROSS JOIN th
     """
+
+
+def postings_index(docs: DataFrame) -> DataFrame:
+    """(token, doc_id, tf, df): the materialized inverted index — the
+    storage structure the BM25/TF-IDF heads implicitly rebuild, made an
+    explicit artifact a serving system would write token-partitioned
+    (point lookups become partition pruning). One scan-stage explode, one
+    (doc_id, token) shuffle for tf, and the vocabulary-sized df aggregate
+    joined back broadcast — identical plan mass to one ranking pass."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    return tf.join(F.broadcast(dfreq), "token").select(
+        "token", "doc_id", "tf", "df"
+    )
+
+
+def postings_index_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, token),
+        dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY token)
+        SELECT tf.token, tf.doc_id, tf.tf, dfreq.df
+        FROM tf JOIN dfreq USING (token)
+    """

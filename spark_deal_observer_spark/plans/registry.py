@@ -2013,6 +2013,41 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_histogram",
+    f"""
+    WITH cc AS MATERIALIZED (
+        {dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle())}
+    ),
+    sizes AS (SELECT cluster, count(*) AS sz FROM cc GROUP BY cluster)
+    SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def q_dedup_cluster_histogram(spark, sf_dir):
+    """Cluster-size distribution of the near-dup graph — the dedup
+    dashboard's headline: how much of the corpus sits in singletons vs
+    heavy duplicate clusters. Rides the published cluster map; two
+    dimension-sized aggregates on top."""
+    clusters = dd.connected_components(
+        dd.minhash_lsh_star_edges(_t(spark, sf_dir, "documents"))
+    )
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("sz"))
+    bucket = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return sizes.groupBy(bucket.alias("size_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
     "dedup_clusters",
     dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle()),
 )
@@ -2962,6 +2997,23 @@ def q_tfidf_top_terms(spark, sf_dir):
     (doc_id, token) shuffle for tf, broadcast vocabulary-sized df join,
     per-document window for the top-k."""
     return rk.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("postings_index", rk.postings_index_oracle())
+def q_postings_index(spark, sf_dir):
+    """The materialized inverted index (token, doc_id, tf, df) — the
+    storage artifact the ranking heads implicitly rebuild; written
+    token-partitioned at scale so term lookups are partition pruning."""
+    return rk.postings_index(_t(spark, sf_dir, "documents"))
+
+
+@register("vocab_prune_report", cp.vocab_prune_report_oracle())
+def q_vocab_prune_report(spark, sf_dir):
+    """Vocabulary hygiene for tokenizer/embedding construction: rare
+    (df < 3) and ubiquitous (df > 50% of docs) tokens flagged with their
+    document frequency and occurrence mass; the report is
+    pruned-vocabulary-sized, never corpus-sized."""
+    return cp.vocab_prune_report(_t(spark, sf_dir, "documents"))
 
 
 @register("bm25_scores", rk.bm25_scores_oracle())
@@ -5735,6 +5787,14 @@ def q_corpus_prep_suite(spark, sf_dir):
         "'total_chars', CAST(total_chars AS DOUBLE)) "
         "AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    vp = REGISTRY["vocab_prune_report"].fn(spark, sf_dir).selectExpr(
+        "'vocab_prune' AS section",
+        "token AS key",
+        "stack(3, 'df', CAST(df AS DOUBLE), CAST(NULL AS STRING), "
+        "'occurrences', CAST(occurrences AS DOUBLE), CAST(NULL AS STRING), "
+        "'verdict', CAST(NULL AS DOUBLE), verdict) "
+        "AS (metric, value_num, value_str)",
+    )
     return (
         de.unionByName(bl)
         .unionByName(pk)
@@ -5746,6 +5806,7 @@ def q_corpus_prep_suite(spark, sf_dir):
         .unionByName(zo)
         .unionByName(sd)
         .unionByName(co)
+        .unionByName(vp)
     )
 
 
@@ -5762,7 +5823,8 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
          gs AS MATERIALIZED ({REGISTRY["corpus_global_shuffle"].oracle}),
          dc AS MATERIALIZED ({REGISTRY["corpus_domain_cap"].oracle}),
          zo AS MATERIALIZED ({REGISTRY["zorder_layout"].oracle}),
-         cpl AS MATERIALIZED ({REGISTRY["compaction_plan"].oracle})
+         cpl AS MATERIALIZED ({REGISTRY["compaction_plan"].oracle}),
+         vpr AS MATERIALIZED ({REGISTRY["vocab_prune_report"].oracle})
     SELECT 'decontaminate' AS section, CAST(doc_id AS VARCHAR) AS key,
            'n_shared' AS metric, CAST(n_shared AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM de
@@ -5818,6 +5880,12 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
            'n_docs', CAST(n_docs AS DOUBLE), NULL FROM cpl
     UNION ALL SELECT 'compaction', source || ':' || CAST(file_id AS VARCHAR),
            'total_chars', CAST(total_chars AS DOUBLE), NULL FROM cpl
+    UNION ALL SELECT 'vocab_prune', token, 'df',
+           CAST(df AS DOUBLE), NULL FROM vpr
+    UNION ALL SELECT 'vocab_prune', token, 'occurrences',
+           CAST(occurrences AS DOUBLE), NULL FROM vpr
+    UNION ALL SELECT 'vocab_prune', token, 'verdict',
+           CAST(NULL AS DOUBLE), verdict FROM vpr
     """,
 )
 
@@ -5849,6 +5917,12 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "CAST(fp AS STRING) AS key",
         "stack(2, 'n_docs', CAST(n_docs AS DOUBLE), "
         "'first_doc', CAST(first_doc AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    chm = REGISTRY["dedup_cluster_histogram"].fn(spark, sf_dir).selectExpr(
+        "'cluster_hist' AS section",
+        "size_bucket AS key",
+        "stack(2, 'n_clusters', CAST(n_clusters AS DOUBLE), "
+        "'n_docs', CAST(n_docs AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
     ln_df = REGISTRY["dedup_lines"].fn(spark, sf_dir)
     ln = ln_df.selectExpr(
@@ -5902,7 +5976,7 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
     return (
         inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
         .unionByName(ex).unionByName(sh).unionByName(aj)
-        .unionByName(ln).unionByName(ln_t)
+        .unionByName(ln).unionByName(ln_t).unionByName(chm)
     )
 
 
@@ -5912,6 +5986,7 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
     WITH inc AS MATERIALIZED ({REGISTRY["dedup_incremental"].oracle}),
          ov AS MATERIALIZED ({REGISTRY["source_ngram_overlap"].oracle}),
          ln AS MATERIALIZED ({REGISTRY["dedup_lines"].oracle}),
+         chm AS MATERIALIZED ({REGISTRY["dedup_cluster_histogram"].oracle}),
          sp AS MATERIALIZED ({REGISTRY["dedup_duplicate_spans"].oracle}),
          cp AS MATERIALIZED ({REGISTRY["dedup_canonical_pick"].oracle}),
          fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle}),
@@ -5960,6 +6035,10 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
            CAST(n_kept AS DOUBLE), NULL FROM ln
     UNION ALL SELECT 'lines', CAST(doc_id AS VARCHAR), 'clean_text',
            CAST(NULL AS DOUBLE), clean_text FROM ln
+    UNION ALL SELECT 'cluster_hist', size_bucket, 'n_clusters',
+           CAST(n_clusters AS DOUBLE), NULL FROM chm
+    UNION ALL SELECT 'cluster_hist', size_bucket, 'n_docs',
+           CAST(n_docs AS DOUBLE), NULL FROM chm
     """,
 )
 
@@ -5991,7 +6070,13 @@ def q_retrieval_suite(spark, sf_dir):
         "stack(3, 'rank', CAST(rank AS DOUBLE), 'rel', rel, 'mmr', mmr) "
         "AS (metric, value_num)",
     )
-    return tf.unionByName(rr).unionByName(mm)
+    pi = REGISTRY["postings_index"].fn(spark, sf_dir).selectExpr(
+        "'postings' AS section",
+        "concat(token, ':', CAST(doc_id AS STRING)) AS key",
+        "stack(2, 'tf', CAST(tf AS DOUBLE), 'df', CAST(df AS DOUBLE)) "
+        "AS (metric, value_num)",
+    )
+    return tf.unionByName(rr).unionByName(mm).unionByName(pi)
 
 
 REGISTRY["retrieval_suite"] = QueryDef(
@@ -5999,7 +6084,8 @@ REGISTRY["retrieval_suite"] = QueryDef(
     f"""
     WITH suite_tf AS MATERIALIZED ({REGISTRY["tfidf_top_terms"].oracle}),
          suite_rr AS MATERIALIZED ({REGISTRY["hybrid_retrieval_rrf"].oracle}),
-         suite_mm AS MATERIALIZED ({REGISTRY["retrieval_mmr"].oracle})
+         suite_mm AS MATERIALIZED ({REGISTRY["retrieval_mmr"].oracle}),
+         suite_pi AS MATERIALIZED ({REGISTRY["postings_index"].oracle})
     SELECT 'tfidf' AS section,
            CAST(doc_id AS VARCHAR) || ':' || token AS key,
            'score' AS metric, score AS value_num FROM suite_tf
@@ -6015,6 +6101,10 @@ REGISTRY["retrieval_suite"] = QueryDef(
            CAST("rank" AS DOUBLE) FROM suite_mm
     UNION ALL SELECT 'mmr', CAST(vec_id AS VARCHAR), 'rel', rel FROM suite_mm
     UNION ALL SELECT 'mmr', CAST(vec_id AS VARCHAR), 'mmr', mmr FROM suite_mm
+    UNION ALL SELECT 'postings', token || ':' || CAST(doc_id AS VARCHAR),
+           'tf', CAST(tf AS DOUBLE) FROM suite_pi
+    UNION ALL SELECT 'postings', token || ':' || CAST(doc_id AS VARCHAR),
+           'df', CAST(df AS DOUBLE) FROM suite_pi
     """,
 )
 
@@ -6173,11 +6263,11 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "corpus_pack_manifest", "corpus_token_chunks", "corpus_difficulty_bins",
         "corpus_token_doc_freq", "corpus_global_shuffle", "corpus_domain_cap",
         "zorder_layout", "corpus_decontaminate_semantic",
-        "compaction_plan",
+        "compaction_plan", "vocab_prune_report",
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
-        "dedup_lines",
+        "dedup_lines", "dedup_cluster_histogram",
         "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
         "dedup_simhash", "anti_join_dedup",
     ),
@@ -6185,7 +6275,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "hybrid_retrieval_rrf": ("bm25_scores",),
     "retrieval_suite": (
         "tfidf_top_terms", "hybrid_retrieval_rrf", "retrieval_mmr",
-        "bm25_scores",
+        "bm25_scores", "postings_index",
     ),
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
@@ -6361,6 +6451,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_budget_admission",
     "dedup_duplicate_spans",
     "dedup_lines",           # CCNet-style global line dedup with reassembly
+    "dedup_cluster_histogram",  # cluster-size distribution dashboard
     "dedup_canonical_pick",
     "corpus_global_shuffle",
     "pq_codes",
@@ -6370,6 +6461,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_simhash_pairs",   # single-op forms of the pair-verify compound
     "dedup_ngram_jaccard",
     "bm25_scores",           # single-op form inside hybrid_retrieval_rrf
+    "postings_index",        # the materialized inverted index artifact
+    "vocab_prune_report",    # rare/stopword vocabulary hygiene
     "tfidf_top_terms",       # single-op forms of the retrieval_suite compound
     "hybrid_retrieval_rrf",
     "retrieval_mmr",         # MMR diversity rerank over the exact-cosine pool
