@@ -4084,6 +4084,98 @@ def q_classifier_calibration(spark, sf_dir):
     return clf.calibration_report(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "deletion_impact_report",
+    None,  # oracle assembled below (composes pack + canonical oracles)
+)
+def q_deletion_impact_report(spark, sf_dir):
+    """Right-to-be-forgotten impact analysis: given a tombstone set
+    (deterministic synthetic takedowns, doc_id % 100 == 7), report what a
+    delete must cascade to across every derived artifact — postings rows
+    to purge, pack shards needing a rewrite (with how many resident docs
+    each), near-dup clusters whose CANONICAL survivor is tombstoned (a
+    re-election, not just a row delete), and the raw corpus mass removed.
+    The governance query every production deletion pipeline runs BEFORE
+    touching data, sized by the tombstone set's joins against published
+    artifacts — never a corpus rewrite. Melted to (section, key, metric,
+    value_num)."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = docs.where(F.col("doc_id") % 100 == 7).select("doc_id", "n_chars")
+    corpus = ts.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("chars"),
+    ).selectExpr(
+        "'corpus' AS section",
+        "'tombstones' AS key",
+        "stack(2, 'n_docs', n_docs, 'chars', chars) AS (metric, value_num)",
+    )
+    po = (
+        REGISTRY["postings_index"].fn(spark, sf_dir)
+        .join(ts.select("doc_id"), "doc_id")
+        .agg(F.count("*").cast("double").alias("n_rows"))
+        .selectExpr(
+            "'postings' AS section", "'purge' AS key",
+            "'n_rows' AS metric", "n_rows AS value_num",
+        )
+    )
+    pk = (
+        REGISTRY["corpus_pack_manifest"].fn(spark, sf_dir)
+        .join(ts.select("doc_id"), "doc_id")
+        .groupBy("pack_id")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+        .selectExpr(
+            "'packs' AS section",
+            "CAST(pack_id AS STRING) AS key",
+            "'n_docs' AS metric",
+            "n_docs AS value_num",
+        )
+    )
+    cp_df = REGISTRY["dedup_canonical_pick"].fn(spark, sf_dir)
+    reelect = (
+        cp_df.join(ts.select("doc_id"), "doc_id")
+        .where(F.col("keep"))
+        .join(
+            cp_df.groupBy("cluster").agg(F.count("*").alias("sz")),
+            "cluster",
+        )
+        .where(F.col("sz") > 1)
+        .selectExpr(
+            "'clusters' AS section",
+            "CAST(cluster AS STRING) AS key",
+            "'reelect' AS metric",
+            "CAST(1 AS DOUBLE) AS value_num",
+        )
+    )
+    return corpus.unionByName(po).unionByName(pk).unionByName(reelect)
+
+
+REGISTRY["deletion_impact_report"] = QueryDef(
+    REGISTRY["deletion_impact_report"].fn,
+    f"""
+    WITH ts AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 = 7),
+         po AS MATERIALIZED ({REGISTRY["postings_index"].oracle}),
+         pk AS MATERIALIZED ({REGISTRY["corpus_pack_manifest"].oracle}),
+         cpk AS MATERIALIZED ({REGISTRY["dedup_canonical_pick"].oracle})
+    SELECT 'corpus' AS section, 'tombstones' AS key, 'n_docs' AS metric,
+           CAST(count(*) AS DOUBLE) AS value_num FROM ts
+    UNION ALL SELECT 'corpus', 'tombstones', 'chars',
+           CAST(sum(n_chars) AS DOUBLE) FROM ts
+    UNION ALL SELECT 'postings', 'purge', 'n_rows',
+           CAST(count(*) AS DOUBLE)
+           FROM po JOIN ts USING (doc_id)
+    UNION ALL SELECT 'packs', CAST(pack_id AS VARCHAR), 'n_docs',
+           CAST(count(*) AS DOUBLE)
+           FROM pk JOIN ts USING (doc_id) GROUP BY pack_id
+    UNION ALL SELECT 'clusters', CAST(c.cluster AS VARCHAR), 'reelect',
+           CAST(1 AS DOUBLE)
+           FROM cpk c JOIN ts USING (doc_id)
+           JOIN (SELECT cluster, count(*) AS sz FROM cpk GROUP BY cluster) z
+             ON z.cluster = c.cluster
+           WHERE c.keep AND z.sz > 1
+    """,
+)
+
+
 @register("privacy_kanon_audit", pf.k_anonymity_audit_oracle())
 def q_privacy_kanon_audit(spark, sf_dir):
     """k-anonymity + l-diversity governance audit over the customer
@@ -4225,7 +4317,8 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
          wi AS ({pf.winsorized_stats_oracle()}),
          ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()}),
          ka AS ({pf.k_anonymity_audit_oracle()}),
-         skw AS ({_skew_oracle()})
+         skw AS ({_skew_oracle()}),
+         dlr AS MATERIALIZED ({REGISTRY["deletion_impact_report"].oracle})
     SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
            CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
     UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
@@ -4256,6 +4349,7 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     UNION ALL SELECT 'skew', key_value, 'cnt', CAST(cnt AS DOUBLE), NULL FROM skw
     UNION ALL SELECT 'skew', key_value, 'share', share, NULL FROM skw
     UNION ALL SELECT 'skew', key_value, 'x_avg', x_avg, NULL FROM skw
+    UNION ALL SELECT 'del_' || section, key, metric, value_num, NULL FROM dlr
     """,
 )
 def q_profile_suite(spark, sf_dir):
@@ -4317,9 +4411,16 @@ def q_profile_suite(spark, sf_dir):
         "'x_avg', x_avg) AS (metric, value_num)",
         "CAST(NULL AS STRING) AS value_str",
     )
+    dl_m = REGISTRY["deletion_impact_report"].fn(spark, sf_dir).selectExpr(
+        "concat('del_', section) AS section",
+        "key",
+        "metric",
+        "value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
     return (
         tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
-        .unionByName(ka_m).unionByName(sk_m)
+        .unionByName(ka_m).unionByName(sk_m).unionByName(dl_m)
     )
 
 
@@ -6208,7 +6309,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
         "embedding_source_drift", "privacy_kanon_audit",
-        "join_key_skew_report",
+        "join_key_skew_report", "deletion_impact_report",
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
@@ -6488,6 +6589,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_domain_cap",     # per-source quota enforcement
     "winsorized_stats",
     "privacy_kanon_audit",   # k-anonymity + l-diversity governance gate
+    "deletion_impact_report",  # right-to-be-forgotten cascade analysis
     "join_key_skew_report",  # heavy-key diagnosis for join strategy choice
     "compaction_plan",       # small-file bin packing, per-source windows
     "running_totals",
