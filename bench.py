@@ -129,6 +129,12 @@ HEADLINE = [
     # r4 extension: line-level dedup rewrite and capped market basket
     "dedup_lines",
     "copurchase_pairs",
+    # r4 extension: governance cascade, inverted index artifact, rolling
+    # anomaly scoring, and the calibration page of the model card
+    "deletion_impact_report",
+    "postings_index",
+    "event_anomaly_zscore",
+    "classifier_calibration",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -216,3 +216,79 @@ def hypertable_rollup_oracle() -> str:
                CAST(sum(n_events) AS BIGINT), ROUND(sum(sum_value_raw), 4)
         FROM hourly_raw GROUP BY event_type, date_trunc('day', bucket_ts)
     """
+
+
+ANOM_WINDOW = 24   # trailing hours in the baseline
+ANOM_MIN_N = 12    # minimum history before scoring
+ANOM_Z = 3.0       # |z| flag threshold
+
+
+def event_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """(event_type, bucket_ts, n_events, base_mean, base_std, z,
+    is_anomaly): rolling z-score anomaly detection over the hourly event
+    counts — each hour scored against the mean/std of its own trailing
+    ANOM_WINDOW hours (exclusive), flagged at |z| ≥ ANOM_Z, unscored
+    (NULL z) until ANOM_MIN_N history rows exist or when the baseline is
+    flat (std = 0). The ops-monitoring classic over the same hourly
+    partials the rollup ladder maintains.
+
+    One corpus shuffle for the hourly counts; the window runs over the
+    BUCKET table (|event_type| × hours — time-bounded, never
+    corpus-bounded), partitioned by event_type. ROUND(6) on mean/std/z
+    pins cross-engine float parity."""
+    from pyspark.sql.window import Window
+
+    hourly = events.groupBy(
+        "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.count("n_events").over(w).alias("hist_n"),
+        F.round(F.avg("n_events").over(w), 6).alias("base_mean"),
+        F.round(F.stddev_samp("n_events").over(w), 6).alias("base_std"),
+    )
+    z = F.when(
+        (F.col("hist_n") >= ANOM_MIN_N) & (F.col("base_std") > 0),
+        F.round((F.col("n_events") - F.col("base_mean")) / F.col("base_std"), 6),
+    )
+    return scored.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "base_mean",
+        "base_std",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= ANOM_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def event_anomaly_zscore_oracle() -> str:
+    return f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        scored AS (
+          SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+                 n_events,
+                 count(n_events) OVER w AS hist_n,
+                 ROUND(avg(n_events) OVER w, 6) AS base_mean,
+                 ROUND(stddev_samp(n_events) OVER w, 6) AS base_std
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+        SELECT event_type, bucket_ts, n_events, base_mean, base_std,
+               CASE WHEN hist_n >= {ANOM_MIN_N} AND base_std > 0
+                    THEN ROUND((n_events - base_mean) / base_std, 6) END AS z,
+               COALESCE(abs(CASE WHEN hist_n >= {ANOM_MIN_N} AND base_std > 0
+                    THEN ROUND((n_events - base_mean) / base_std, 6) END)
+                    >= {ANOM_Z}, FALSE) AS is_anomaly
+        FROM scored
+    """

@@ -3274,6 +3274,15 @@ def q_hypertable_rollup(spark, sf_dir):
     return iv.hypertable_rollup(_t(spark, sf_dir, "events"))
 
 
+@register("event_anomaly_zscore", iv.event_anomaly_zscore_oracle())
+def q_event_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly event counts: each
+    hour scored against its own trailing-24h baseline (exclusive),
+    flagged at |z| ≥ 3 — the ops-monitoring classic, windowed over the
+    time-bounded bucket table, never the raw stream."""
+    return iv.event_anomaly_zscore(_t(spark, sf_dir, "events"))
+
+
 @register("rollup_backfill", iv.rollup_backfill_oracle())
 def q_rollup_backfill(spark, sf_dir):
     """Incremental continuous-aggregate repair: merge the late slice into
@@ -4468,11 +4477,20 @@ def q_event_analytics_suite(spark, sf_dir):
         "'n_users' AS metric",
         "CAST(n_users AS DOUBLE) AS value",
     )
+    an_m = REGISTRY["event_anomaly_zscore"].fn(spark, sf_dir).selectExpr(
+        "'anomaly' AS section",
+        "concat(event_type, ':', CAST(bucket_ts AS STRING)) AS key",
+        "stack(5, 'n_events', CAST(n_events AS DOUBLE), "
+        "'base_mean', base_mean, 'base_std', base_std, 'z', z, "
+        "'is_anomaly', CAST(CAST(is_anomaly AS INT) AS DOUBLE)) "
+        "AS (metric, value)",
+    )
     return (
         rt_m.unionByName(pr_m)
         .unionByName(cv_m)
         .unionByName(cr_m)
         .unionByName(fu_m)
+        .unionByName(an_m)
     )
 
 
@@ -4530,7 +4548,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
          pr AS ({REGISTRY["percentile_rank_orders"].oracle}),
          cv AS ({REGISTRY["constraint_violations"].oracle}),
          cr AS ({REGISTRY["cohort_retention"].oracle}),
-         fu AS ({REGISTRY["funnel_conversion"].oracle})
+         fu AS ({REGISTRY["funnel_conversion"].oracle}),
+         anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -4548,6 +4567,21 @@ REGISTRY["event_analytics_suite"] = QueryDef(
     UNION ALL SELECT 'funnel',
            CAST(step_n AS VARCHAR) || ':' || step,
            'n_users', CAST(n_users AS DOUBLE) FROM fu
+    UNION ALL SELECT 'anomaly',
+           event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE) FROM anm
+    UNION ALL SELECT 'anomaly',
+           event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'base_mean', base_mean FROM anm
+    UNION ALL SELECT 'anomaly',
+           event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'base_std', base_std FROM anm
+    UNION ALL SELECT 'anomaly',
+           event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'z', z FROM anm
+    UNION ALL SELECT 'anomaly',
+           event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'is_anomaly', CAST(CAST(is_anomaly AS INT) AS DOUBLE) FROM anm
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -6313,7 +6347,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
-        "cohort_retention", "funnel_conversion",
+        "cohort_retention", "funnel_conversion", "event_anomaly_zscore",
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
@@ -6463,6 +6497,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "interval_range_join",
     "hypertable_rollup",
     "rollup_backfill",
+    "event_anomaly_zscore",  # rolling z-score over the hourly buckets
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
