@@ -236,11 +236,19 @@ def event_anomaly_zscore(events: DataFrame) -> DataFrame:
     BUCKET table (|event_type| × hours — time-bounded, never
     corpus-bounded), partitioned by event_type. ROUND(6) on mean/std/z
     pins cross-engine float parity."""
-    from pyspark.sql.window import Window
-
     hourly = events.groupBy(
         "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
     ).agg(F.count("*").cast("bigint").alias("n_events"))
+    return score_hourly_anomalies(hourly)
+
+
+def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
+    """The z-score window over any (event_type, bucket_ts, n_events)
+    hourly table — shared by the batch query above and the streaming
+    monitor (streaming/anomaly.py), which scores the incrementally
+    maintained rollup with identical arithmetic."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_ts")
@@ -249,7 +257,7 @@ def event_anomaly_zscore(events: DataFrame) -> DataFrame:
     scored = hourly.select(
         "event_type",
         "bucket_ts",
-        "n_events",
+        F.col("n_events").cast("bigint").alias("n_events"),
         F.count("n_events").over(w).alias("hist_n"),
         F.round(F.avg("n_events").over(w), 6).alias("base_mean"),
         F.round(F.stddev_samp("n_events").over(w), 6).alias("base_std"),
