@@ -570,3 +570,42 @@ def test_copurchase_cap_bounds_pairs(spark):
     cap_pairs = BASKET_CAP * (BASKET_CAP - 1) // 2
     assert sum(r["n_customers"] for r in top) <= n_cust * cap_pairs
     assert max(r["n_customers"] for r in top) <= n_cust
+
+
+def test_anomaly_detector_flags_synthetic_spike(spark):
+    """Cross-engine parity proves the arithmetic, not the semantics: on a
+    constant hourly series with one injected spike, the detector must
+    flag exactly the spike hour once history satisfies the minimum, and
+    a perfectly flat series must never alert (std = 0 → unscored)."""
+    from pyspark.sql import functions as F
+
+    from spark_deal_observer_spark.operators.intervals import (
+        ANOM_MIN_N,
+        score_hourly_anomalies,
+    )
+
+    base = spark.range(48).select(
+        F.lit("tick").alias("event_type"),
+        F.timestamp_add(
+            "HOUR", F.col("id").cast("int"), F.expr("TIMESTAMP_NTZ '2024-01-01'")
+        ).alias("bucket_ts"),
+        # constant 10/hour with mild deterministic jitter (std > 0), one
+        # 20x spike at hour 40
+        (F.lit(10) + (F.col("id") % 2) + F.when(F.col("id") == 40, 200).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+    rows = {
+        r["bucket_ts"].hour + (r["bucket_ts"].day - 1) * 24: r
+        for r in score_hourly_anomalies(base).collect()
+    }
+    flagged = [h for h, r in rows.items() if r["is_anomaly"]]
+    assert flagged == [40], flagged
+    assert all(r["z"] is None for h, r in rows.items() if h < ANOM_MIN_N)
+
+    flat = base.select(
+        "event_type", "bucket_ts", F.lit(10).cast("bigint").alias("n_events")
+    )
+    assert not [
+        r for r in score_hourly_anomalies(flat).collect() if r["is_anomaly"]
+    ]
