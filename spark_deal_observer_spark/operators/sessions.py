@@ -204,3 +204,60 @@ def cohort_retention_oracle() -> str:
         FROM active a JOIN first_t f USING (user_id)
         GROUP BY f.cohort_day, day_offset
     """
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n, p): the Markov transition matrix between
+    consecutive event types per user — the general path-analysis form of
+    the ordered funnel (every pair, not a fixed ladder), the input to
+    next-action models and journey analysis.
+
+    One per-user window (lag over (user_id) ordered by ts with event_id
+    tiebreak — per-user state, never a stream self-join), one
+    (prev, next) aggregate whose reduce side is |types|² rows, and a
+    broadcast per-prev total for the row-normalized probability.
+    ROUND(6) on p for cross-engine division parity."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+    )
+
+
+def event_transition_matrix_oracle() -> str:
+    return """
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events),
+        counts AS (SELECT prev_type, next_type,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM pairs WHERE prev_type IS NOT NULL
+                   GROUP BY prev_type, next_type),
+        totals AS (SELECT prev_type, sum(n) AS tot
+                   FROM counts GROUP BY prev_type)
+        SELECT c.prev_type, c.next_type, c.n,
+               ROUND(c.n / t.tot, 6) AS p
+        FROM counts c JOIN totals t USING (prev_type)
+    """

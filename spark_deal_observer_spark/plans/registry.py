@@ -3983,9 +3983,20 @@ def q_running_totals(spark, sf_dir):
 from ..operators.sessions import (  # noqa: E402
     cohort_retention,
     cohort_retention_oracle,
+    event_transition_matrix,
+    event_transition_matrix_oracle,
     funnel_conversion,
     funnel_conversion_oracle,
 )
+
+
+@register("event_transition_matrix", event_transition_matrix_oracle())
+def q_event_transition_matrix(spark, sf_dir):
+    """Markov transition matrix between consecutive per-user event types
+    (prev, next, n, row-normalized p) — the general path-analysis form of
+    the ordered funnel; one per-user lag window, a |types|²-bounded
+    aggregate, broadcast row totals."""
+    return event_transition_matrix(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -4485,12 +4496,18 @@ def q_event_analytics_suite(spark, sf_dir):
         "'is_anomaly', CAST(CAST(is_anomaly AS INT) AS DOUBLE)) "
         "AS (metric, value)",
     )
+    tm_m = REGISTRY["event_transition_matrix"].fn(spark, sf_dir).selectExpr(
+        "'transition' AS section",
+        "concat(prev_type, ':', next_type) AS key",
+        "stack(2, 'n', CAST(n AS DOUBLE), 'p', p) AS (metric, value)",
+    )
     return (
         rt_m.unionByName(pr_m)
         .unionByName(cv_m)
         .unionByName(cr_m)
         .unionByName(fu_m)
         .unionByName(an_m)
+        .unionByName(tm_m)
     )
 
 
@@ -4549,7 +4566,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
          cv AS ({REGISTRY["constraint_violations"].oracle}),
          cr AS ({REGISTRY["cohort_retention"].oracle}),
          fu AS ({REGISTRY["funnel_conversion"].oracle}),
-         anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle})
+         anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle}),
+         trm AS MATERIALIZED ({REGISTRY["event_transition_matrix"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -4582,6 +4600,10 @@ REGISTRY["event_analytics_suite"] = QueryDef(
     UNION ALL SELECT 'anomaly',
            event_type || ':' || CAST(bucket_ts AS VARCHAR),
            'is_anomaly', CAST(CAST(is_anomaly AS INT) AS DOUBLE) FROM anm
+    UNION ALL SELECT 'transition', prev_type || ':' || next_type,
+           'n', CAST(n AS DOUBLE) FROM trm
+    UNION ALL SELECT 'transition', prev_type || ':' || next_type,
+           'p', p FROM trm
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -6348,6 +6370,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
         "cohort_retention", "funnel_conversion", "event_anomaly_zscore",
+        "event_transition_matrix",
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
@@ -6498,6 +6521,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "hypertable_rollup",
     "rollup_backfill",
     "event_anomaly_zscore",  # rolling z-score over the hourly buckets
+    "event_transition_matrix",  # Markov path-analysis matrix
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
