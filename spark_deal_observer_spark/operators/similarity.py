@@ -1194,3 +1194,82 @@ def semantic_decontaminate_oracle(
         WHERE m.max_cos >= {threshold}
         GROUP BY m.vec_id, m.max_cos
     """
+
+
+def prototype_classifier_eval(emb: DataFrame) -> DataFrame:
+    """(label, n, n_correct, accuracy): nearest-centroid (Rocchio)
+    classification of every embedding against its own corpus's per-label
+    mean prototypes — the fastest embedding-quality probe there is (are
+    the labels linearly separated by their centroids?), and the eval a
+    pipeline runs on a new embedding model before anything expensive.
+
+    One per-label mean aggregate (|labels| rows, broadcast), one argmax-
+    cosine assignment as a map-side-combinable struct-min (the
+    _kmeans_assign shape with FIXED centroids), one per-label filtered
+    count. ROUND(6) pins assignment ties across engines."""
+    vecs = emb.select("vec_id", "label", "embedding")
+    proto = (
+        vecs.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("pvec")
+        )
+        .select(F.col("label").alias("plabel"), "pvec")
+    )
+    aff = F.expr(cosine_spark("embedding", "pvec"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(proto))
+        .select("vec_id", "label", "plabel", (-aff).alias("neg_aff"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("neg_aff", "plabel")).alias("best"),
+            F.first("label").alias("label"),
+        )
+        .select("label", F.col("best.plabel").alias("predicted"))
+    )
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("label") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+        )
+    )
+
+
+def prototype_classifier_eval_oracle() -> str:
+    cos = cosine_duck("v.embedding", "p.pvec")
+    return f"""
+        WITH flat AS (
+          SELECT label, g.pos,
+                 CAST(embedding[g.pos + 1] AS DOUBLE) AS val
+          FROM embeddings CROSS JOIN generate_series(0, {DIM - 1}) AS g(pos)),
+        pm AS (SELECT label, pos, ROUND(avg(val), 6) AS val
+               FROM flat GROUP BY label, pos),
+        proto AS (SELECT label AS plabel, list(val ORDER BY pos) AS pvec
+                  FROM pm GROUP BY label),
+        assigned AS (
+          SELECT vec_id, label, plabel FROM (
+            SELECT v.vec_id, v.label, p.plabel,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {cos} DESC, p.plabel) AS rn
+            FROM embeddings v CROSS JOIN proto p) WHERE rn = 1)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(sum(CASE WHEN label = plabel THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM assigned GROUP BY label
+    """

@@ -4095,6 +4095,15 @@ def q_classifier_eval(spark, sf_dir):
     return clf.classifier_eval(_t(spark, sf_dir, "documents"))
 
 
+@register("prototype_classifier_eval", sim.prototype_classifier_eval_oracle())
+def q_prototype_classifier_eval(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against its own per-label mean prototypes — the fast embedding-
+    quality probe (per-label n / n_correct / accuracy); |labels|-row
+    broadcast prototypes, one struct-min assignment aggregate."""
+    return sim.prototype_classifier_eval(_t(spark, sf_dir, "embeddings"))
+
+
 @register("classifier_calibration", clf.calibration_report_oracle())
 def q_classifier_calibration(spark, sf_dir):
     """Reliability diagram of the trained classifier: per-probability-bin
@@ -5814,7 +5823,16 @@ def q_ml_eval_suite(spark, sf_dir):
         "stack(4, 'n', CAST(n AS DOUBLE), 'mean_prob', mean_prob, "
         "'frac_positive', frac_positive, 'gap', gap) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
-    return ev.unionByName(neg).unionByName(sp).unionByName(ca)
+    pe = REGISTRY["prototype_classifier_eval"].fn(spark, sf_dir).selectExpr(
+        "'prototype' AS section",
+        "CAST(label AS STRING) AS key",
+        "stack(3, 'n', CAST(n AS DOUBLE), "
+        "'n_correct', CAST(n_correct AS DOUBLE), "
+        "'accuracy', accuracy) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return (
+        ev.unionByName(neg).unionByName(sp).unionByName(ca).unionByName(pe)
+    )
 
 
 REGISTRY["ml_eval_suite"] = QueryDef(
@@ -5823,7 +5841,8 @@ REGISTRY["ml_eval_suite"] = QueryDef(
     WITH ev AS ({REGISTRY["classifier_eval"].oracle}),
          neg AS ({REGISTRY["contrastive_negatives"].oracle}),
          sp AS ({REGISTRY["corpus_train_val_split"].oracle}),
-         ca AS MATERIALIZED ({REGISTRY["classifier_calibration"].oracle})
+         ca AS MATERIALIZED ({REGISTRY["classifier_calibration"].oracle}),
+         pe AS MATERIALIZED ({REGISTRY["prototype_classifier_eval"].oracle})
     -- ev's training SQL is expensive: reference the CTE ONCE (DuckDB
     -- inlines per reference) and unpivot via a metric-name cross join
     SELECT 'eval' AS section, 'overall' AS key, m.metric,
@@ -5851,6 +5870,12 @@ REGISTRY["ml_eval_suite"] = QueryDef(
            frac_positive, NULL FROM ca
     UNION ALL SELECT 'calibration', CAST(bin AS VARCHAR), 'gap',
            gap, NULL FROM ca
+    UNION ALL SELECT 'prototype', CAST(label AS VARCHAR), 'n',
+           CAST(n AS DOUBLE), NULL FROM pe
+    UNION ALL SELECT 'prototype', CAST(label AS VARCHAR), 'n_correct',
+           CAST(n_correct AS DOUBLE), NULL FROM pe
+    UNION ALL SELECT 'prototype', CAST(label AS VARCHAR), 'accuracy',
+           accuracy, NULL FROM pe
     """,
 )
 
@@ -6401,7 +6426,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "ml_eval_suite": (
         "classifier_eval", "contrastive_negatives", "corpus_train_val_split",
-        "classifier_calibration",
+        "classifier_calibration", "prototype_classifier_eval",
     ),
     "temporal_history_suite": (
         "asof_join_last_view", "sessionize_events", "interval_range_join",
@@ -6657,6 +6682,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "percentile_rank_orders",
     "classifier_eval",
     "classifier_calibration", # reliability bins over the published model
+    "prototype_classifier_eval",  # nearest-centroid embedding probe
     "contrastive_negatives",
     "ann_brute_force",       # single-op forms inside ann_recall_report
     "ann_lsh_multiprobe",
