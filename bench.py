@@ -135,6 +135,8 @@ HEADLINE = [
     "postings_index",
     "event_anomaly_zscore",
     "classifier_calibration",
+    "event_transition_matrix",
+    "prototype_classifier_eval",
 ]
 
 # Each query runs RUNS times; the minimum is reported. First execution pays

@@ -46,6 +46,9 @@ DEFAULT_QUERIES = [
     "join_key_skew_report",
     "compaction_plan",
     "dedup_lines",
+    "event_anomaly_zscore",
+    "event_transition_matrix",
+    "prototype_classifier_eval",
 ]
 
 
