@@ -171,14 +171,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver's stdout capture is a bounded TAIL: with ~80 headline
+    # queries the old single giant JSON line outgrew it and the front
+    # (including the metric/total) was cut off, leaving the artifact
+    # unparseable (BENCH_r04 "parsed": null). Emit the per-query map
+    # FIRST (stdout + a sibling file for full fidelity) and a compact
+    # summary line LAST so the final line always survives and parses.
+    detail = {
+        "metric": "headline_queries_detail",
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n": len(timings),
                 "sf": sf,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -52,21 +52,50 @@ def global_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    psums = {
-        r["_pid"]: r["_s"]
+    stats = {
+        r["_pid"]: (r["_s"], r["_c"])
+        # coalesce: a range partition whose values are all NULL sums to
+        # NULL, and the driver-side running += below must not see None;
+        # the non-null COUNT is carried alongside so the final expression
+        # can reproduce the window's exact NULL rule (sum over a frame
+        # containing only NULLs is NULL, not 0) across partition borders
         for r in parts.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_s"))
+        .agg(
+            F.coalesce(F.sum(value_col), F.lit(0)).alias("_s"),
+            F.count(value_col).alias("_c"),
+        )
         .collect()
     }
-    if not psums:  # empty input: nothing to offset, result is empty too
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
-    running, offsets = 0, {}
-    for pid in sorted(psums):  # pid order IS range order under range partitioning
-        offsets[pid] = running
-        running += psums[pid]
+    # out_col's type is sum(value)+offset — sum widens (int→bigint,
+    # float→double, decimal grows precision), offset is bigint; derive it
+    # from the plan so the empty case matches the non-empty schema exactly
+    out_type = df.select(
+        (F.sum(value_col) + F.lit(0).cast("bigint")).alias("_t")
+    ).schema[0].dataType
+    if not stats:  # empty input: nothing to offset, result is empty too
+        return df.withColumn(out_col, F.lit(None).cast(out_type))
+    running, running_c, offsets = 0, 0, []
+    for pid in sorted(stats):  # pid order IS range order under range partitioning
+        s, c = stats[pid]
+        offsets.append((int(pid), running, int(running_c)))
+        running += s
+        running_c += int(c)
+    # the first offset is always python int 0; for fractional/decimal
+    # value columns later offsets widen, and createDataFrame's schema
+    # inference rejects mixed int/float (or int/Decimal) column values —
+    # normalize the whole column to the widest python type present
+    from decimal import Decimal
+
+    for _, v, _ in offsets:
+        if isinstance(v, float):
+            offsets = [(p, float(x), c) for p, x, c in offsets]
+            break
+        if isinstance(v, Decimal):
+            offsets = [(p, Decimal(x), c) for p, x, c in offsets]
+            break
     off = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(int(pid), val) for pid, val in offsets.items()], ["_pid", "_off"]
+            offsets, ["_pid", "_off", "_cnt_off"]
         ).withColumn("_pid", F.col("_pid").cast("int"))
     )
     w = (
@@ -74,9 +103,19 @@ def global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    zero = F.lit(0)
     return (
-        parts.withColumn("_local", F.sum(value_col).over(w))
+        parts.withColumn(
+            "_local", F.sum(F.coalesce(F.col(value_col), zero)).over(w)
+        )
+        .withColumn("_nn", F.count(value_col).over(w))
         .join(off, "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nn") + F.col("_cnt_off") == 0,
+                F.lit(None).cast(out_type),
+            ).otherwise((F.col("_local") + F.col("_off")).cast(out_type)),
+        )
+        .drop("_pid", "_local", "_nn", "_off", "_cnt_off")
     )

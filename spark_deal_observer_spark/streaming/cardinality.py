@@ -19,9 +19,15 @@ aggregate over the batch), a (key, bucket) max-merge against the
 persisted register snapshot, one register-table write, and one estimate
 row per group appended to the report. Register snapshots are written per
 batch_id (the idempotent replay unit, same layout as DriftMonitorSink's
-report) and the merge reads the LATEST snapshot — a production deployment
-would point this at a transactional table; the snapshot-per-tick layout
-keeps the semantics identical and the tests hermetic.
+report) and the merge reads the snapshot with the largest id STRICTLY
+BELOW the tick's batch_id (the line-dedup replay rule) — reading "latest"
+would make a same-batch-id redelivery read snapshot=N while overwriting
+snapshot=N, which Spark rejects ('Cannot overwrite a path that is also
+being read from') and which would wedge the restarted stream in a crash
+loop. Strictly-below reads make redelivery bit-identical by construction;
+a production deployment would point this at a transactional table — the
+snapshot-per-tick layout keeps the semantics identical and the tests
+hermetic.
 """
 
 from __future__ import annotations
@@ -59,15 +65,24 @@ class CardinalityMonitorSink:
             f"{out_path}/registers"
         )
 
-    def _registers(self) -> DataFrame | None:
-        if self._last_snapshot is None:
+    def _registers(self, before: int | None = None) -> DataFrame | None:
+        """Register snapshot: the latest (reads/tests), or — given a
+        batch_id — the one STRICTLY below it (the replay-safe merge
+        input; see module docstring)."""
+        if before is None:
+            sid = self._last_snapshot
+        else:
+            from .line_dedup import _prior_snapshot
+
+            sid = _prior_snapshot(f"{self.out_path}/registers", before)
+        if sid is None:
             return None
         return self.spark.read.parquet(
-            f"{self.out_path}/registers/snapshot={self._last_snapshot}"
+            f"{self.out_path}/registers/snapshot={sid}"
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        prev = self._registers()
+        prev = self._registers(before=batch_id)
         if batch.isEmpty() and prev is None:
             return
         regs = hll_registers(batch, self.key) if not batch.isEmpty() else None

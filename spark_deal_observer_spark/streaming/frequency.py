@@ -33,13 +33,18 @@ class FrequencyMonitorSink:
         # restart recovery: resume from the last durable snapshot, and
         # treat every batch id at or below it as already applied —
         # Structured Streaming replays foreachBatch ids in order, so the
-        # snapshot id doubles as the ledger's durable high-water mark
+        # snapshot id doubles as the ledger's durable high-water mark.
+        # The mark stays an INT (a long-running stream's ids reach
+        # millions; materializing set(range(id)) would be O(batch_id)
+        # memory for what is a single comparison); the set only records
+        # post-restart ids that advanced no snapshot (empty-batch ticks).
         self._last_snapshot: int | None = _latest_snapshot(f"{out_path}/sketch")
-        self._applied: set[int] = (
-            set(range(self._last_snapshot + 1))
-            if self._last_snapshot is not None
-            else set()
-        )
+        self._applied: set[int] = set()
+
+    def _is_applied(self, batch_id: int) -> bool:
+        if self._last_snapshot is not None and batch_id <= self._last_snapshot:
+            return True
+        return batch_id in self._applied
 
     def _sketch(self) -> DataFrame | None:
         if self._last_snapshot is None:
@@ -49,7 +54,7 @@ class FrequencyMonitorSink:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        if batch_id in self._applied:
+        if self._is_applied(batch_id):
             # sum-merge is not idempotent: a replayed batch must be
             # dropped BEFORE it reaches the state, not re-merged
             return
@@ -69,7 +74,9 @@ class FrequencyMonitorSink:
         snap = f"{self.out_path}/sketch/snapshot={batch_id}"
         cells.write.mode("overwrite").parquet(snap)
         self._last_snapshot = batch_id
-        self._applied.add(batch_id)
+        # ids at/below the advanced mark are covered by _is_applied; the
+        # in-memory set can forget them (bounds the ledger's footprint)
+        self._applied = {i for i in self._applied if i > batch_id}
         report = cms_probe_estimates(self.spark.read.parquet(snap), self.spark)
         report.write.mode("overwrite").parquet(
             f"{self.out_path}/report/batch_id={batch_id}"

@@ -96,8 +96,15 @@ class TransitionMonitorSink:
         )
 
     def read_matrix(self) -> DataFrame:
-        """(prev_type, next_type, n, p) over everything ingested."""
-        sid = _prior_snapshot(self.counts, 10**9)
+        """(prev_type, next_type, n, p) over everything ingested; empty
+        (same schema) before any batch has been processed."""
+        from .cardinality import _latest_snapshot
+
+        sid = _latest_snapshot(self.counts)
+        if sid is None:
+            return self.spark.createDataFrame(
+                [], "prev_type STRING, next_type STRING, n BIGINT, p DOUBLE"
+            )
         counts = self.spark.read.parquet(f"{self.counts}/snapshot={sid}")
         totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
         return counts.join(F.broadcast(totals), "prev_type").select(
