@@ -3,11 +3,14 @@ processed by Arrow-batched pandas functions via mapInPandas.
 
 A 100 TB multimodal corpus stores media as `binary` columns next to a typed
 metadata struct; decode/resize/feature-extraction runs as mapInPandas so
-each Arrow batch crosses the JVM↔Python boundary once. The actual
-image/audio codecs are NOT available in this environment, so `decode_media`
-is stubbed: real codecs raise NotImplementedError; the `fake/*` codec used
-by the tests is a deterministic byte-level transform. Everything around the
-stub — schema, batch iteration, partition-preserving plumbing — is real.
+each Arrow batch crosses the JVM↔Python boundary once. `decode_media`
+supports the `fake/*` identity codec (the deterministic, oracle-checkable
+path) and REAL PNG via the from-scratch stdlib-zlib decoder in
+`multimodal/png.py`; codecs that would need external libraries
+(JPEG/ffmpeg) raise NotImplementedError. The plumbing — schema, batch
+iteration, partition-preserving mapInPandas shape — is identical for all
+codecs, so the fake-path oracle checks validate the same kernels the PNG
+path runs.
 """
 
 from __future__ import annotations
@@ -70,13 +73,23 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, codec: str) -> bytes:
-    """Decode a media payload. Real codecs are unavailable in this
-    environment and raise; the fake codec is the identity transform."""
+    """Decode a media payload to raw content bytes.
+
+    `fake/*` is the identity transform (the oracle-checkable path);
+    `image/png` is a REAL codec — the from-scratch RFC 2083 decoder in
+    `multimodal/png.py` (stdlib zlib), returning row-major pixel bytes,
+    so every downstream kernel (features/resize/frames) runs on real
+    decoded pixels for at least one production format. Codecs that would
+    need external libraries (JPEG/ffmpeg) still raise."""
     if codec.startswith("fake/"):
         return payload
+    if codec in ("image/png", "png"):
+        from .png import decode_png
+
+        return decode_png(payload)[0]
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg) are not installed; "
-        "only fake/* codecs are supported here"
+        "only fake/* and image/png are supported here"
     )
 
 

@@ -67,6 +67,58 @@ def _plan_key(df: DataFrame) -> tuple:
     return ("nocache", object())  # pragma: no cover - connect mode
 
 
+def _snapshot_token(df: DataFrame) -> str:
+    """Data-snapshot identity of the plan's FILE sources: a digest over
+    the sorted (path, mtime_ns, size) of every input file. The semantic
+    hash alone keys on the PATH — if the files behind a cached path are
+    rewritten mid-session, a path-only key silently serves the artifact
+    trained on the old bytes. The token is a driver-side listing + stat
+    (metadata Spark already gathered to plan the scan), never a data
+    scan; rewritten files change mtime/size/names, so the key rolls and
+    the next request retrains. Non-file sources contribute no files and
+    fall back to the plan hash (their rows ARE the plan)."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        return "nofiles"
+    if not files:
+        return "nofiles"
+    h = hashlib.md5()
+    for f in files:
+        path = urlparse(f).path or f
+        h.update(f.encode())
+        try:
+            st = os.stat(path)
+            h.update(f":{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:  # pragma: no cover - non-local filesystem
+            h.update(b";")
+    return h.hexdigest()
+
+
+def _alive(artifact: Any) -> bool:
+    """Cheap liveness probe for a cached (checkpointed) artifact: touch
+    the first partition of each DataFrame. A localCheckpoint's blocks die
+    with their executors and the truncated lineage cannot recompute them
+    — a dead hit must retrain, not surface 'Checkpoint block not found'
+    on the consumer's next action. The probe reads one already-
+    materialized in-memory block (milliseconds), not a pass; it catches
+    whole-artifact loss (the executor-death / unpersist case). Partial
+    block loss past the first partition can still slip through — full
+    verification would cost a scan per lookup, defeating the registry."""
+    parts = artifact if isinstance(artifact, (tuple, list)) else (artifact,)
+    for a in parts:
+        if isinstance(a, DataFrame):
+            try:
+                a.isEmpty()
+            except Exception:
+                return False
+    return True
+
+
 def published(
     source: DataFrame, name: str, params: tuple, build: Callable[[], T]
 ) -> T:
@@ -77,22 +129,29 @@ def published(
     this registry stores whatever it returns (a DataFrame or a tuple of
     them) without re-materializing.
 
-    IMMUTABLE-SNAPSHOT ASSUMPTION: the cache key is the Catalyst semantic
-    hash of `source`'s ANALYZED plan — for a file source that is the path,
-    not the bytes behind it. If files under a cached path are rewritten
-    within one session, lookups silently serve the artifact trained on the
-    OLD snapshot; call `clear()` (or point at a new snapshot path — the
-    production layout) after any in-place rewrite. Checkpointed blocks also
-    die with lost executors: a cache hit whose blocks are gone fails on its
-    next action rather than retraining — `clear()` and re-request to
-    rebuild. Both are deliberate: keying on content or verifying block
-    liveness would cost a scan per lookup, defeating the registry's point.
+    FRESHNESS: the cache key folds a data-snapshot token (file listing +
+    mtimes/sizes for file sources) into the Catalyst semantic hash, so
+    rewriting the files behind a cached path rolls the key and the next
+    request retrains on the new bytes — no stale artifact, no manual
+    `clear()`. Hits are additionally liveness-probed: checkpointed blocks
+    die with lost executors and truncated lineage cannot recompute them,
+    so a dead hit (probe raises) retrains in place instead of surfacing
+    'Checkpoint block not found' on the consumer's next action. Both
+    guards are metadata-cost only (driver-side stat + one in-memory block
+    touch); neither re-scans data.
     """
-    key = (source.sparkSession, name, _plan_key(source), params)
+    key = (
+        source.sparkSession,
+        name,
+        _plan_key(source),
+        _snapshot_token(source),
+        params,
+    )
     got = _STORE.get(key)
-    if got is None:
+    if got is None or not _alive(got):
         got = build()
         _STORE[key] = got
+        _STORE.move_to_end(key)
         while len(_STORE) > MAX_ARTIFACTS:
             _STORE.popitem(last=False)
     else:

@@ -13,9 +13,23 @@ tick reads the snapshot with the LARGEST id STRICTLY BELOW its batch_id
 — never "latest" — so replaying a delivered batch reads the same prior
 state and rewrites bit-identical outputs and snapshot (effectively-once
 under at-least-once delivery, no ledger). Store growth is |distinct
-lines|; a production deployment bounds it with TTL compaction or tiers
-it behind a Bloom filter — noted, not implemented, because either choice
-trades recall and belongs to the deployment.
+lines| — inherent to EXACT global line dedup. `BoundedLineDedupIngestSink`
+is the bounded-state tier: every store row carries a `last_seen` batch id
+maintained by MAX-merge (idempotent, so the replay rule still yields
+bit-identical snapshots), rows idle for more than `ttl_batches` ticks are
+compacted away at snapshot write, and snapshot directories older than the
+replay horizon are garbage-collected — state is O(distinct lines in the
+last ttl_batches ticks) rows and O(keep_snapshots) directories instead of
+O(all distinct lines ever) and O(ticks). The recall trade is explicit and
+deterministic: a line recurring after more than ttl_batches ticks of
+absence is treated as first-seen again (the duplicate is kept) — a
+sliding-window dedup, the same contract TTL'd dedup state has in any
+production stream processor. A Bloom front tier was considered and
+rejected: false positives DROP never-seen lines (precision loss —
+corrupts documents), while TTL only weakens recall (keeps some
+duplicates), the safe direction for corpus prep. The trade is measured in
+tests/test_line_dedup_bounded.py: in-window duplicates dedup identically
+to the exact sink; only cross-window recurrences differ.
 
 Per tick the plan is: the batch's scan-stage window expansion, an
 in-batch struct-min per hash, one hash-keyed LEFT ANTI join against the
@@ -111,6 +125,11 @@ class LineDedupIngestSink:
         )
         # overwrite-per-batch_id directories: replays land bit-identical
         out.write.mode("overwrite").parquet(f"{self.docs}/batch_id={batch_id}")
+        self._write_store(seen, new_firsts, occ, batch_id)
+
+    def _write_store(
+        self, seen: DataFrame, new_firsts: DataFrame, occ: DataFrame, batch_id: int
+    ) -> None:
         seen.select("lh").unionByName(new_firsts.select("lh")).write.mode(
             "overwrite"
         ).parquet(f"{self.store}/snapshot={batch_id}")
@@ -119,3 +138,90 @@ class LineDedupIngestSink:
         return self.spark.read.option("basePath", self.docs).parquet(
             f"{self.docs}/batch_id=*"
         )
+
+
+class BoundedLineDedupIngestSink(LineDedupIngestSink):
+    """The bounded-state tier: TTL compaction + snapshot GC.
+
+    Store rows carry `last_seen` (the latest batch id the line occurred
+    in, kept OR dropped), maintained by MAX-merge — idempotent, so the
+    strictly-below replay rule still rewrites bit-identical snapshots. A
+    line is in-window for batch B iff `B - last_seen <= ttl_batches`;
+    out-of-window rows are invisible to the anti-join (read filter) and
+    compacted out of the written snapshot (write filter), so the store is
+    O(distinct lines occurring in the last ttl_batches ticks). Snapshot
+    directories older than the newest `keep_snapshots` are deleted after
+    each successful write — Structured Streaming redelivers at most the
+    tail of the batch log, so the replay horizon needs only a couple of
+    prior snapshots, and total on-disk state stops scaling with stream
+    lifetime.
+
+    Recall contract (measured in tests/test_line_dedup_bounded.py):
+    duplicates recurring WITHIN the window dedup exactly like the exact
+    sink; a line absent for more than ttl_batches ticks is first-seen
+    again and kept. False drops are impossible by construction (every
+    store row was a real line), which is why TTL beats a Bloom front for
+    corpus prep: Bloom false positives would silently delete never-seen
+    lines."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        ttl_batches: int = 8,
+        keep_snapshots: int = 3,
+    ):
+        super().__init__(spark, out_path)
+        self.ttl = int(ttl_batches)
+        self.keep = max(2, int(keep_snapshots))  # replay needs a prior
+
+    def _store_snapshot(self, batch_id: int) -> DataFrame:
+        sid = _prior_snapshot(self.store, batch_id)
+        if sid is None:
+            return self.spark.createDataFrame([], "lh STRING, last_seen BIGINT")
+        return self.spark.read.parquet(f"{self.store}/snapshot={sid}")
+
+    def _seen(self, batch_id: int) -> DataFrame:
+        return (
+            self._store_snapshot(batch_id)
+            .where(F.col("last_seen") >= batch_id - self.ttl)
+            .select("lh")
+        )
+
+    def _write_store(
+        self, seen: DataFrame, new_firsts: DataFrame, occ: DataFrame, batch_id: int
+    ) -> None:
+        batch_lines = (
+            occ.select("lh")
+            .distinct()
+            .withColumn("last_seen", F.lit(batch_id).cast("bigint"))
+        )
+        merged = (
+            self._store_snapshot(batch_id)
+            .unionByName(batch_lines)
+            .groupBy("lh")
+            .agg(F.max("last_seen").alias("last_seen"))
+            # write-side compaction: keep only rows a FUTURE batch could
+            # still see in-window (the next tick is at least batch_id+1)
+            .where(F.col("last_seen") >= batch_id + 1 - self.ttl)
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{self.store}/snapshot={batch_id}"
+        )
+        self._gc_snapshots(batch_id)
+
+    def _gc_snapshots(self, batch_id: int) -> None:
+        """Delete snapshot dirs beyond the replay horizon (keep newest
+        `keep`). Runs AFTER the new snapshot is durable, so a crash
+        between write and GC only leaves extra (harmless) snapshots."""
+        import shutil
+
+        if not os.path.isdir(self.store):
+            return
+        ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.store)
+            if d.startswith("snapshot=") and d.split("=", 1)[1].isdigit()
+        )
+        for sid in ids[: -self.keep]:
+            shutil.rmtree(f"{self.store}/snapshot={sid}", ignore_errors=True)
