@@ -66,23 +66,50 @@ def _graph_structure(orders: DataFrame, lineitem: DataFrame):
     return published(edges, "pagerank_graph", (), build)
 
 
+# Observability for the convergence early-exits: rounds the last build
+# actually ran, keyed by operator name (the oracle twin stays
+# fixed-iteration — this records how many of those rounds were live).
+LAST_ROUNDS: dict[str, int] = {}
+
+
 def pagerank(
     orders: DataFrame,
     lineitem: DataFrame,
     n_iter: int = N_ITER,
     damping: float = DAMPING,
 ) -> DataFrame:
-    """(node, pagerank) after `n_iter` synchronous rounds from uniform init."""
+    """(node, pagerank) after `n_iter` synchronous rounds from uniform init.
+
+    The converged rank vector is a PUBLISHED artifact (operators/
+    models.py), like the cluster map and the LPA labels: node-sized
+    (row-bounded), deterministic, and consumed by several catalog
+    queries (`pagerank_entities`, `graph_suite`) — each consumer reads
+    one snapshotted build instead of re-running the per-round joins."""
+    from .models import published
+
+    wedges, nodes = _graph_structure(orders, lineitem)
+    return published(
+        wedges,
+        "pagerank_ranks",
+        (n_iter, damping),
+        lambda: _pagerank_run(wedges, nodes, n_iter, damping),
+    )
+
+
+def _pagerank_run(
+    wedges: DataFrame, nodes: DataFrame, n_iter: int, damping: float
+) -> DataFrame:
     # The graph structures are static across rounds; localCheckpoint
     # snapshots them once — without it every round's plan re-derives the
     # edge list (orders⋈lineitem + distinct) for edges, nodes, AND outdeg,
     # multiplying the dominant join by 2+2·n_iter. Same lineage-truncation
     # discipline as connected_components.
-    wedges, nodes = _graph_structure(orders, lineitem)
     scal = nodes.agg(F.count("*").cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(scal)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), ROUND_DP).alias("pr")
     )
+    prev_chk = None
+    rounds = 0
     for _ in range(n_iter):
         # The rank vector is NODE-sized (here: the customer+supplier
         # dimension) while the edge list is fact-sized — broadcast the
@@ -107,7 +134,26 @@ def pagerank(
                     ROUND_DP,
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=False)
         )
+        rounds += 1
+        # Convergence early-exit, exact vs the fixed-iteration oracle: the
+        # update is a deterministic function of the rank table, so an
+        # unchanged table is a fixed point and the remaining rounds are
+        # no-ops. Rounding to ROUND_DP per round makes "unchanged" a real
+        # bitwise fixpoint (no float drift). The checksum rides the lazy
+        # checkpoint's materialization job (the CC trick).
+        chk = pr.agg(
+            F.sum(
+                F.xxhash64("node", F.col("pr").cast("string")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("chk")
+        ).collect()[0][0]
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    LAST_ROUNDS["pagerank"] = rounds
     return pr.select("node", F.col("pr").alias("pagerank"))
 
 
@@ -162,29 +208,67 @@ def label_propagation(
     Same iterative dataflow discipline as pagerank above: the published
     graph build is reused, the label vector is NODE-sized and broadcasts
     into the fact-sized edge join, and the per-node argmax is a
-    struct-min AGGREGATE (cnt desc, label asc) — never a window."""
+    struct-min AGGREGATE (cnt desc, label asc) — never a window.
+
+    Two scale measures on top of the r4 shape: (1) the converged label
+    table is a PUBLISHED artifact — every consumer (`graph_communities`,
+    `graph_suite`) reads one node-sized snapshot instead of re-running
+    the per-round edge joins; (2) rounds EARLY-EXIT when the label table
+    is stable (checksum riding each round's checkpoint materialization,
+    the CC trick) — exact vs the fixed-iteration oracle because the
+    update is a deterministic function of the labels, so a stable table
+    is a fixed point and the skipped rounds are no-ops. The oracle twin
+    stays unrolled at `n_iter`; `LAST_ROUNDS['label_propagation']`
+    records how many rounds were live."""
+    from .models import published
+
     wedges, nodes = _graph_structure(orders, lineitem)
+    return published(
+        wedges,
+        "lpa_labels",
+        (n_iter,),
+        lambda: _lpa_run(wedges, nodes, n_iter),
+    )
+
+
+def _lpa_round(wedges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA vote round (the deterministic update the
+    early-exit's fixed-point argument quantifies over)."""
+    neighbor_votes = (
+        wedges.join(F.broadcast(labels), wedges.src == labels.node)
+        .select(F.col("dst").alias("vnode"), "label")
+    )
+    self_votes = labels.select(F.col("node").alias("vnode"), "label")
+    votes = (
+        neighbor_votes.unionByName(self_votes)
+        .groupBy("vnode", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        votes.groupBy("vnode")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("m")
+        )
+        .select(F.col("vnode").alias("node"), F.col("m.label").alias("label"))
+    )
+
+
+def _lpa_run(wedges: DataFrame, nodes: DataFrame, n_iter: int) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("label"))
+    prev_chk = None
+    rounds = 0
     for _ in range(n_iter):
-        neighbor_votes = (
-            wedges.join(F.broadcast(labels), wedges.src == labels.node)
-            .select(F.col("dst").alias("vnode"), "label")
-        )
-        self_votes = labels.select(F.col("node").alias("vnode"), "label")
-        votes = (
-            neighbor_votes.unionByName(self_votes)
-            .groupBy("vnode", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        labels = (
-            votes.groupBy("vnode")
-            .agg(
-                F.min(
-                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
-                ).alias("m")
-            )
-            .select(F.col("vnode").alias("node"), F.col("m.label").alias("label"))
-        )
+        labels = _lpa_round(wedges, labels).localCheckpoint(eager=False)
+        rounds += 1
+        chk = labels.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("chk")
+        ).collect()[0][0]
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    LAST_ROUNDS["label_propagation"] = rounds
     return labels.select("node", F.col("label").alias("community"))
 
 

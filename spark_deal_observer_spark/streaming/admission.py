@@ -24,7 +24,6 @@ against an external acceptance budget (spark-api-submit-deals.js:17-29).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,13 +43,22 @@ class BudgetAdmissionSink:
         self._consumed = 0
         base = f"{out_path}/admitted"
         if os.path.isdir(base):
-            for entry in os.listdir(base):
-                m = re.fullmatch(r"batch_id=(\d+)", entry)
-                if m:
-                    self._applied.add(int(m.group(1)))
+            # committed dirs only: a torn batch dir (crash mid-commit)
+            # must be redelivered and overwritten, not counted as applied
+            from .atomic import committed_ids
+
+            self._applied.update(committed_ids(base, "batch_id"))
             if self._applied:
+                # recover the consumed total from the COMMITTED dirs only
+                # (a torn dir's partial rows would inflate the budget)
+                paths = [
+                    f"{base}/batch_id={i}" for i in sorted(self._applied)
+                ]
                 row = (
-                    self.read_admitted().agg(F.sum("n_tokens")).first()
+                    self.spark.read.option("basePath", base)
+                    .parquet(*paths)
+                    .agg(F.sum("n_tokens"))
+                    .first()
                 )
                 self._consumed = int(row[0] or 0)
 

@@ -38,19 +38,16 @@ from ..operators.sketches import hll_estimate, hll_registers
 
 
 def _latest_snapshot(base: str) -> int | None:
-    """Max snapshot id under `base`, or None — restart recovery: the sink
-    resumes from the last durable register/sketch state instead of
-    silently restarting the count from empty."""
-    import os
+    """Max COMMITTED snapshot id under `base`, or None — restart
+    recovery: the sink resumes from the last durable register/sketch
+    state instead of silently restarting the count from empty. Torn
+    snapshots (crash mid-commit, no _SUCCESS) are excluded: counting one
+    as applied would skip the crashed batch's redelivery (lost data) or
+    feed partial registers into the merge."""
+    from .atomic import committed_ids
 
-    if not os.path.isdir(base):
-        return None
-    ids = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(base)
-        if d.startswith("snapshot=") and d.split("=", 1)[1].isdigit()
-    ]
-    return max(ids) if ids else None
+    ids = committed_ids(base, "snapshot")
+    return ids[-1] if ids else None
 
 
 class CardinalityMonitorSink:

@@ -49,16 +49,13 @@ from ..operators.dedup import _line_table
 
 
 def _prior_snapshot(base: str, batch_id: int) -> int | None:
-    """Largest snapshot id STRICTLY below `batch_id` (replay determinism:
-    a redelivered batch must see the same prior state it saw first)."""
-    if not os.path.isdir(base):
-        return None
-    ids = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(base)
-        if d.startswith("snapshot=") and d.split("=", 1)[1].isdigit()
-    ]
-    prior = [i for i in ids if i < batch_id]
+    """Largest COMMITTED snapshot id STRICTLY below `batch_id` (replay
+    determinism: a redelivered batch must see the same prior state it saw
+    first; a torn snapshot left by a crash mid-commit must be invisible
+    — see streaming/atomic.py)."""
+    from .atomic import committed_ids
+
+    prior = [i for i in committed_ids(base, "snapshot") if i < batch_id]
     return max(prior) if prior else None
 
 

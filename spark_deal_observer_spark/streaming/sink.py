@@ -44,6 +44,37 @@ class DealTableSink:
         self.spark = spark
         self.path = path
         self.key = list(key)
+        # restart hygiene: a crash can orphan staged/backup dirs from an
+        # interrupted merge_overwrite/compact (`__stage_*` written but
+        # never swapped, `__old_*` moved aside but not yet removed,
+        # `__compact_*` partition stages). They are invisible to reads
+        # (siblings of the live dir) but leak disk forever; the single-
+        # writer contract makes construction a safe point to sweep them.
+        self._gc_stale_stages()
+
+    def _gc_stale_stages(self) -> None:
+        import glob
+
+        def handle_old(d: str) -> None:
+            # `__old_*` is the pre-swap backup. If its live dir exists the
+            # swap completed and the backup is garbage; if the live dir is
+            # MISSING the crash hit between _swap_dir's two renames and
+            # the backup is the ONLY copy — restore it, never delete it.
+            live = d[: d.rindex("__old_")]
+            if os.path.exists(live):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                os.rename(d, live)
+
+        for d in glob.glob(f"{self.path}__stage_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(f"{self.path}__old_*"):
+            handle_old(d)
+        if os.path.isdir(self.path):
+            for d in glob.glob(os.path.join(self.path, "*__compact_*")):
+                shutil.rmtree(d, ignore_errors=True)
+            for d in glob.glob(os.path.join(self.path, "*__old_*")):
+                handle_old(d)
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (

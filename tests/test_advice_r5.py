@@ -139,6 +139,40 @@ def test_prefix_sum_null_partition_and_double_type(spark):
     assert dict(empty.dtypes)["cum"] == "double"
 
 
+def test_lpa_early_exit_lands_on_a_fixed_point(spark):
+    """With a generous round budget the loop must stop early (stable
+    labels) and the returned table must be a TRUE fixed point: one more
+    hand-applied vote round changes nothing — the exactness argument for
+    early-exit vs the fixed-iteration oracle, executed."""
+    from spark_deal_observer_spark.operators import graph, models
+    from spark_deal_observer_spark.operators.graph import (
+        LAST_ROUNDS,
+        _graph_structure,
+        _lpa_round,
+        label_propagation,
+    )
+
+    models.clear()
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    labels = label_propagation(orders, lineitem, n_iter=12)
+    rounds = LAST_ROUNDS["label_propagation"]
+    assert rounds < 12, "LPA did not converge within the budget"
+
+    wedges, _nodes = _graph_structure(orders, lineitem)
+    again = _lpa_round(
+        wedges, labels.select("node", F.col("community").alias("label"))
+    )
+    before = {r["node"]: r["community"] for r in labels.collect()}
+    after = {r["node"]: r["label"] for r in again.collect()}
+    assert after == before
+
+    # published artifact: a second call re-reads the same snapshot
+    assert label_propagation(orders, lineitem, n_iter=12) is labels
+    assert graph.pagerank(orders, lineitem) is graph.pagerank(orders, lineitem)
+    models.clear()
+
+
 def test_quality_gate_plan_evaluates_tokenize_once(spark):
     """Expression census over the OPTIMIZED plan: the tokenize HOF
     (`split(text, ' ')`) must survive as exactly ONE projection — the

@@ -1,0 +1,253 @@
+"""Crash-interruption (torn-write) recovery for the stateful sink
+families — not replay idempotence (well tested elsewhere) but the
+partial-directory protocol itself: a process killed mid-commit leaves a
+state directory that EXISTS without its _SUCCESS marker (some part files
+already moved in). Restart + redelivery must yield effectively-once
+output: torn snapshots invisible to selection, torn batch dirs healed by
+overwrite, orphaned stage/backup dirs swept (and a backup whose live dir
+vanished RESTORED, never deleted)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from spark_deal_observer_spark.sources.tables import load_table
+
+
+def _tear(src_committed: str, dst: str) -> None:
+    """Fabricate a torn directory at `dst`: one real part file copied
+    from a committed dir (files move in before the marker), a leftover
+    _temporary dir, and NO _SUCCESS."""
+    os.makedirs(dst, exist_ok=True)
+    os.makedirs(os.path.join(dst, "_temporary"), exist_ok=True)
+    part = next(
+        f for f in os.listdir(src_committed) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(src_committed, part), os.path.join(dst, "x-" + part)
+    )
+    assert not os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
+def _splits(df, col, n=3):
+    return [df.where(F.col(col) % n == i) for i in range(n)]
+
+
+def test_line_dedup_torn_snapshot_heals_on_redelivery(spark, tmp_path):
+    from spark_deal_observer_spark.streaming.line_dedup import (
+        LineDedupIngestSink,
+        _prior_snapshot,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    parts = _splits(docs, "doc_id")
+
+    clean = LineDedupIngestSink(spark, str(tmp_path / "clean"))
+    for i, b in enumerate(parts):
+        clean.process_batch(b, batch_id=i)
+    want = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in clean.read_docs().collect()
+    }
+
+    crash = LineDedupIngestSink(spark, str(tmp_path / "crash"))
+    crash.process_batch(parts[0], batch_id=0)
+    crash.process_batch(parts[1], batch_id=1)
+    # batch 2 crashes mid-commit: torn store snapshot AND torn docs dir
+    _tear(f"{crash.store}/snapshot=1", f"{crash.store}/snapshot=2")
+    _tear(f"{crash.docs}/batch_id=1", f"{crash.docs}/batch_id=2")
+    # the torn snapshot must be invisible to snapshot selection
+    assert _prior_snapshot(crash.store, 3) == 1
+
+    restarted = LineDedupIngestSink(spark, str(tmp_path / "crash"))
+    restarted.process_batch(parts[2], batch_id=2)  # redelivery
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in restarted.read_docs().collect()
+    }
+    assert got == want
+    assert os.path.exists(f"{restarted.store}/snapshot=2/_SUCCESS")
+
+
+def test_frequency_ledger_does_not_count_torn_snapshot(spark, tmp_path):
+    """The CMS ledger treats ids <= last snapshot as applied — if a TORN
+    snapshot were counted as latest, the crashed batch's redelivery would
+    be skipped (lost counts) and partial cells would feed the merge."""
+    from spark_deal_observer_spark.operators.sketches import cms_cells
+    from spark_deal_observer_spark.streaming.frequency import (
+        FrequencyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    parts = _splits(docs, "doc_id")
+    path = str(tmp_path / "freq")
+    f1 = FrequencyMonitorSink(spark, path)
+    f1.process_batch(parts[0], batch_id=0)
+    f1.process_batch(parts[1], batch_id=1)
+    _tear(f"{path}/sketch/snapshot=1", f"{path}/sketch/snapshot=2")
+
+    f2 = FrequencyMonitorSink(spark, path)
+    assert f2._last_snapshot == 1  # torn snapshot invisible
+    f2.process_batch(parts[2], batch_id=2)  # redelivery NOT skipped
+    got = {(r["d"], r["cell"]): r["cnt"] for r in f2._sketch().collect()}
+    want = {(r["d"], r["cell"]): r["cnt"] for r in cms_cells(docs).collect()}
+    assert got == want
+
+
+def test_cardinality_restart_over_torn_snapshot(spark, tmp_path):
+    from spark_deal_observer_spark.operators.sketches import hll_registers
+    from spark_deal_observer_spark.streaming.cardinality import (
+        CardinalityMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    parts = _splits(events, "event_id")
+    path = str(tmp_path / "card")
+    s1 = CardinalityMonitorSink(spark, path)
+    s1.process_batch(parts[0], batch_id=0)
+    s1.process_batch(parts[1], batch_id=1)
+    _tear(f"{path}/registers/snapshot=1", f"{path}/registers/snapshot=2")
+
+    s2 = CardinalityMonitorSink(spark, path)
+    s2.process_batch(parts[2], batch_id=2)  # overwrites the torn dir
+    got = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in s2._registers().collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["rho"]
+        for r in hll_registers(events).collect()
+    }
+    assert got == want
+
+
+def test_admission_budget_ignores_torn_batch_dir(spark, tmp_path):
+    from spark_deal_observer_spark.streaming.admission import (
+        BudgetAdmissionSink,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    parts = _splits(docs, "doc_id")
+    budget = 40_000
+
+    clean = BudgetAdmissionSink(spark, budget, str(tmp_path / "clean"))
+    for i, b in enumerate(parts):
+        clean.process_batch(b, batch_id=i)
+    want_ids = {r["doc_id"] for r in clean.read_admitted().collect()}
+    want_spent = clean._consumed
+
+    path = str(tmp_path / "crash")
+    c = BudgetAdmissionSink(spark, budget, path)
+    c.process_batch(parts[0], batch_id=0)
+    c.process_batch(parts[1], batch_id=1)
+    _tear(f"{path}/admitted/batch_id=1", f"{path}/admitted/batch_id=2")
+
+    r = BudgetAdmissionSink(spark, budget, path)
+    assert r._applied == {0, 1}  # torn dir is NOT applied
+    assert r._consumed == sum(
+        x["n_tokens"]
+        for i in (0, 1)
+        for x in spark.read.parquet(f"{path}/admitted/batch_id={i}").collect()
+    )
+    r.process_batch(parts[2], batch_id=2)  # redelivery heals the dir
+    got_ids = {r2["doc_id"] for r2 in r.read_admitted().collect()}
+    assert got_ids == want_ids and r._consumed == want_spent
+
+
+def test_deal_sink_append_heals_partial_append(spark, tmp_path):
+    """append_dedup after a crash mid-append-commit: some of the batch's
+    part files landed, the rest didn't. Redelivery must complete the
+    batch without duplicating the rows whose files made it in (the
+    anti-join self-heal at whole-file granularity)."""
+    from spark_deal_observer_spark.streaming.sink import DealTableSink
+
+    deals = load_table(spark, SF_SMALL, "events").select(
+        F.col("event_id").alias("deal_id"),
+        F.col("event_type").alias("kind"),
+    )
+    first = deals.where(F.col("deal_id") % 2 == 0)
+    second = deals.where(F.col("deal_id") % 2 == 1)
+    path = str(tmp_path / "table")
+    sink = DealTableSink(spark, path, key=["deal_id"])
+    sink.append_dedup(first)
+
+    # crash mid-append of `second`: exactly half its rows land as a
+    # committed part file inside the table dir (no marker semantics for
+    # appends — parquet append is new-files-only)
+    partial = second.where(F.col("deal_id") % 4 == 1)
+    ptmp = str(tmp_path / "partial")
+    partial.coalesce(1).write.mode("overwrite").parquet(ptmp)
+    part = next(f for f in os.listdir(ptmp) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(ptmp, part), os.path.join(path, "torn-" + part)
+    )
+
+    restarted = DealTableSink(spark, path, key=["deal_id"])
+    restarted.append_dedup(second)  # redelivery
+    got = [
+        (r["deal_id"], r["kind"]) for r in restarted.read().collect()
+    ]
+    assert len(got) == len(set(got)) == deals.count()
+
+
+def test_deal_sink_gc_restores_lost_live_dir_and_sweeps_orphans(
+    spark, tmp_path
+):
+    from spark_deal_observer_spark.streaming.sink import DealTableSink
+
+    deals = load_table(spark, SF_SMALL, "events").select(
+        F.col("event_id").alias("deal_id"),
+        F.col("event_type").alias("kind"),
+    )
+    path = str(tmp_path / "table")
+    sink = DealTableSink(spark, path, key=["deal_id"])
+    sink.append_dedup(deals)
+    n = sink.count()
+
+    # crash window A: staged dir written, swap never started
+    os.makedirs(f"{path}__stage_deadbeef")
+    # crash window B: live moved aside, staged rename never happened —
+    # the backup is the only copy
+    os.rename(path, f"{path}__old_cafef00d")
+    assert not os.path.exists(path)
+
+    restarted = DealTableSink(spark, path, key=["deal_id"])
+    assert restarted.count() == n  # backup restored, not deleted
+    assert not os.path.exists(f"{path}__stage_deadbeef")
+    assert not os.path.exists(f"{path}__old_cafef00d")
+
+
+def test_partitioned_sink_sweeps_compact_orphans(spark, tmp_path):
+    from spark_deal_observer_spark.streaming.sink import (
+        PartitionedDealTableSink,
+    )
+
+    deals = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("deal_id"),
+        F.col("o_orderkey").alias("activated_at_epoch"),
+        F.col("o_orderstatus").alias("kind"),
+    )
+    path = str(tmp_path / "ptable")
+    sink = PartitionedDealTableSink(
+        spark, path, key=["deal_id"], bucket_width=1000
+    )
+    sink.append_dedup(deals)
+    n = sink.count()
+    parts = [d for d in os.listdir(path) if d.startswith("epoch_bucket=")]
+
+    # crash mid-compact: a partition's staged rewrite orphaned, and one
+    # partition's backup left with its live dir missing
+    os.makedirs(os.path.join(path, f"{parts[0]}__compact_ab12"))
+    live = os.path.join(path, parts[1])
+    os.rename(live, live + "__old_ff00")
+
+    restarted = PartitionedDealTableSink(
+        spark, path, key=["deal_id"], bucket_width=1000
+    )
+    assert restarted.count() == n
+    assert not os.path.exists(os.path.join(path, f"{parts[0]}__compact_ab12"))
+    assert os.path.isdir(live)
