@@ -1230,6 +1230,99 @@ def dedup_lines(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_lines_ttl(
+    docs: DataFrame, ttl_batches: int = 3, batch_docs: int = 100
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): SLIDING-WINDOW line dedup —
+    the batch twin of the bounded-state streaming tier
+    (streaming/line_dedup.py::BoundedLineDedupIngestSink), making its
+    TTL recall trade oracle-checkable. Documents are bucketed into
+    ingestion batches (batch = doc_id DIV `batch_docs`, the doc_id-ordered
+    arrival the streaming equality test pins) and a line occurrence is
+    dropped iff its most recent PRIOR occurrence — kept or dropped; the
+    streaming store refreshes last_seen on every occurrence — lies within
+    `ttl_batches` batches. A line recurring after a longer absence is
+    first-seen again and kept.
+
+    Plan: the same scan-stage expansion as dedup_lines, then ONE window
+    per line hash (max prior batch over preceding occurrences; batch is
+    nondecreasing in (doc_id, pos) order, so max == most recent) —
+    O(occurrences), no per-line self-join, so a hot boilerplate line
+    costs its occurrence count, never its square — and the same per-doc
+    reassembly aggregate."""
+    from pyspark.sql.window import Window
+
+    occ = (
+        _line_table(docs)
+        .select("doc_id", "pos", "line", F.md5("line").alias("lh"))
+        .withColumn(
+            "batch", F.expr(f"CAST(doc_id DIV {batch_docs} AS BIGINT)")
+        )
+    )
+    w = (
+        Window.partitionBy("lh")
+        .orderBy("doc_id", "pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_occ = (
+        occ.withColumn("prev_batch", F.max("batch").over(w))
+        .where(
+            F.col("prev_batch").isNull()
+            | (F.col("prev_batch") < F.col("batch") - ttl_batches)
+        )
+    )
+    kept = kept_occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def dedup_lines_ttl_oracle(ttl_batches: int = 3, batch_docs: int = 100) -> str:
+    return f"""
+        WITH ttl_toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+        ttl_occ AS (SELECT doc_id, pos,
+                       array_to_string(ts[(pos * {LINE_W} + 1):(pos * {LINE_W} + {LINE_W})], ' ') AS line
+                FROM (SELECT doc_id, ts,
+                             CAST(unnest(range(0, CAST(ceil(len(ts) / {LINE_W}.0) AS INT))) AS INT) AS pos
+                      FROM ttl_toks)),
+        ttl_flagged AS (SELECT doc_id, pos, line,
+                           CAST(doc_id // {batch_docs} AS BIGINT) AS batch,
+                           max(CAST(doc_id // {batch_docs} AS BIGINT)) OVER (
+                             PARTITION BY md5(line) ORDER BY doc_id, pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ) AS prev_batch
+                    FROM ttl_occ),
+        ttl_kept AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_kept,
+                        string_agg(line, ' ' ORDER BY pos) AS clean_text
+                 FROM ttl_flagged
+                 WHERE prev_batch IS NULL OR prev_batch < batch - {ttl_batches}
+                 GROUP BY doc_id),
+        ttl_totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                   FROM ttl_occ GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM ttl_totals t LEFT JOIN ttl_kept k ON t.doc_id = k.doc_id
+    """
+
+
 def dedup_lines_oracle() -> str:
     return f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts

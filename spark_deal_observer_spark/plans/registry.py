@@ -3193,6 +3193,17 @@ def q_dedup_lines(spark, sf_dir):
     return dd.dedup_lines(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_lines_ttl", dd.dedup_lines_ttl_oracle())
+def q_dedup_lines_ttl(spark, sf_dir):
+    """Sliding-window line dedup — the oracle-checkable batch twin of the
+    bounded-state streaming tier (TTL-compacted store): an occurrence is
+    dropped iff its most recent prior occurrence lies within ttl ingestion
+    batches (batch = doc_id DIV 100); older recurrences are first-seen
+    again. ONE window per line hash (max prior batch), O(occurrences) —
+    hot boilerplate lines never pay a self-join square."""
+    return dd.dedup_lines_ttl(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_weighted_sample", cp.weighted_sample_oracle())
 def q_corpus_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement in one pass (exponential-keys
@@ -6636,6 +6647,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_budget_admission",
     "dedup_duplicate_spans",
     "dedup_lines",           # CCNet-style global line dedup with reassembly
+    "dedup_lines_ttl",       # sliding-window twin of the bounded streaming tier
     "dedup_cluster_histogram",  # cluster-size distribution dashboard
     "dedup_canonical_pick",
     "corpus_global_shuffle",

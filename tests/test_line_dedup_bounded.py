@@ -143,6 +143,41 @@ def test_cross_window_recurrence_kept_and_recall_quantified(spark, tmp_path):
         assert e_rows[d][1] == 0 and b_rows[d][1] == 1, d
 
 
+def test_streamed_bounded_union_equals_batch_ttl_operator(spark, tmp_path):
+    """doc_id-ordered ingestion through the bounded sink must equal the
+    ORACLE-CHECKED batch operator `dedup_lines_ttl` over the concatenated
+    corpus (batch = doc_id DIV batch_docs, matching ttl) — the same
+    streamed≡batch pin the exact sink has, extended to the TTL tier, so
+    the streaming recall trade is exactly the one the DuckDB oracle
+    verifies."""
+    from conftest import SF_SMALL
+
+    from spark_deal_observer_spark.operators.dedup import dedup_lines_ttl
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    bdocs = max(1, (max_id + 1) // 8)
+    ttl = 2
+    sink = BoundedLineDedupIngestSink(
+        spark, str(tmp_path / "tw"), ttl_batches=ttl
+    )
+    n_batches = max_id // bdocs + 1
+    for i in range(n_batches):
+        sink.process_batch(
+            docs.where(F.expr(f"doc_id DIV {bdocs}") == i), batch_id=i
+        )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in sink.read_docs().collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in dedup_lines_ttl(docs, ttl_batches=ttl, batch_docs=bdocs).collect()
+    }
+    assert got == want
+
+
 def test_bounded_replay_is_bit_identical(spark, tmp_path):
     batches = _stream(spark, n_batches=6)
     sink = BoundedLineDedupIngestSink(
