@@ -129,6 +129,9 @@ HEADLINE = [
     # r4 extension: line-level dedup rewrite and capped market basket
     "dedup_lines",
     "copurchase_pairs",
+    # r5: sliding-window line dedup (batch twin of the bounded-state
+    # streaming tier)
+    "dedup_lines_ttl",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

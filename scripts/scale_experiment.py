@@ -78,7 +78,7 @@ def _clean_copy_targets(dst: str) -> None:
             os.remove(p)
 
 
-def synthesize(con, dst: str = DST, n_copies: int = COPIES) -> None:
+def synthesize(con, dst: str = DST, n_copies: int = COPIES, salt: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     _clean_copy_targets(dst)
     n_docs = con.execute(
@@ -91,10 +91,30 @@ def synthesize(con, dst: str = DST, n_copies: int = COPIES) -> None:
         f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
     ).fetchone()[0]
     copies = f"generate_series(0, {n_copies - 1}) AS g(i)"
+    if salt:
+        # constant-duplicate-density perturbation: per-copy Caesar
+        # rotation (letters shift (i%25)+1, digits shift (i%9)+1 —
+        # lcm 225 > copies, so every copy is in its own class). A
+        # bijective char map preserves each copy's INTERNAL duplicate
+        # structure exactly (shingle sets map 1:1) while making
+        # cross-copy shingle overlap ~zero — token-level salts are NOT
+        # enough: character 5-shingles are local, a salt every 5 tokens
+        # leaves Jaccard ≈ 0.8 and the 4-band × 2-row LSH (catches
+        # J ≳ 0.5) still pairs every copy with every other.
+        al = "abcdefghijklmnopqrstuvwxyz"
+        dg = "0123456789"
+        rot_l = f"substr('{al}', (i % 25) + 2) || substr('{al}', 1, (i % 25) + 1)"
+        rot_d = f"substr('{dg}', (i % 9) + 2) || substr('{dg}', 1, (i % 9) + 1)"
+        text_expr = (
+            f"CASE WHEN i = 0 THEN text ELSE "
+            f"translate(text, '{al}{dg}', {rot_l} || {rot_d}) END"
+        )
+    else:
+        text_expr = "CASE WHEN i = 0 THEN text ELSE text || ' v' || i END"
     con.execute(
         f"""COPY (
           SELECT doc_id + i * {n_docs} AS doc_id,
-                 CASE WHEN i = 0 THEN text ELSE text || ' v' || i END AS text,
+                 {text_expr} AS text,
                  lang, source, n_chars
           FROM read_parquet('{SRC}/documents.parquet'), {copies}
         ) TO '{dst}/documents.parquet' (FORMAT parquet)"""
@@ -193,9 +213,20 @@ def synthesize_skew(con) -> None:
             os.symlink(os.path.join(DST, f"{t}.parquet"), dst)
 
 
-def _time(spark, fn, sf_dir: str) -> float:
+def _time(spark, fn, sf_dir: str, cold: bool = False) -> float:
+    """min-of-2 wall. `cold=True` clears the session artifact registry
+    before EVERY run: published-artifact queries (signatures, CC labels,
+    graph builds) otherwise report the warm artifact SCAN on run 2 —
+    flat across decades and useless as scale evidence. The x100 decade
+    times the cold end-to-end path (train + consume) for exactly that
+    reason; the default mode keeps the historical warm semantics so the
+    earlier §4 tables stay comparable."""
+    from spark_deal_observer_spark.operators import models
+
     best = float("inf")
     for _ in range(2):
+        if cold:
+            models.clear()
         t = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t)
@@ -203,18 +234,80 @@ def _time(spark, fn, sf_dir: str) -> float:
 
 
 # the third-decade set: the headline LINEAR families (signature build,
-# star-edge CC, sessionization, salt-spread join, incremental banded
-# probe, line dedup, watermark windows). Pair-output enumerators stay
-# excluded per the quadratic-semantics rule.
+# star-edge CC, sessionization, salt-spread join, line dedup, watermark
+# windows). Pair-family consumers (dedup_incremental, LSH pair
+# enumeration) stay excluded per the standing quadratic-semantics rule —
+# the id-shifted protocol multiplies duplicate DENSITY, so their
+# candidate volume grows ~copies² by construction; they get their own
+# decade under --lowdup below.
 X100_QUERIES = [
     "dedup_minhash_sig",
     "dedup_clusters",
     "sessionize_events",
     "salted_join_dim",
-    "dedup_incremental",
     "dedup_lines",
     "windowed_counts",
 ]
+
+# --lowdup: the CONSTANT-duplicate-density decade for the pair family.
+# Each copy has a per-copy salt token spliced every 5 tokens, destroying
+# cross-copy shingle overlap — 10×/100× the DATA at ≈ the base corpus's
+# duplicate rate, which is the real production shape (a bigger corpus is
+# not 100 near-copies of itself). Under it, candidate volume grows
+# linearly and the probe-shaped incremental dedup can be measured
+# honestly across two decades.
+DST_LD10 = os.environ.get("SCALE10X_LOWDUP_DIR", "/tmp/scale10x_lowdup")
+DST_LD100 = os.environ.get("SCALE100X_LOWDUP_DIR", "/tmp/scale100x_lowdup")
+LOWDUP_QUERIES = [
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+]
+
+
+def probe_decade(spark) -> None:
+    """--probe: the incremental-dedup decade done honestly.
+
+    Timing the REGISTERED dedup_incremental across ×N id-shifted corpora
+    measures candidate-verify volume, which grows with duplicate density
+    × corpus by SEMANTICS (the standing §4 exclusion), and the synthetic
+    fixture is duplicate-dense, so the pair store at 100× outgrows one
+    box's spill budget. The production claim worth measuring is the
+    per-TICK shape of continuous-ingestion dedup (streaming/
+    dedup_ingest.py): a FIXED incoming batch band-probed against the
+    accumulated signature store. So: build the store per corpus size
+    (reported — the linear part), then time the probe tick of the SAME
+    base-corpus batch against each store."""
+    from spark_deal_observer_spark.operators import models
+    from spark_deal_observer_spark.operators.models import disk_checkpoint
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.dedup_ingest import band_keys
+
+    batch = load_table(spark, SRC, "documents").where("doc_id % 10 = 0")
+    rows = []
+    for label, d in (("1x", SRC), ("10x", DST), ("100x", DST100)):
+        models.clear()
+        t0 = time.perf_counter()
+        store = disk_checkpoint(
+            band_keys(load_table(spark, d, "documents")), f"probe_store_{label}"
+        )
+        build_s = time.perf_counter() - t0
+        ticks = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            bk = band_keys(batch)
+            n_hit = (
+                bk.join(store, ["band", "key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            ticks.append(time.perf_counter() - t1)
+        rows.append((label, build_s, min(ticks), n_hit, store.count()))
+        print(f"DONE probe {label} build={build_s:.2f} tick={min(ticks):.2f}", flush=True)
+    print("\n| store | build sec | probe tick sec (fixed batch) | batch hits | store rows |")
+    print("|---|---|---|---|---|")
+    for label, b, t, h, n in rows:
+        print(f"| {label} | {b:.2f} | {t:.2f} | {h} | {n} |")
 
 
 def main() -> None:
@@ -223,16 +316,31 @@ def main() -> None:
     args = sys.argv[1:]
     skew = "--skew" in args
     x100 = "--x100" in args
-    args = [a for a in args if a not in ("--skew", "--x100")]
-    names = args or (
-        SKEW_QUERIES if skew else (X100_QUERIES if x100 else DEFAULT_QUERIES)
-    )
+    lowdup = "--lowdup" in args
+    probe = "--probe" in args
+    args = [a for a in args if a not in ("--skew", "--x100", "--lowdup", "--probe")]
+    if lowdup:
+        names = args or LOWDUP_QUERIES
+    else:
+        names = args or (
+            SKEW_QUERIES if skew else (X100_QUERIES if x100 else DEFAULT_QUERIES)
+        )
     con = duckdb.connect()
-    synthesize(con)
+    if not lowdup:
+        synthesize(con)
     if skew:
         synthesize_skew(con)
-    if x100:
+    if x100 or probe:
         synthesize(con, DST100, 100)
+    if lowdup:
+        # 10x only: even at CONSTANT density the pair family's verify
+        # volume is 10x the base corpus's (the fixture is duplicate-
+        # dense: ~1.5M base pairs), and the 100x store build's array
+        # shuffle (~150M candidate verifies) exceeds one box's spill
+        # budget — measured: >39 GB of shuffle before ENOSPC. The 100x
+        # point for incremental ingestion is --probe (fixed batch vs
+        # grown store), which is the per-tick production claim anyway.
+        synthesize(con, DST_LD10, 10, salt=True)
 
     from spark_deal_observer_spark.plans.registry import REGISTRY
     from spark_deal_observer_spark.session import get_spark
@@ -241,15 +349,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    dirs = (
-        [("1x", SRC), ("10x", DST)]
-        + ([("10x-skew", SKEW_DST)] if skew else [])
-        + ([("100x", DST100)] if x100 else [])
-    )
+    if probe:
+        probe_decade(spark)
+        return
+
+    if lowdup:
+        dirs = [("1x", SRC), ("10x", DST_LD10)]
+    else:
+        dirs = (
+            [("1x", SRC), ("10x", DST)]
+            + ([("10x-skew", SKEW_DST)] if skew else [])
+            + ([("100x", DST100)] if x100 else [])
+        )
     rows = []
     for name in names:
         fn = REGISTRY[name].fn
-        timing = {label: _time(spark, fn, sf_dir) for label, sf_dir in dirs}
+        timing = {
+            label: _time(spark, fn, sf_dir, cold=x100 or lowdup)
+            for label, sf_dir in dirs
+        }
         rows.append((name, timing))
         print(
             "DONE " + name + " " + " ".join(f"{k}={v:.2f}" for k, v in timing.items()),

@@ -844,13 +844,14 @@ def dsir_importance_sample(docs: DataFrame, k: int = DSIR_TOP_K) -> DataFrame:
     head is TakeOrdered over it — no global sort. The Gumbel draw is the
     usual deterministic hash of the PRIMARY KEY, never rand().
     """
-    from .models import published
+    from .models import disk_checkpoint, published
 
     scored = published(
         docs,
         "dsir_logw",
         (DSIR_M, DSIR_TARGET_SOURCES),
-        lambda: _dsir_logw_plan(docs).localCheckpoint(eager=True),
+        # one row per doc: corpus-sized -> columnar disk artifact
+        lambda: disk_checkpoint(_dsir_logw_plan(docs), "dsir_logw"),
     )
     u = f"(({hash32_sql('CAST(doc_id AS STRING)', 'spark')}) % 100000 + 1) / 100001.0"
     gumbel = F.expr(f"ROUND(-ln(-ln({u})), 6)")

@@ -103,7 +103,7 @@ def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
     it — the in-session analog of the materialized signature store a dedup
     pipeline writes next to its corpus (narrow: doc_id + n BIGINTs).
     """
-    from .models import published
+    from .models import disk_checkpoint, published
 
     def build() -> DataFrame:
         hs = hashed_shingles_sql("spark", "text")
@@ -111,12 +111,13 @@ def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
             F.expr(minhash_from_hashed_sql("spark", "hs", j)).alias(f"mh{j}")
             for j in range(n)
         ]
-        return (
+        sigs = (
             spread_cpu(docs.select("doc_id", "text"))
             .select("doc_id", F.expr(hs).alias("hs"))
             .select("doc_id", *cols)
-            .localCheckpoint(eager=True)
         )
+        # corpus-sized -> columnar disk artifact, not deserialized cache
+        return disk_checkpoint(sigs, "minhash_sigs")
 
     return published(docs, "minhash_sigs", (n,), build)
 
@@ -398,13 +399,14 @@ def pair_intersections(docs: DataFrame) -> DataFrame:
     verify table a dedup pipeline persists next to its signature store —
     candidate-bounded, written once, filtered by every policy
     (threshold / direction) downstream."""
-    from .models import published
+    from .models import disk_checkpoint, published
 
     return published(
         docs,
         "pair_intersections",
         (),
-        lambda: pair_intersections_plan(docs).localCheckpoint(eager=True),
+        # candidate-bounded but corpus-keyed: disk-tier artifact
+        lambda: disk_checkpoint(pair_intersections_plan(docs), "pair_intersections"),
     )
 
 
@@ -447,14 +449,17 @@ def _verify_join(cands: DataFrame, a: DataFrame, b: DataFrame) -> DataFrame:
 
 def _hashed_shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, sh bigint[]): published hashed-shingle sets (models.py)."""
-    from .models import published
+    from .models import disk_checkpoint, published
 
     def build() -> DataFrame:
         sh = F.expr(hashed_shingles_sql("spark", "text"))
-        return (
-            spread_cpu(docs.select("doc_id", "text"))
-            .select("doc_id", sh.alias("sh"))
-            .localCheckpoint(eager=True)
+        # the FAT one: ~n_shingles ints per doc; deserialized caching of
+        # this table is what OOM'd the 100x run -> columnar disk artifact
+        return disk_checkpoint(
+            spread_cpu(docs.select("doc_id", "text")).select(
+                "doc_id", sh.alias("sh")
+            ),
+            "shingle_sets",
         )
 
     return published(docs, "shingle_sets", (), build)

@@ -159,6 +159,33 @@ def published(
     return got
 
 
+def disk_checkpoint(df: DataFrame, name: str) -> DataFrame:
+    """Materialize `df` to PARQUET and return the read-back frame — the
+    lineage-truncation for CORPUS-SIZED artifacts (signature tables,
+    shingle sets, pair-intersection stores).
+
+    `localCheckpoint` caches DESERIALIZED row objects: a hashed-shingle
+    table is ~n_shingles boxed ints per document, an order of magnitude
+    over its parquet footprint, and the 100× scale run OOM'd a 24 g heap
+    pulling those blocks back for the probe join. Columnar parquet keeps
+    the artifact at its encoded size, reads scale with executors (the
+    production shape: published artifacts live in object storage, not
+    executor memory), and values round-trip exactly (ints, md5 strings,
+    IEEE doubles). Node-sized artifacts (centroids, codebooks, rank/label
+    vectors) stay on the in-memory localCheckpoint path — for them the
+    re-read would cost more than the memory saves."""
+    import tempfile
+    import uuid
+
+    base = getattr(df.sparkSession, "_sdo_artifact_dir", None)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="sdo_artifacts_")
+        df.sparkSession._sdo_artifact_dir = base
+    path = f"{base}/{name}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def clear() -> None:
     """Drop every published artifact (test isolation helper)."""
     _STORE.clear()

@@ -310,8 +310,11 @@ def hashed_doc_embeddings(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
         )
         arr = F.array(*[F.col(f"c{i}") for i in range(dim)])
         vec = F.transform(arr, lambda x: F.round(x / F.col("nrm"), 6))
-        return sums.select("doc_id", vec.alias("embedding")).localCheckpoint(
-            eager=True
+        # docs x dim doubles: corpus-sized -> columnar disk artifact
+        from .models import disk_checkpoint
+
+        return disk_checkpoint(
+            sums.select("doc_id", vec.alias("embedding")), "hashed_emb"
         )
 
     return published(docs, "hashed_emb", (dim,), build)
@@ -579,14 +582,15 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
     unchanged. Docs with <2 tokens have no transitions and are (by
     definition) unscored.
     """
-    from .models import published
+    from .models import disk_checkpoint, published
     from .profile import exact_quantiles
 
     scored = published(
         docs,
         "bigram_ppl",
         (PPL_LAMBDA,),
-        lambda: _ppl_scores_plan(docs).localCheckpoint(eager=True),
+        # one row per doc: corpus-sized -> columnar disk artifact
+        lambda: disk_checkpoint(_ppl_scores_plan(docs), "bigram_ppl"),
     )
     t1, t2 = exact_quantiles(scored, "perplexity", list(PPL_TERTILES))
     return scored.select(

@@ -309,12 +309,15 @@ def test_source_overlap_joins_on_shingle_value(spark):
 
 def test_incremental_dedup_rides_published_store(spark):
     """Warm plan must be filter + map-side-combinable argmax AGGREGATE
-    over the published verify store: no parquet scan of documents, no
-    candidate re-enumeration join, and no Window (the aggregate form
-    collapses each task's candidates before the exchange)."""
+    over the published verify store: no re-scan of the documents corpus,
+    no candidate re-enumeration join, and no Window (the aggregate form
+    collapses each task's candidates before the exchange). The store
+    itself IS a parquet scan since r5 — corpus-sized artifacts live on
+    the columnar disk tier (models.disk_checkpoint), not in deserialized
+    cache — so the pin is on scanning `documents`, not on file scans."""
     q(spark, "dedup_incremental").count()  # ensure artifact is published
     p = plan(q(spark, "dedup_incremental"))
-    assert "Scan parquet" not in p, p
+    assert "documents.parquet" not in p, p
     assert "Window" not in p, p
     assert "partial_max" in p, p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
