@@ -6166,10 +6166,25 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "CAST(1 AS DOUBLE) AS value_num",
         null_str,
     )
+    lt_df = REGISTRY["dedup_lines_ttl"].fn(spark, sf_dir)
+    lt = lt_df.selectExpr(
+        "'ttl_lines' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'n_lines', CAST(n_lines AS DOUBLE), "
+        "'n_kept', CAST(n_kept AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    lt_t = lt_df.selectExpr(
+        "'ttl_lines' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'clean_text' AS metric",
+        "CAST(NULL AS DOUBLE) AS value_num",
+        "clean_text AS value_str",
+    )
     return (
         inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
         .unionByName(ex).unionByName(sh).unionByName(aj)
         .unionByName(ln).unionByName(ln_t).unionByName(chm)
+        .unionByName(lt).unionByName(lt_t)
     )
 
 
@@ -6185,7 +6200,8 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
          fk AS MATERIALIZED ({REGISTRY["dedup_first_per_key"].oracle}),
          ex AS MATERIALIZED ({REGISTRY["dedup_exact"].oracle}),
          sh AS MATERIALIZED ({REGISTRY["dedup_simhash"].oracle}),
-         aj AS MATERIALIZED ({REGISTRY["anti_join_dedup"].oracle})
+         aj AS MATERIALIZED ({REGISTRY["anti_join_dedup"].oracle}),
+         lnt AS MATERIALIZED ({REGISTRY["dedup_lines_ttl"].oracle})
     SELECT 'incremental' AS section, CAST(batch_doc AS VARCHAR) AS key,
            'match_doc' AS metric, CAST(match_doc AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM inc
@@ -6232,6 +6248,12 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
            CAST(n_clusters AS DOUBLE), NULL FROM chm
     UNION ALL SELECT 'cluster_hist', size_bucket, 'n_docs',
            CAST(n_docs AS DOUBLE), NULL FROM chm
+    UNION ALL SELECT 'ttl_lines', CAST(doc_id AS VARCHAR), 'n_lines',
+           CAST(n_lines AS DOUBLE), NULL FROM lnt
+    UNION ALL SELECT 'ttl_lines', CAST(doc_id AS VARCHAR), 'n_kept',
+           CAST(n_kept AS DOUBLE), NULL FROM lnt
+    UNION ALL SELECT 'ttl_lines', CAST(doc_id AS VARCHAR), 'clean_text',
+           CAST(NULL AS DOUBLE), clean_text FROM lnt
     """,
 )
 
@@ -6461,7 +6483,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
-        "dedup_lines", "dedup_cluster_histogram",
+        "dedup_lines", "dedup_lines_ttl", "dedup_cluster_histogram",
         "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
         "dedup_simhash", "anti_join_dedup",
     ),
