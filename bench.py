@@ -130,8 +130,9 @@ HEADLINE = [
     "dedup_lines",
     "copurchase_pairs",
     # r5: sliding-window line dedup (batch twin of the bounded-state
-    # streaming tier)
+    # streaming tier) + truncated-EWMA load forecast
     "dedup_lines_ttl",
+    "event_ewma_forecast",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -277,6 +277,102 @@ def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.25  # (1-α) = 0.75 = 3·2⁻²: every power is an EXACT double
+EWMA_K = 8  # truncated horizon: weights beyond (1-α)⁸ ≈ 0.1 are noise here
+
+
+def _ewma_weights(k: int = EWMA_K, alpha: float = EWMA_ALPHA) -> list[float]:
+    return [(1 - alpha) ** j for j in range(k)]
+
+
+def event_ewma_forecast(events: DataFrame) -> DataFrame:
+    """(event_type, bucket_ts, n_events, ewma, forecast, forecast_err):
+    windowed EWMA smoothing + one-step-ahead forecast over the hourly
+    event counts — the load-forecasting companion of the z-score monitor,
+    over the same bucket table (reference analog: the observer's
+    telemetry counters are the raw series an operator watches;
+    spark-evaluate-deals.js:21-34 emits them per loop).
+
+    The EWMA is the K-term TRUNCATED form: weights (1-α)^j over the
+    trailing K buckets including the current, normalized by the weights
+    actually present at the series head — a pure composition of window
+    LAGs rather than a recursion, so both engines evaluate the identical
+    left-to-right IEEE sum and oracle parity is exact. α = 0.25 makes
+    every weight an exact binary double ((3/4)^j), so no rounding is
+    needed inside the sum; the smoothed value rounds once at 6 dp. The
+    forecast for a bucket is the PREVIOUS bucket's smoothed value
+    (one-step-ahead), and forecast_err = n_events − forecast is the
+    residual a capacity planner alarms on.
+
+    Plan: one corpus shuffle for the hourly counts, then window
+    arithmetic over the |event_type| × hours bucket table — the weights
+    unroll at plan-build into literal doubles (codegen'd), never an
+    interpreted HOF."""
+    from pyspark.sql.window import Window
+
+    hourly = events.groupBy(
+        "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    num = None
+    den = None
+    for j, wt in enumerate(_ewma_weights()):
+        lagged = F.lag("n_events", j).over(w) if j else F.col("n_events")
+        t_num = F.coalesce(lagged.cast("double") * F.lit(wt), F.lit(0.0))
+        t_den = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    smoothed = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.round(num / den, 6).alias("ewma"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("bucket_ts")
+    return smoothed.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "ewma",
+        F.lag("ewma").over(w2).alias("forecast"),
+        F.round(
+            F.col("n_events") - F.lag("ewma").over(w2), 6
+        ).alias("forecast_err"),
+    )
+
+
+def event_ewma_forecast_oracle() -> str:
+    num_terms = []
+    den_terms = []
+    for j, wt in enumerate(_ewma_weights()):
+        lag = f"lag(n_events, {j}) OVER w" if j else "n_events"
+        num_terms.append(
+            f"COALESCE(CAST({lag} AS DOUBLE) * {wt!r}, 0.0)"
+        )
+        den_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {wt!r} ELSE 0.0 END"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        WITH ewma_hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        ewma_smoothed AS (
+          SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+                 n_events,
+                 ROUND(({num}) / ({den}), 6) AS ewma
+          FROM ewma_hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
+        SELECT event_type, bucket_ts, n_events, ewma,
+               lag(ewma) OVER w2 AS forecast,
+               ROUND(n_events - lag(ewma) OVER w2, 6) AS forecast_err
+        FROM ewma_smoothed
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket_ts)
+    """
+
+
 def event_anomaly_zscore_oracle() -> str:
     return f"""
         WITH hourly AS (

@@ -3285,6 +3285,16 @@ def q_hypertable_rollup(spark, sf_dir):
     return iv.hypertable_rollup(_t(spark, sf_dir, "events"))
 
 
+@register("event_ewma_forecast", iv.event_ewma_forecast_oracle())
+def q_event_ewma_forecast(spark, sf_dir):
+    """Windowed-EWMA smoothing + one-step-ahead forecast residuals over
+    the hourly event counts — the load-forecasting companion of the
+    z-score monitor on the same bucket table. Truncated-horizon EWMA as
+    a pure lag composition (exact (3/4)^j literal weights, codegen'd),
+    so the smoothing is oracle-exact with no recursion."""
+    return iv.event_ewma_forecast(_t(spark, sf_dir, "events"))
+
+
 @register("event_anomaly_zscore", iv.event_anomaly_zscore_oracle())
 def q_event_anomaly_zscore(spark, sf_dir):
     """Rolling z-score anomaly detection over hourly event counts: each
@@ -4521,6 +4531,12 @@ def q_event_analytics_suite(spark, sf_dir):
         "concat(prev_type, ':', next_type) AS key",
         "stack(2, 'n', CAST(n AS DOUBLE), 'p', p) AS (metric, value)",
     )
+    ew_m = REGISTRY["event_ewma_forecast"].fn(spark, sf_dir).selectExpr(
+        "'ewma' AS section",
+        "concat(event_type, ':', CAST(bucket_ts AS STRING)) AS key",
+        "stack(3, 'ewma', ewma, 'forecast', forecast, "
+        "'forecast_err', forecast_err) AS (metric, value)",
+    )
     return (
         rt_m.unionByName(pr_m)
         .unionByName(cv_m)
@@ -4528,6 +4544,7 @@ def q_event_analytics_suite(spark, sf_dir):
         .unionByName(fu_m)
         .unionByName(an_m)
         .unionByName(tm_m)
+        .unionByName(ew_m)
     )
 
 
@@ -4587,7 +4604,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
          cr AS ({REGISTRY["cohort_retention"].oracle}),
          fu AS ({REGISTRY["funnel_conversion"].oracle}),
          anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle}),
-         trm AS MATERIALIZED ({REGISTRY["event_transition_matrix"].oracle})
+         trm AS MATERIALIZED ({REGISTRY["event_transition_matrix"].oracle}),
+         ewm AS MATERIALIZED ({REGISTRY["event_ewma_forecast"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -4624,6 +4642,12 @@ REGISTRY["event_analytics_suite"] = QueryDef(
            'n', CAST(n AS DOUBLE) FROM trm
     UNION ALL SELECT 'transition', prev_type || ':' || next_type,
            'p', p FROM trm
+    UNION ALL SELECT 'ewma', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'ewma', ewma FROM ewm
+    UNION ALL SELECT 'ewma', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'forecast', forecast FROM ewm
+    UNION ALL SELECT 'ewma', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'forecast_err', forecast_err FROM ewm
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -6428,7 +6452,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
         "cohort_retention", "funnel_conversion", "event_anomaly_zscore",
-        "event_transition_matrix",
+        "event_transition_matrix", "event_ewma_forecast",
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
@@ -6579,6 +6603,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "hypertable_rollup",
     "rollup_backfill",
     "event_anomaly_zscore",  # rolling z-score over the hourly buckets
+    "event_ewma_forecast",   # truncated-EWMA smoothing + 1-step residuals
     "event_transition_matrix",  # Markov path-analysis matrix
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
