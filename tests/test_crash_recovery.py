@@ -221,6 +221,96 @@ def test_deal_sink_gc_restores_lost_live_dir_and_sweeps_orphans(
     assert not os.path.exists(f"{path}__old_cafef00d")
 
 
+def test_rollup_crash_windows_are_exactly_once(spark, tmp_path):
+    """The rollup's sum-merge is NOT idempotent, and before r5 the ledger
+    mark came AFTER the partition swap — a crash between them made the
+    redelivery double-count. The write-ahead intent closes every window:
+    (a) crash AFTER the intent, BEFORE any swap: recovery completes the
+    swap from the staged dir and the redelivery is skipped; (b) crash
+    BEFORE the intent: the stage is swept and the redelivery re-merges
+    cleanly. Both must land on exactly the clean run's counters."""
+    from spark_deal_observer_spark.streaming.rollup_sink import (
+        HourlyRollupSink,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    parts = _splits(events, "event_id")
+
+    clean = HourlyRollupSink(spark, str(tmp_path / "clean"))
+    for i, b in enumerate(parts):
+        clean.process_batch(b, batch_id=i)
+    want = {
+        (r["event_type"], r["bucket_ts"]): (r["n_events"], r["sum_value"])
+        for r in clean.read_hourly().collect()
+    }
+
+    class CrashAfterIntent(HourlyRollupSink):
+        def _swap_days(self, tmp, days):
+            raise RuntimeError("kill -9 between intent and swap")
+
+    class CrashBeforeIntent(HourlyRollupSink):
+        def _write_ledger(self, ledger):
+            if ledger.get("pending"):
+                raise RuntimeError("kill -9 before the intent landed")
+            super()._write_ledger(ledger)
+
+    for crasher, label in (
+        (CrashAfterIntent, "after-intent"),
+        (CrashBeforeIntent, "before-intent"),
+    ):
+        path = str(tmp_path / f"c_{label}")
+        s = HourlyRollupSink(spark, path)
+        s.process_batch(parts[0], batch_id=0)
+        s.process_batch(parts[1], batch_id=1)
+        crash = crasher(spark, path)
+        try:
+            crash.process_batch(parts[2], batch_id=2)
+            raise AssertionError("crash injection did not fire")
+        except RuntimeError:
+            pass
+        restarted = HourlyRollupSink(spark, path)  # recovery runs here
+        restarted.process_batch(parts[2], batch_id=2)  # redelivery
+        got = {
+            (r["event_type"], r["bucket_ts"]): (r["n_events"], r["sum_value"])
+            for r in restarted.read_hourly().collect()
+        }
+        assert got == want, label
+
+
+def test_transitions_torn_snapshot_heals(spark, tmp_path):
+    from spark_deal_observer_spark.operators.sessions import (
+        event_transition_matrix,
+    )
+    from spark_deal_observer_spark.streaming.transitions import (
+        TransitionMonitorSink,
+    )
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, SF_SMALL, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = events.withColumn("_b", F.ntile(3).over(w))
+    batches = [ranked.where(F.col("_b") == i + 1).drop("_b") for i in range(3)]
+
+    sink = TransitionMonitorSink(spark, str(tmp_path / "tm"))
+    sink.process_batch(batches[0], batch_id=0)
+    sink.process_batch(batches[1], batch_id=1)
+    # batch 2 crashes mid-commit on BOTH stores
+    _tear(f"{sink.counts}/snapshot=1", f"{sink.counts}/snapshot=2")
+    _tear(f"{sink.last}/snapshot=1", f"{sink.last}/snapshot=2")
+
+    restarted = TransitionMonitorSink(spark, str(tmp_path / "tm"))
+    restarted.process_batch(batches[2], batch_id=2)  # redelivery
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in restarted.read_matrix().collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(events).collect()
+    }
+    assert got == want
+
+
 def test_partitioned_sink_sweeps_compact_orphans(spark, tmp_path):
     from spark_deal_observer_spark.streaming.sink import (
         PartitionedDealTableSink,
