@@ -308,11 +308,20 @@ def event_ewma_forecast(events: DataFrame) -> DataFrame:
     arithmetic over the |event_type| × hours bucket table — the weights
     unroll at plan-build into literal doubles (codegen'd), never an
     interpreted HOF."""
-    from pyspark.sql.window import Window
-
     hourly = events.groupBy(
         "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
     ).agg(F.count("*").cast("bigint").alias("n_events"))
+    return score_hourly_ewma(hourly)
+
+
+def score_hourly_ewma(hourly: DataFrame) -> DataFrame:
+    """The EWMA/forecast window over any (event_type, bucket_ts,
+    n_events) hourly table — shared by the batch query above and the
+    streaming monitor (streaming/forecast.py), which scores the
+    incrementally maintained rollup with identical arithmetic (the
+    anomaly monitor's pattern)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
     num = None
     den = None
