@@ -79,7 +79,13 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, int]:
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported compression/filter/interlace method")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented single error type: CRC-valid but malformed
+        # deflate data (or a crafted stream) must still surface as the
+        # ValueError poisoned-row handlers filter on
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match geometry")

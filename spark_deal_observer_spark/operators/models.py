@@ -149,14 +149,50 @@ def published(
     )
     got = _STORE.get(key)
     if got is None or not _alive(got):
+        if got is not None:
+            _release_disk(got)  # dead hit: free its parquet before rebuild
         got = build()
         _STORE[key] = got
         _STORE.move_to_end(key)
         while len(_STORE) > MAX_ARTIFACTS:
-            _STORE.popitem(last=False)
+            _, evicted = _STORE.popitem(last=False)
+            _release_disk(evicted)
     else:
         _STORE.move_to_end(key)
     return got
+
+
+def _release_disk(artifact: Any) -> None:
+    """Delete the parquet directories a `disk_checkpoint`-backed artifact
+    owns. Each checkpoint dir is uuid-unique and referenced by exactly one
+    registry entry, so eviction (or a dead-hit rebuild) is the last
+    reference — without this, LRU eviction and freshness-key rolls orphan
+    corpus-sized parquet under the session's artifact dir for the whole
+    process lifetime. Only paths directly under the session's
+    `_sdo_artifact_dir` are touched; in-memory checkpoints have no input
+    files and are untouched. (Disk mirrors the registry's LRU semantics:
+    like a localCheckpoint's blocks after eviction, a consumer holding the
+    evicted frame lazily must re-request through `published`.)"""
+    import shutil
+
+    parts = artifact if isinstance(artifact, (tuple, list)) else (artifact,)
+    for a in parts:
+        if not isinstance(a, DataFrame):
+            continue
+        base = getattr(a.sparkSession, "_sdo_artifact_dir", None)
+        if base is None:
+            continue
+        try:
+            files = a.inputFiles()
+        except Exception:  # pragma: no cover - defensive
+            continue
+        import os
+        from urllib.parse import urlparse
+
+        dirs = {os.path.dirname(urlparse(f).path or f) for f in files}
+        for d in dirs:
+            if os.path.dirname(d) == base:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def disk_checkpoint(df: DataFrame, name: str) -> DataFrame:
@@ -174,6 +210,8 @@ def disk_checkpoint(df: DataFrame, name: str) -> DataFrame:
     IEEE doubles). Node-sized artifacts (centroids, codebooks, rank/label
     vectors) stay on the in-memory localCheckpoint path — for them the
     re-read would cost more than the memory saves."""
+    import atexit
+    import shutil
     import tempfile
     import uuid
 
@@ -181,6 +219,9 @@ def disk_checkpoint(df: DataFrame, name: str) -> DataFrame:
     if base is None:
         base = tempfile.mkdtemp(prefix="sdo_artifacts_")
         df.sparkSession._sdo_artifact_dir = base
+        # the whole artifact tree dies with the process — per-artifact
+        # dirs are additionally freed on LRU eviction (_release_disk)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     path = f"{base}/{name}_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -188,4 +229,6 @@ def disk_checkpoint(df: DataFrame, name: str) -> DataFrame:
 
 def clear() -> None:
     """Drop every published artifact (test isolation helper)."""
+    for artifact in _STORE.values():
+        _release_disk(artifact)
     _STORE.clear()

@@ -12,16 +12,27 @@ tests/test_streaming_anomaly.py).
 Replay semantics ride the rollup sink's batch-id guard: a redelivered
 batch folds nothing (counters must not double), so the re-scored surface
 is unchanged — the monitor is idempotent because its STATE is. The score
-directory is overwritten per tick (latest-wins): anomaly surfaces are a
-current-view artifact, not an event log; alert history belongs to the
-alert consumer."""
+directory is a current-view artifact (latest wins, alert history belongs
+to the alert consumer), but the overwrite is staged and swapped
+(streaming/atomic.py::swap_dir) so a crash mid-write never leaves a torn
+surface; before the first non-empty batch `read_scores` returns an empty
+typed frame."""
 
 from __future__ import annotations
+
+import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.intervals import score_hourly_anomalies
+from .atomic import gc_swap_debris, swap_dir
 from .rollup_sink import HourlyRollupSink
+
+_SCHEMA = (
+    "event_type STRING, bucket_ts TIMESTAMP_NTZ, n_events BIGINT, "
+    "base_mean DOUBLE, base_std DOUBLE, z DOUBLE, is_anomaly BOOLEAN"
+)
 
 
 class AnomalyMonitorSink:
@@ -31,6 +42,7 @@ class AnomalyMonitorSink:
         self.spark = spark
         self.rollup = HourlyRollupSink(spark, f"{out_path}/hourly")
         self.scores_path = f"{out_path}/scores"
+        gc_swap_debris(self.scores_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch.isEmpty():
@@ -39,9 +51,11 @@ class AnomalyMonitorSink:
         hourly = self.rollup.read_hourly().select(
             "event_type", "bucket_ts", "n_events"
         )
-        score_hourly_anomalies(hourly).write.mode("overwrite").parquet(
-            self.scores_path
-        )
+        tmp = f"{self.scores_path}__stage_{uuid.uuid4().hex[:8]}"
+        score_hourly_anomalies(hourly).write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, self.scores_path)
 
     def read_scores(self) -> DataFrame:
+        if not os.path.exists(os.path.join(self.scores_path, "_SUCCESS")):
+            return self.spark.createDataFrame([], _SCHEMA)
         return self.spark.read.parquet(self.scores_path)

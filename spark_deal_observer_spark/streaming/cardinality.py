@@ -35,19 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.sketches import hll_estimate, hll_registers
-
-
-def _latest_snapshot(base: str) -> int | None:
-    """Max COMMITTED snapshot id under `base`, or None — restart
-    recovery: the sink resumes from the last durable register/sketch
-    state instead of silently restarting the count from empty. Torn
-    snapshots (crash mid-commit, no _SUCCESS) are excluded: counting one
-    as applied would skip the crashed batch's redelivery (lost data) or
-    feed partial registers into the merge."""
-    from .atomic import committed_ids
-
-    ids = committed_ids(base, "snapshot")
-    return ids[-1] if ids else None
+from .atomic import SnapshotStore
 
 
 class CardinalityMonitorSink:
@@ -58,9 +46,11 @@ class CardinalityMonitorSink:
         self.spark = spark
         self.out_path = out_path
         self.key = key
-        self._last_snapshot: int | None = _latest_snapshot(
-            f"{out_path}/registers"
-        )
+        # shared snapshot protocol (streaming/atomic.py): committed-only
+        # restart recovery + strictly-below replay reads
+        self._regs = SnapshotStore(spark, f"{out_path}/registers")
+        self._reports = SnapshotStore(spark, f"{out_path}/report", "batch_id")
+        self._last_snapshot: int | None = self._regs.latest_id()
 
     def _registers(self, before: int | None = None) -> DataFrame | None:
         """Register snapshot: the latest (reads/tests), or — given a
@@ -68,15 +58,8 @@ class CardinalityMonitorSink:
         input; see module docstring)."""
         if before is None:
             sid = self._last_snapshot
-        else:
-            from .line_dedup import _prior_snapshot
-
-            sid = _prior_snapshot(f"{self.out_path}/registers", before)
-        if sid is None:
-            return None
-        return self.spark.read.parquet(
-            f"{self.out_path}/registers/snapshot={sid}"
-        )
+            return None if sid is None else self._regs.read(sid)
+        return self._regs.read_prior(before)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         prev = self._registers(before=batch_id)
@@ -93,18 +76,13 @@ class CardinalityMonitorSink:
             )
         elif regs is None:
             regs = prev
-        snap = f"{self.out_path}/registers/snapshot={batch_id}"
-        regs.write.mode("overwrite").parquet(snap)
+        self._regs.write(regs, batch_id)
         self._last_snapshot = batch_id
-        merged = self.spark.read.parquet(snap)
+        merged = self._regs.read(batch_id)
         report = hll_estimate(merged, [self.key]).selectExpr(
             self.key, "ROUND(est, 4) AS distinct_est"
         )
-        report.write.mode("overwrite").parquet(
-            f"{self.out_path}/report/batch_id={batch_id}"
-        )
+        self._reports.write(report, batch_id)
 
     def read_report(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", f"{self.out_path}/report"
-        ).parquet(f"{self.out_path}/report/batch_id=*")
+        return self._reports.read_all()

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.models import published
 from ..operators.profile import PSI_BINS, PSI_SMOOTH, _tok_bin
+from .atomic import SnapshotStore
 
 
 def _dense_distribution(docs: DataFrame) -> DataFrame:
@@ -60,6 +61,7 @@ class DriftMonitorSink:
     def __init__(self, spark: SparkSession, baseline_docs: DataFrame, out_path: str):
         self.spark = spark
         self.out_path = out_path
+        self._reports = SnapshotStore(spark, out_path, "batch_id")
         self.baseline = baseline_distribution(baseline_docs)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -67,9 +69,12 @@ class DriftMonitorSink:
             # an empty micro-batch has no distribution: tot=0 would divide
             # to a NULL psi row that pollutes downstream alert filters —
             # record the tick explicitly as (0 docs, psi 0.0) instead
-            self.spark.createDataFrame([(0, 0.0)], "n_docs BIGINT, psi DOUBLE").write.mode(
-                "overwrite"
-            ).parquet(f"{self.out_path}/batch_id={batch_id}")
+            self._reports.write(
+                self.spark.createDataFrame(
+                    [(0, 0.0)], "n_docs BIGINT, psi DOUBLE"
+                ),
+                batch_id,
+            )
             return
         q = self.baseline.select(F.col("p").alias("q"))
         fold = F.expr(
@@ -85,9 +90,7 @@ class DriftMonitorSink:
             .crossJoin(batch.agg(F.count("*").cast("bigint").alias("n_docs")))
             .select("n_docs", "psi")
         )
-        row.write.mode("overwrite").parquet(f"{self.out_path}/batch_id={batch_id}")
+        self._reports.write(row, batch_id)
 
     def read_report(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
-        )
+        return self._reports.read_all()

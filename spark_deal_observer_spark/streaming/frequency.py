@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_cells, cms_probe_estimates
-from .cardinality import _latest_snapshot
+from .atomic import SnapshotStore
 
 
 class FrequencyMonitorSink:
@@ -30,6 +30,8 @@ class FrequencyMonitorSink:
     def __init__(self, spark: SparkSession, out_path: str):
         self.spark = spark
         self.out_path = out_path
+        self._sketches = SnapshotStore(spark, f"{out_path}/sketch")
+        self._reports = SnapshotStore(spark, f"{out_path}/report", "batch_id")
         # restart recovery: resume from the last durable snapshot, and
         # treat every batch id at or below it as already applied —
         # Structured Streaming replays foreachBatch ids in order, so the
@@ -38,7 +40,7 @@ class FrequencyMonitorSink:
         # millions; materializing set(range(id)) would be O(batch_id)
         # memory for what is a single comparison); the set only records
         # post-restart ids that advanced no snapshot (empty-batch ticks).
-        self._last_snapshot: int | None = _latest_snapshot(f"{out_path}/sketch")
+        self._last_snapshot: int | None = self._sketches.latest_id()
         self._applied: set[int] = set()
 
     def _is_applied(self, batch_id: int) -> bool:
@@ -49,9 +51,7 @@ class FrequencyMonitorSink:
     def _sketch(self) -> DataFrame | None:
         if self._last_snapshot is None:
             return None
-        return self.spark.read.parquet(
-            f"{self.out_path}/sketch/snapshot={self._last_snapshot}"
-        )
+        return self._sketches.read(self._last_snapshot)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if self._is_applied(batch_id):
@@ -71,18 +71,13 @@ class FrequencyMonitorSink:
             )
         elif cells is None:
             cells = prev
-        snap = f"{self.out_path}/sketch/snapshot={batch_id}"
-        cells.write.mode("overwrite").parquet(snap)
+        self._sketches.write(cells, batch_id)
         self._last_snapshot = batch_id
         # ids at/below the advanced mark are covered by _is_applied; the
         # in-memory set can forget them (bounds the ledger's footprint)
         self._applied = {i for i in self._applied if i > batch_id}
-        report = cms_probe_estimates(self.spark.read.parquet(snap), self.spark)
-        report.write.mode("overwrite").parquet(
-            f"{self.out_path}/report/batch_id={batch_id}"
-        )
+        report = cms_probe_estimates(self._sketches.read(batch_id), self.spark)
+        self._reports.write(report, batch_id)
 
     def read_report(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", f"{self.out_path}/report"
-        ).parquet(f"{self.out_path}/report/batch_id=*")
+        return self._reports.read_all()

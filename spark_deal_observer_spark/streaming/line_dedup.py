@@ -40,23 +40,11 @@ aggregate, and two appends. Nothing corpus-sized crosses to the driver.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _line_table
-
-
-def _prior_snapshot(base: str, batch_id: int) -> int | None:
-    """Largest COMMITTED snapshot id STRICTLY below `batch_id` (replay
-    determinism: a redelivered batch must see the same prior state it saw
-    first; a torn snapshot left by a crash mid-commit must be invisible
-    — see streaming/atomic.py)."""
-    from .atomic import committed_ids
-
-    prior = [i for i in committed_ids(base, "snapshot") if i < batch_id]
-    return max(prior) if prior else None
+from .atomic import SnapshotStore
 
 
 class LineDedupIngestSink:
@@ -69,12 +57,13 @@ class LineDedupIngestSink:
         self.out_path = out_path
         self.store = f"{out_path}/store"
         self.docs = f"{out_path}/docs"
+        # the shared snapshot protocol (committed-only selection,
+        # strictly-below replay reads, GC) — see streaming/atomic.py
+        self._store = SnapshotStore(spark, self.store)
+        self._docs = SnapshotStore(spark, self.docs, "batch_id")
 
     def _seen(self, batch_id: int) -> DataFrame:
-        sid = _prior_snapshot(self.store, batch_id)
-        if sid is None:
-            return self.spark.createDataFrame([], "lh STRING")
-        return self.spark.read.parquet(f"{self.store}/snapshot={sid}")
+        return self._store.read_prior(batch_id, "lh STRING")
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch.isEmpty():
@@ -121,20 +110,18 @@ class LineDedupIngestSink:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
         # overwrite-per-batch_id directories: replays land bit-identical
-        out.write.mode("overwrite").parquet(f"{self.docs}/batch_id={batch_id}")
+        self._docs.write(out, batch_id)
         self._write_store(seen, new_firsts, occ, batch_id)
 
     def _write_store(
         self, seen: DataFrame, new_firsts: DataFrame, occ: DataFrame, batch_id: int
     ) -> None:
-        seen.select("lh").unionByName(new_firsts.select("lh")).write.mode(
-            "overwrite"
-        ).parquet(f"{self.store}/snapshot={batch_id}")
+        self._store.write(
+            seen.select("lh").unionByName(new_firsts.select("lh")), batch_id
+        )
 
     def read_docs(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.docs).parquet(
-            f"{self.docs}/batch_id=*"
-        )
+        return self._docs.read_all()
 
 
 class BoundedLineDedupIngestSink(LineDedupIngestSink):
@@ -173,10 +160,7 @@ class BoundedLineDedupIngestSink(LineDedupIngestSink):
         self.keep = max(2, int(keep_snapshots))  # replay needs a prior
 
     def _store_snapshot(self, batch_id: int) -> DataFrame:
-        sid = _prior_snapshot(self.store, batch_id)
-        if sid is None:
-            return self.spark.createDataFrame([], "lh STRING, last_seen BIGINT")
-        return self.spark.read.parquet(f"{self.store}/snapshot={sid}")
+        return self._store.read_prior(batch_id, "lh STRING, last_seen BIGINT")
 
     def _seen(self, batch_id: int) -> DataFrame:
         return (
@@ -202,23 +186,7 @@ class BoundedLineDedupIngestSink(LineDedupIngestSink):
             # still see in-window (the next tick is at least batch_id+1)
             .where(F.col("last_seen") >= batch_id + 1 - self.ttl)
         )
-        merged.write.mode("overwrite").parquet(
-            f"{self.store}/snapshot={batch_id}"
-        )
-        self._gc_snapshots(batch_id)
-
-    def _gc_snapshots(self, batch_id: int) -> None:
-        """Delete snapshot dirs beyond the replay horizon (keep newest
-        `keep`). Runs AFTER the new snapshot is durable, so a crash
-        between write and GC only leaves extra (harmless) snapshots."""
-        import shutil
-
-        if not os.path.isdir(self.store):
-            return
-        ids = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.store)
-            if d.startswith("snapshot=") and d.split("=", 1)[1].isdigit()
-        )
-        for sid in ids[: -self.keep]:
-            shutil.rmtree(f"{self.store}/snapshot={sid}", ignore_errors=True)
+        self._store.write(merged, batch_id)
+        # delete snapshots beyond the replay horizon AFTER the new one is
+        # durable: a crash between write and GC only leaves extras
+        self._store.gc(self.keep)

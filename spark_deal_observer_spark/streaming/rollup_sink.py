@@ -13,28 +13,28 @@ Write discipline mirrors PartitionedDealTableSink: compute the batch's day
 set (micro-batches are time-contiguous — a handful of days), read ONLY
 those partitions, merge, stage, swap. O(batch-days), never O(history),
 per tick; replaying a batch is NOT idempotent for counters (append-only
-counts double), so the sink records processed batch ids — the same
-last-batch-id guard foreachBatch users need anywhere counters are
-involved.
+counts double), so the sink keeps a `JsonLedger` (streaming/atomic.py) —
+a high-water mark + exception set, O(1) on sequential stream ids, never
+the O(ticks) id list.
 
-CRASH-INTERRUPTION protocol (the r5 hardening): a ledger mark AFTER the
-partition swaps leaves a window — crash between swap and mark and the
-redelivered batch re-merges already-merged counters (double counting);
-a mark BEFORE the swap loses the batch instead. The fix is a
-write-ahead INTENT: stage the merged days (durable parquet), atomically
-record {batch_id, staged dir, days} as `pending` in the ledger, THEN
-swap, then atomically clear pending + mark seen. Construction-time
-recovery completes any pending swap (each day is either still staged —
-rename it in — or already swapped; both idempotent), so every crash
-point resolves to exactly-once: before the intent → clean redelivery
-(orphan stage swept); after the intent → recovery finishes the swap and
-the ledger skips the redelivery. Chaos-tested in
-tests/test_crash_recovery.py.
+CRASH-INTERRUPTION protocol (shared `JsonLedger` write-ahead intent):
+EVERY tick — the first write included — stages the merged days (durable
+parquet), atomically records {batch_id, staged dir, days} as `pending`,
+THEN swaps, then atomically clears pending + marks seen.
+Construction-time recovery completes any pending swap (each day is
+either still staged — rename it in — or already swapped; both
+idempotent), so every crash point resolves to exactly-once: before the
+intent → clean redelivery (orphan stage swept); after the intent →
+recovery finishes the swap and the ledger skips the redelivery. The
+first tick goes through the same stage → intent → swap path because a
+direct write has its own window: live data durable but the batch
+unmarked, so the redelivery takes the merge path and double-counts
+(the r5 ADVICE finding). Chaos-tested in tests/test_crash_recovery.py.
 """
 
 from __future__ import annotations
 
-import json
+import glob
 import os
 import shutil
 import uuid
@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.epoch import trunc_ntz
+from .atomic import JsonLedger
 
 PCOL = "day"
 
@@ -51,31 +52,13 @@ class HourlyRollupSink:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self._seen_path = os.path.join(path + "_meta", "seen_batches.json")
+        self.ledger = JsonLedger(
+            os.path.join(path + "_meta", "seen_batches.json")
+        )
         self._recover()
 
-    # -- batch-id guard (counter idempotence under foreachBatch replay) ----
-
-    def _ledger(self) -> dict:
-        """{"seen": [...], "pending": {"batch_id", "tmp", "days"} | None};
-        reads the legacy bare-list format transparently."""
-        if os.path.exists(self._seen_path):
-            data = json.load(open(self._seen_path))
-            if isinstance(data, list):
-                return {"seen": data, "pending": None}
-            return data
-        return {"seen": [], "pending": None}
-
-    def _write_ledger(self, ledger: dict) -> None:
-        os.makedirs(os.path.dirname(self._seen_path), exist_ok=True)
-        tmp = self._seen_path + ".tmp"
-        json.dump(ledger, open(tmp, "w"))
-        os.replace(tmp, self._seen_path)  # atomic on POSIX
-
-    def _seen(self) -> set[int]:
-        return set(self._ledger()["seen"])
-
     def _swap_days(self, tmp: str, days: list) -> None:
+        os.makedirs(self.path, exist_ok=True)
         for d in days:
             part = f"{PCOL}={d}"
             staged = os.path.join(tmp, part)
@@ -84,6 +67,12 @@ class HourlyRollupSink:
                 if os.path.exists(live):
                     shutil.rmtree(live)
                 os.rename(staged, live)
+        # the live table's commit marker: created (idempotently) only
+        # AFTER an intent-covered swap, so exists() never observes data
+        # the ledger could still double-merge
+        marker = os.path.join(self.path, "_SUCCESS")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
 
     def _recover(self) -> None:
         """Complete a crashed tick: if the ledger carries a pending
@@ -92,17 +81,12 @@ class HourlyRollupSink:
         the batch is marked seen, so its redelivery is skipped instead of
         double-merged. Orphan stage dirs with NO intent are pre-merge
         garbage and are swept."""
-        ledger = self._ledger()
-        pending = ledger.get("pending")
+        pending = self.ledger.pending()
         if pending:
             if os.path.isdir(pending["tmp"]):
                 self._swap_days(pending["tmp"], pending["days"])
                 shutil.rmtree(pending["tmp"], ignore_errors=True)
-            ledger["seen"] = sorted(set(ledger["seen"]) | {pending["batch_id"]})
-            ledger["pending"] = None
-            self._write_ledger(ledger)
-        import glob
-
+            self.ledger.mark_seen(pending["batch_id"])
         for d in glob.glob(f"{self.path}__stage_*"):
             shutil.rmtree(d, ignore_errors=True)
 
@@ -132,40 +116,36 @@ class HourlyRollupSink:
             .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
         )
 
-    def _mark_seen(self, batch_id: int) -> None:
-        ledger = self._ledger()
-        ledger["seen"] = sorted(set(ledger["seen"]) | {batch_id})
-        ledger["pending"] = None
-        self._write_ledger(ledger)
-
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        if batch_id in self._seen():
+        if self.ledger.seen(batch_id):
             return  # replayed batch: counters must not double
         partials = self._partials(batch).localCheckpoint()
-        if not self.exists():
-            partials.write.mode("overwrite").partitionBy(PCOL).parquet(self.path)
-            self._mark_seen(batch_id)
-            return
         days = [r[0] for r in partials.select(PCOL).distinct().collect()]
-        stored = self.spark.read.parquet(self.path).where(F.col(PCOL).isin(days))
-        merged = (
-            stored.unionByName(partials)
-            .groupBy("event_type", "bucket_ts", PCOL)
-            .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
-            .select("event_type", "bucket_ts", "n_events", "sum_value", PCOL)
-        )
+        if self.exists():
+            stored = self.spark.read.parquet(self.path).where(
+                F.col(PCOL).isin(days)
+            )
+            merged = (
+                stored.unionByName(partials)
+                .groupBy("event_type", "bucket_ts", PCOL)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+                .select("event_type", "bucket_ts", "n_events", "sum_value", PCOL)
+            )
+        else:
+            merged = partials.select(
+                "event_type", "bucket_ts", "n_events", "sum_value", PCOL
+            )
         tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(PCOL).parquet(tmp)
         # write-ahead intent: after this atomic ledger write the batch is
         # COMMITTED — any crash during/after the swap is completed by
         # construction-time recovery, and the redelivery is skipped
-        ledger = self._ledger()
-        ledger["pending"] = {
-            "batch_id": batch_id,
-            "tmp": tmp,
-            "days": [str(d) for d in days],
-        }
-        self._write_ledger(ledger)
+        self.ledger.set_pending(
+            {"batch_id": batch_id, "tmp": tmp, "days": [str(d) for d in days]}
+        )
         self._swap_days(tmp, [str(d) for d in days])
         shutil.rmtree(tmp, ignore_errors=True)
-        self._mark_seen(batch_id)
+        self.ledger.mark_seen(batch_id)

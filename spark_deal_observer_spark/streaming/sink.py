@@ -37,6 +37,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import DEAL_KEY, dedup_insert, merge_update
+from .atomic import gc_swap_debris
+from .atomic import swap_dir as _swap_dir
 
 
 class DealTableSink:
@@ -55,26 +57,19 @@ class DealTableSink:
     def _gc_stale_stages(self) -> None:
         import glob
 
-        def handle_old(d: str) -> None:
-            # `__old_*` is the pre-swap backup. If its live dir exists the
-            # swap completed and the backup is garbage; if the live dir is
-            # MISSING the crash hit between _swap_dir's two renames and
-            # the backup is the ONLY copy — restore it, never delete it.
-            live = d[: d.rindex("__old_")]
-            if os.path.exists(live):
-                shutil.rmtree(d, ignore_errors=True)
-            else:
-                os.rename(d, live)
-
-        for d in glob.glob(f"{self.path}__stage_*"):
-            shutil.rmtree(d, ignore_errors=True)
-        for d in glob.glob(f"{self.path}__old_*"):
-            handle_old(d)
+        gc_swap_debris(self.path)
         if os.path.isdir(self.path):
             for d in glob.glob(os.path.join(self.path, "*__compact_*")):
                 shutil.rmtree(d, ignore_errors=True)
-            for d in glob.glob(os.path.join(self.path, "*__old_*")):
-                handle_old(d)
+            # per-partition swap debris: group backups by their live dir
+            # so repeated crashes restore the NEWEST backup, not the
+            # glob-order-first one (see atomic.gc_swap_debris)
+            targets = {
+                d[: d.rindex("__old_")]
+                for d in glob.glob(os.path.join(self.path, "*__old_*"))
+            }
+            for t in sorted(targets):
+                gc_swap_debris(t)
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
@@ -106,22 +101,6 @@ class DealTableSink:
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
-
-
-def _swap_dir(staged: str, live: str) -> None:
-    """Replace `live` with `staged`, restoring `live` if the swap fails."""
-    old = f"{live}__old_{uuid.uuid4().hex[:8]}"
-    had_live = os.path.exists(live)
-    if had_live:
-        os.rename(live, old)
-    try:
-        os.rename(staged, live)
-    except BaseException:
-        if had_live and not os.path.exists(live):
-            os.rename(old, live)
-        raise
-    if had_live:
-        shutil.rmtree(old)
 
 
 class PartitionedDealTableSink(DealTableSink):

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .line_dedup import _prior_snapshot
+from .atomic import SnapshotStore
 
 
 class TransitionMonitorSink:
@@ -32,12 +32,10 @@ class TransitionMonitorSink:
         self.spark = spark
         self.counts = f"{out_path}/counts"
         self.last = f"{out_path}/last"
-
-    def _read(self, base: str, batch_id: int, schema: str) -> DataFrame:
-        sid = _prior_snapshot(base, batch_id)
-        if sid is None:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(f"{base}/snapshot={sid}")
+        # shared snapshot protocol (streaming/atomic.py): committed-only
+        # selection + strictly-below replay reads + empty-typed pre-ingest
+        self._counts = SnapshotStore(spark, self.counts)
+        self._last = SnapshotStore(spark, self.last)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch.isEmpty():
@@ -45,8 +43,8 @@ class TransitionMonitorSink:
         from pyspark.sql.window import Window
 
         cols = ["user_id", "ts", "event_id", "event_type"]
-        last = self._read(
-            self.last, batch_id,
+        last = self._last.read_prior(
+            batch_id,
             "user_id BIGINT, ts TIMESTAMP_NTZ, event_id BIGINT, event_type STRING",
         )
         combined = (
@@ -67,18 +65,15 @@ class TransitionMonitorSink:
             .groupBy("prev_type", "next_type")
             .agg(F.count("*").cast("bigint").alias("n"))
         )
-        stored = self._read(
-            self.counts, batch_id,
-            "prev_type STRING, next_type STRING, n BIGINT",
+        stored = self._counts.read_prior(
+            batch_id, "prev_type STRING, next_type STRING, n BIGINT"
         )
         merged = (
             stored.unionByName(batch_counts)
             .groupBy("prev_type", "next_type")
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
-        merged.write.mode("overwrite").parquet(
-            f"{self.counts}/snapshot={batch_id}"
-        )
+        self._counts.write(merged, batch_id)
         new_last = (
             combined.withColumn(
                 "rn",
@@ -91,21 +86,18 @@ class TransitionMonitorSink:
             .where(F.col("rn") == 1)
             .select(*cols)
         )
-        new_last.write.mode("overwrite").parquet(
-            f"{self.last}/snapshot={batch_id}"
-        )
+        self._last.write(new_last, batch_id)
 
     def read_matrix(self) -> DataFrame:
         """(prev_type, next_type, n, p) over everything ingested; empty
         (same schema) before any batch has been processed."""
-        from .cardinality import _latest_snapshot
-
-        sid = _latest_snapshot(self.counts)
-        if sid is None:
+        counts = self._counts.read_latest(
+            "prev_type STRING, next_type STRING, n BIGINT"
+        )
+        if counts.isEmpty():
             return self.spark.createDataFrame(
                 [], "prev_type STRING, next_type STRING, n BIGINT, p DOUBLE"
             )
-        counts = self.spark.read.parquet(f"{self.counts}/snapshot={sid}")
         totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
         return counts.join(F.broadcast(totals), "prev_type").select(
             "prev_type",

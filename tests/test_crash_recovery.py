@@ -40,7 +40,6 @@ def _splits(df, col, n=3):
 def test_line_dedup_torn_snapshot_heals_on_redelivery(spark, tmp_path):
     from spark_deal_observer_spark.streaming.line_dedup import (
         LineDedupIngestSink,
-        _prior_snapshot,
     )
 
     docs = load_table(spark, SF_SMALL, "documents")
@@ -61,7 +60,7 @@ def test_line_dedup_torn_snapshot_heals_on_redelivery(spark, tmp_path):
     _tear(f"{crash.store}/snapshot=1", f"{crash.store}/snapshot=2")
     _tear(f"{crash.docs}/batch_id=1", f"{crash.docs}/batch_id=2")
     # the torn snapshot must be invisible to snapshot selection
-    assert _prior_snapshot(crash.store, 3) == 1
+    assert crash._store.prior_id(3) == 1
 
     restarted = LineDedupIngestSink(spark, str(tmp_path / "crash"))
     restarted.process_batch(parts[2], batch_id=2)  # redelivery
@@ -249,32 +248,41 @@ def test_rollup_crash_windows_are_exactly_once(spark, tmp_path):
             raise RuntimeError("kill -9 between intent and swap")
 
     class CrashBeforeIntent(HourlyRollupSink):
-        def _write_ledger(self, ledger):
-            if ledger.get("pending"):
-                raise RuntimeError("kill -9 before the intent landed")
-            super()._write_ledger(ledger)
+        def __init__(self, spark, path):
+            super().__init__(spark, path)
 
-    for crasher, label in (
-        (CrashAfterIntent, "after-intent"),
-        (CrashBeforeIntent, "before-intent"),
-    ):
-        path = str(tmp_path / f"c_{label}")
-        s = HourlyRollupSink(spark, path)
-        s.process_batch(parts[0], batch_id=0)
-        s.process_batch(parts[1], batch_id=1)
-        crash = crasher(spark, path)
-        try:
-            crash.process_batch(parts[2], batch_id=2)
-            raise AssertionError("crash injection did not fire")
-        except RuntimeError:
-            pass
-        restarted = HourlyRollupSink(spark, path)  # recovery runs here
-        restarted.process_batch(parts[2], batch_id=2)  # redelivery
-        got = {
-            (r["event_type"], r["bucket_ts"]): (r["n_events"], r["sum_value"])
-            for r in restarted.read_hourly().collect()
-        }
-        assert got == want, label
+            def boom(intent):
+                raise RuntimeError("kill -9 before the intent landed")
+
+            self.ledger.set_pending = boom
+
+    # crash_at=0 exercises the FIRST-tick window (the r5 ADVICE finding:
+    # a direct first write left live data durable but the batch unmarked,
+    # so its redelivery took the merge path and double-counted); crash_at=2
+    # exercises the merge path.
+    for crash_at in (0, 2):
+        for crasher, label in (
+            (CrashAfterIntent, "after-intent"),
+            (CrashBeforeIntent, "before-intent"),
+        ):
+            path = str(tmp_path / f"c_{crash_at}_{label}")
+            s = HourlyRollupSink(spark, path)
+            for i in range(crash_at):
+                s.process_batch(parts[i], batch_id=i)
+            crash = crasher(spark, path)
+            try:
+                crash.process_batch(parts[crash_at], batch_id=crash_at)
+                raise AssertionError("crash injection did not fire")
+            except RuntimeError:
+                pass
+            restarted = HourlyRollupSink(spark, path)  # recovery runs here
+            for i in range(crash_at, 3):
+                restarted.process_batch(parts[i], batch_id=i)  # redelivery
+            got = {
+                (r["event_type"], r["bucket_ts"]): (r["n_events"], r["sum_value"])
+                for r in restarted.read_hourly().collect()
+            }
+            assert got == want, f"{crash_at}/{label}"
 
 
 def test_transitions_torn_snapshot_heals(spark, tmp_path):
@@ -341,3 +349,48 @@ def test_partitioned_sink_sweeps_compact_orphans(spark, tmp_path):
     assert restarted.count() == n
     assert not os.path.exists(os.path.join(path, f"{parts[0]}__compact_ab12"))
     assert os.path.isdir(live)
+
+
+def test_forecast_torn_score_dir_heals(spark, tmp_path):
+    """Verdict r5 #8: the forecast surface's latest-wins overwrite is now
+    stage-and-swap — a crash between swap_dir's renames leaves the backup
+    as the only copy and construction must restore it, never serve a torn
+    directory; pre-ingest reads return an empty typed frame."""
+    from spark_deal_observer_spark.streaming.forecast import (
+        ForecastMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    parts = _splits(events, "event_id")
+
+    sink = ForecastMonitorSink(spark, str(tmp_path / "f"))
+    assert sink.read_forecast().count() == 0  # before any batch
+    sink.process_batch(parts[0], batch_id=0)
+    want = sorted(map(repr, sink.read_forecast().collect()))
+    assert want
+    # crash between swap_dir's two renames: live gone, backup is the copy
+    os.rename(sink.scores_path, f"{sink.scores_path}__old_00000001")
+    os.makedirs(f"{sink.scores_path}__stage_deadbeef")  # orphan stage too
+
+    restarted = ForecastMonitorSink(spark, str(tmp_path / "f"))
+    assert sorted(map(repr, restarted.read_forecast().collect())) == want
+    assert not os.path.exists(f"{sink.scores_path}__stage_deadbeef")
+
+
+def test_anomaly_torn_score_dir_heals(spark, tmp_path):
+    from spark_deal_observer_spark.streaming.anomaly import (
+        AnomalyMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    parts = _splits(events, "event_id")
+
+    sink = AnomalyMonitorSink(spark, str(tmp_path / "a"))
+    assert sink.read_scores().count() == 0  # before any batch
+    sink.process_batch(parts[0], batch_id=0)
+    want = sorted(map(repr, sink.read_scores().collect()))
+    assert want
+    os.rename(sink.scores_path, f"{sink.scores_path}__old_00000001")
+
+    restarted = AnomalyMonitorSink(spark, str(tmp_path / "a"))
+    assert sorted(map(repr, restarted.read_scores().collect())) == want

@@ -92,3 +92,44 @@ def test_lost_checkpoint_blocks_rebuild_instead_of_erroring(spark, tmp_path):
     assert len(calls) == 2, "a dead hit must retrain, not serve a corpse"
     assert a2.first()["s"] == 14
     models.clear()
+
+
+def test_disk_checkpoint_artifacts_freed_on_eviction_and_clear(spark, tmp_path):
+    """ADVICE r5: LRU eviction / clear() must rmtree a disk_checkpoint
+    artifact's parquet directories — otherwise long sessions retraining
+    over many corpus snapshots grow disk without bound."""
+    import os
+    from urllib.parse import urlparse
+
+    from spark_deal_observer_spark.operators import models
+
+    def _dir(df):
+        f = df.inputFiles()[0]
+        return os.path.dirname(urlparse(f).path or f)
+
+    models.clear()
+    src = spark.range(10).selectExpr("id", "id * 2 AS v")
+
+    def build(tag):
+        return models.disk_checkpoint(
+            src.selectExpr(f"id + {tag} AS id", "v"), f"t{tag}"
+        )
+
+    a = models.published(src, "gc_probe_a", (1,), lambda: build(1))
+    dir_a = _dir(a)
+    base = spark._sdo_artifact_dir
+    assert os.path.dirname(dir_a) == base and os.path.isdir(dir_a)
+
+    old_max = models.MAX_ARTIFACTS
+    models.MAX_ARTIFACTS = 1
+    try:
+        b = models.published(src, "gc_probe_b", (2,), lambda: build(2))
+        dir_b = _dir(b)
+        # a was evicted (LRU bound 1) and its parquet went with it
+        assert not os.path.exists(dir_a)
+        assert os.path.isdir(dir_b)
+        assert b.count() == 10
+        models.clear()
+        assert not os.path.exists(dir_b)
+    finally:
+        models.MAX_ARTIFACTS = old_max

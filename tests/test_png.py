@@ -155,3 +155,34 @@ def test_real_png_through_arrow_kernels(spark):
             for i in range(0, n_frames, 2)
         }
         assert by_doc[d] == want
+
+
+def test_malformed_deflate_raises_valueerror():
+    """ADVICE r5: a CRC-valid chunk whose IDAT payload is not valid
+    deflate data must still raise the documented ValueError (zlib.error
+    would slip past poisoned-row handlers filtering on ValueError)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from spark_deal_observer_spark.multimodal.png import encode_png
+
+    good = encode_png(bytes(range(12)), 2, 2, 3)
+    # locate the IDAT chunk and replace its body with CRC-valid garbage
+    pos = 8
+    out = bytearray(good[:8])
+    while pos + 12 <= len(good):
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        ctype = good[pos + 4 : pos + 8]
+        body = good[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            body = b"\x99" * len(body)  # not a deflate stream
+        out += struct.pack(">I", len(body)) + ctype + body
+        out += struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        pos += 12 + length
+
+    from spark_deal_observer_spark.multimodal.png import decode_png
+
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(bytes(out))
