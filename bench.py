@@ -163,17 +163,34 @@ def main() -> None:
     # Warm the JVM/codegen paths so per-query numbers reflect steady state.
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    from spark_deal_observer_spark.operators import models
+
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        # headline numbers are min-of-RUNS (warm steady state); the first
+        # run is timed from a CLEARED artifact registry so cold_s honestly
+        # includes any training pass the warm number amortizes — the
+        # warm-vs-cold distinction the r5 verdict asked the artifact to
+        # carry (graph_suite: 0.2 s warm vs ~10 s cold are both real).
+        models.clear()
+        runs: list[float] = []
         for _ in range(RUNS):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 3)
 
+    # queries whose headline time reads a published artifact trained on
+    # the (excluded) cold pass — flagged mechanically from the spread
+    published_artifact = sorted(
+        n
+        for n in names
+        if cold[n] > 2.5 * timings[n] and cold[n] - timings[n] > 0.3
+    )
     total = round(sum(timings.values()), 3)
     # The driver's stdout capture is a bounded TAIL: with ~80 headline
     # queries the old single giant JSON line outgrew it and the front
@@ -185,6 +202,8 @@ def main() -> None:
         "metric": "headline_queries_detail",
         "unit": "sec",
         "queries": timings,
+        "cold_s": cold,
+        "published_artifact": published_artifact,
         "sf": sf,
     }
     (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -208,4 +209,188 @@ def media_features_oracle() -> str:
                CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
                md5(text) AS content_md5
         FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (dHash over decoded content bytes)
+# ---------------------------------------------------------------------------
+
+PHASH_BUCKETS = 64  # 64-bit difference hash
+PHASH_BANDS = 4  # 4 bands x 16 bits, banded like simhash
+PHASH_HAM_MAX = 6  # pairs within this Hamming distance are near-dups
+
+BUCKET_MEAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("mean", DoubleType()),
+    ]
+)
+
+
+def media_bucket_means(media: DataFrame, n_buckets: int = PHASH_BUCKETS) -> DataFrame:
+    """(doc_id, bucket, mean): the decoded content bytes averaged into
+    `n_buckets` contiguous buckets — the 1-D "downscale" step of a
+    perceptual hash, run where the pixels are (the Arrow decode kernel).
+
+    Bucket b holds byte positions with `pos * n_buckets // len == b` (the
+    oracle recomputes the identical mapping), so two encodings of the
+    SAME content — different PNG filter/compression choices, a re-chunked
+    IDAT stream — produce identical means, and an up/down-sampled variant
+    produces nearby ones. Means are exact integer sums over ≤2^53 divided
+    once, ROUNDed to 6 dp: bit decisions downstream compare identical
+    doubles in both engines. Rows for content shorter than `n_buckets`
+    bytes are dropped (no hash is defined); the caller filters
+    symmetrically."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids: list[int] = []
+            buckets: list[int] = []
+            means: list[float] = []
+            for d, p, c in zip(pdf["doc_id"], pdf["payload"], pdf["codec"]):
+                arr = np.frombuffer(decode_media(bytes(p), c), dtype=np.uint8)
+                n = len(arr)
+                if n < n_buckets:
+                    continue
+                idx = (np.arange(n, dtype=np.int64) * n_buckets) // n
+                sums = np.bincount(idx, weights=arr, minlength=n_buckets)
+                cnts = np.bincount(idx, minlength=n_buckets)
+                ids.extend([d] * n_buckets)
+                buckets.extend(range(n_buckets))
+                means.extend(np.round(sums / cnts, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, BUCKET_MEAN_SCHEMA)
+
+
+def phash_dedup_pairs(media: DataFrame) -> DataFrame:
+    """Perceptual near-dup pairs over media content: circular dHash (bit b
+    = bucket mean b > mean (b+1) mod 64) → 4 × 16-bit band keys → banded
+    candidate join (exactly the simhash blocking discipline) → Hamming
+    verify via bit_count(xor) over the band keys.
+
+    This is what content-level dedup (`multimodal_dedup`, exact md5)
+    cannot do: a RE-ENCODED or resized duplicate has different payload
+    bytes but identical (or near-identical) decoded content, so its
+    bucket means — and hash — collide here. Only the bucket means cross
+    the Arrow boundary (64 doubles per doc, never payloads); everything
+    after is JVM column math: band keys are one map-side-combinable
+    aggregate, candidates one self-equi-join on (band, key), and the
+    verify reads the 4-key tables, so at 100 TB the pair stage moves
+    O(candidates) 32-byte rows. Returns (doc_a, doc_b, hamming, is_dup).
+    """
+    bm = media_bucket_means(
+        media.where(F.length("payload") >= PHASH_BUCKETS)
+    )
+    nb = bm.select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("bucket").alias("n_bucket"),
+        F.col("mean").alias("nmean"),
+    )
+    width = PHASH_BUCKETS // PHASH_BANDS
+    bits = bm.join(
+        nb,
+        (bm["doc_id"] == nb["n_doc"])
+        & (nb["n_bucket"] == (bm["bucket"] + 1) % PHASH_BUCKETS),
+    ).select(
+        "doc_id",
+        "bucket",
+        (F.col("mean") > F.col("nmean")).cast("int").alias("bit"),
+    )
+    bands = bits.groupBy(
+        "doc_id", (F.col("bucket") / width).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.expr(f"CAST(pow(2, bucket % {width}) AS BIGINT)")
+        ).alias("bkey")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("key_b")
+    )
+    cand = (
+        a.join(b, ["band"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("key_a") == F.col("key_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ka = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
+    )
+    kb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("key_b")
+    )
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.expr("bit_count(key_a ^ key_b)"))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("hamming") <= PHASH_HAM_MAX).alias("is_dup"),
+        )
+    )
+
+
+def phash_dedup_oracle() -> str:
+    """DuckDB twin over the fake/text codec (the decoded content bytes of
+    an ASCII corpus ARE its character code points): identical bucket
+    mapping, rounded means, circular dHash, band keys, banded candidates,
+    bit_count(xor) Hamming."""
+    nb_, w = PHASH_BUCKETS, PHASH_BUCKETS // PHASH_BANDS
+    return f"""
+        WITH pdocs AS MATERIALIZED (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= {nb_}),
+        chars AS (
+          SELECT doc_id, n,
+                 generate_subscripts(cs, 1) AS pos, unnest(cs) AS ch
+          FROM (SELECT doc_id, n, str_split(text, '') AS cs FROM pdocs) t),
+        bmeans AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(((pos - 1) * {nb_}) // n AS INT) AS bucket,
+                 ROUND(avg(CAST(ascii(ch) AS DOUBLE)), 6) AS mean
+          FROM chars
+          GROUP BY doc_id, ((pos - 1) * {nb_}) // n),
+        pbits AS (
+          SELECT b.doc_id, b.bucket,
+                 CASE WHEN b.mean > nbm.mean THEN 1 ELSE 0 END AS bit
+          FROM bmeans b JOIN bmeans nbm
+            ON nbm.doc_id = b.doc_id AND nbm.bucket = (b.bucket + 1) % {nb_}),
+        pbands AS MATERIALIZED (
+          SELECT doc_id, bucket // {w} AS band,
+                 CAST(sum(bit * CAST(pow(2, bucket % {w}) AS BIGINT)) AS BIGINT) AS bkey
+          FROM pbits GROUP BY doc_id, bucket // {w}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pbands a JOIN pbands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT) AS hamming,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT)
+                 <= {PHASH_HAM_MAX} AS is_dup
+        FROM cand c
+        JOIN pbands ka ON ka.doc_id = c.doc_a
+        JOIN pbands kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
+        GROUP BY c.doc_a, c.doc_b
     """

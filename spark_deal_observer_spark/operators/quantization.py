@@ -619,6 +619,150 @@ def sq_topk_oracle(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# incremental index maintenance (the batch twin of streaming/ann_index.py)
+# ---------------------------------------------------------------------------
+
+INC_SPLIT = 400  # embeddings 0..INC_SPLIT-1 = indexed corpus snapshot
+INC_DRIFT_THRESHOLD = 0.01  # retrain trigger on centroid cosine drift
+
+
+def _mean_vec_spark(vecs: DataFrame, name: str) -> DataFrame:
+    """1-row mean embedding with each component ROUNDed to 6 dp — the
+    k-means UPDATE half reused as a drift statistic (the
+    `profile.embedding_source_drift` arithmetic, applied to an id split
+    instead of a source split)."""
+    return (
+        vecs.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("val"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias(name)
+        )
+    )
+
+
+def ann_incremental(
+    emb: DataFrame,
+    split_id: int = INC_SPLIT,
+    n_cells: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fold NEW vectors into the published IVF-PQ index WITHOUT
+    retraining the quantizers — the batch twin of
+    `streaming/ann_index.py::AnnIndexMaintenanceSink`, and the production
+    shape of continuous vector ingestion: the coarse quantizer and PQ
+    codebooks are trained once per corpus snapshot (vec_id < `split_id`,
+    the indexed baseline), every later arrival (vec_id >= `split_id`) is
+    ENCODED against the frozen models (one broadcast argmax-cosine cell
+    assignment + one broadcast argmin-L2 code assignment — pointwise and
+    deterministic, which is what makes this oracle-checkable), and a
+    centroid-drift statistic (the `embedding_source_drift` arithmetic
+    over the baseline/new split: rounded per-component means, cosine,
+    drift = 1 − cos) rides along as the RETRAIN TRIGGER — when the new
+    traffic's embedding centroid has moved more than
+    `INC_DRIFT_THRESHOLD` from the indexed corpus's, assignment quality
+    under the frozen models is suspect and a retrain is due.
+
+    At 100 TB: training stays one offline pass per snapshot; each
+    increment touches only the new rows (nothing wider than the batch
+    shuffles), and the maintained index keeps the batch operator's
+    cell-partitioned pruned-search layout. Returns one row per
+    (vec_id, m): (vec_id, m, cell, code, drift, retrain_due)."""
+    from .similarity import _kmeans_assign, _kmeans_fit
+
+    base = emb.where(F.col("vec_id") < split_id)
+    batch = emb.where(F.col("vec_id") >= split_id)
+    cents, _ = _kmeans_fit(base, n_cells, n_iter)  # published artifacts
+    cb = _pq_fit(base)
+    vecs = batch.select("vec_id", "embedding")
+    assigned = _kmeans_assign(vecs, cents).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    codes = _pq_assign(_subvectors(vecs), cb).select("vec_id", "m", "code")
+    bmean = _mean_vec_spark(base.select("vec_id", "embedding"), "bv")
+    nmean = _mean_vec_spark(vecs, "nv")
+    drift = (
+        bmean.crossJoin(nmean)
+        .selectExpr(
+            f"ROUND(1 - ({cosine_spark('bv', 'nv')}), 6) AS drift",
+        )
+        .select(
+            "drift",
+            (F.col("drift") >= F.lit(INC_DRIFT_THRESHOLD)).alias("retrain_due"),
+        )
+    )
+    return (
+        assigned.join(codes, "vec_id")
+        .crossJoin(F.broadcast(drift))
+        .select("vec_id", "m", "cell", "code", "drift", "retrain_due")
+    )
+
+
+def ann_incremental_oracle(
+    split_id: int = INC_SPLIT, n_cells: int = 8, n_iter: int = 2
+) -> str:
+    """Frozen-model encode + drift, unrolled: the k-means and PQ Lloyd
+    ladders train over the BASELINE slice only (`vecs_sql`), then the new
+    slice is assigned against the trained c{n}/cb{n} tables."""
+    from .similarity import _kmeans_ctes, cosine_duck
+
+    base_sql = (
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {split_id}"
+    )
+    km = _kmeans_ctes(n_cells, n_iter, vecs_sql=base_sql)
+    pq = _pq_ctes(n_iter, prefix="q", vecs_sql=base_sql)
+    cos = cosine_duck("v.embedding", "c.cvec")
+    l2 = _l2_duck("s.sub", "c.cvec")
+    nsub_selects = " UNION ALL ".join(
+        f"""SELECT vec_id, {m} AS m,
+            list_transform(embedding[{m * DSUB + 1}:{(m + 1) * DSUB}],
+                           x -> CAST(x AS DOUBLE)) AS sub
+            FROM newv"""
+        for m in range(M_SUB)
+    )
+    ctes = ",\n        ".join(
+        [
+            *km,
+            *pq,
+            f"""newv AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id >= {split_id})""",
+            f"""nassign AS (SELECT vec_id, cell FROM (
+                 SELECT v.vec_id, c.cell,
+                        row_number() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {cos} DESC, c.cell) AS rn
+                 FROM newv v CROSS JOIN c{n_iter} c) WHERE rn = 1)""",
+            f"nsubs AS ({nsub_selects})",
+            f"""ncode AS (SELECT vec_id, m, code FROM (
+                 SELECT s.vec_id, s.m, c.code,
+                        row_number() OVER (PARTITION BY s.vec_id, s.m
+                                           ORDER BY {l2}, c.code) AS rn
+                 FROM nsubs s JOIN qcb{n_iter} c ON s.m = c.m) WHERE rn = 1)""",
+            f"""bmean AS (SELECT g.pos, ROUND(avg(CAST(v.embedding[g.pos] AS DOUBLE)), 6) AS val
+                 FROM ({base_sql}) v CROSS JOIN generate_series(1, {DIM}) g(pos)
+                 GROUP BY g.pos)""",
+            f"""nmean AS (SELECT g.pos, ROUND(avg(CAST(v.embedding[g.pos] AS DOUBLE)), 6) AS val
+                 FROM newv v CROSS JOIN generate_series(1, {DIM}) g(pos)
+                 GROUP BY g.pos)""",
+            "bvec AS (SELECT list(val ORDER BY pos) AS bv FROM bmean)",
+            "nvec AS (SELECT list(val ORDER BY pos) AS nv FROM nmean)",
+            f"""dstat AS (SELECT ROUND(1 - ({cosine_duck('b.bv', 'n.nv')}), 6) AS drift
+                 FROM bvec b CROSS JOIN nvec n)""",
+        ]
+    )
+    return f"""
+        WITH {ctes}
+        SELECT a.vec_id, p.m, CAST(a.cell AS INT) AS cell, p.code,
+               d.drift, d.drift >= {INC_DRIFT_THRESHOLD} AS retrain_due
+        FROM nassign a JOIN ncode p USING (vec_id) CROSS JOIN dstat d
+    """
+
+
+
 __all__ = [
     "M_SUB",
     "DSUB",
@@ -635,4 +779,6 @@ __all__ = [
     "ivf_pq_residual_topk_oracle",
     "sq_topk",
     "sq_topk_oracle",
+    "ann_incremental",
+    "ann_incremental_oracle",
 ]

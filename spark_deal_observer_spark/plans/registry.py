@@ -1987,6 +1987,8 @@ from ..multimodal.media import (  # noqa: E402
     attach_media,
     extract_features,
     media_features_oracle,
+    phash_dedup_oracle,
+    phash_dedup_pairs,
     resize_media,
     sample_frames,
 )
@@ -2991,6 +2993,19 @@ def q_ann_ivf_pq_residual(spark, sf_dir):
     return pq.ivf_pq_residual_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_incremental", pq.ann_incremental_oracle())
+def q_ann_incremental(spark, sf_dir):
+    """Incremental IVF-PQ index maintenance: quantizers train ONCE on the
+    indexed corpus snapshot (vec_id < 400), later arrivals are encoded
+    against the FROZEN models (pointwise, deterministic — the property
+    that makes the fold oracle-checkable), and the embedding-centroid
+    drift statistic rides along as the retrain trigger. The batch twin of
+    streaming/ann_index.py::AnnIndexMaintenanceSink; at 100 TB, training
+    stays one offline pass per snapshot and each increment touches only
+    the new rows."""
+    return pq.ann_incremental(_t(spark, sf_dir, "embeddings"))
+
+
 @register("tfidf_top_terms", rk.tfidf_top_terms_oracle())
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: explode in the scan stage, one
@@ -3041,6 +3056,19 @@ def q_multimodal_dedup(spark, sf_dir):
     return media.groupBy(F.md5("payload").alias("content_hash")).agg(
         F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id")
     )
+
+
+@register("multimodal_phash_dedup", phash_dedup_oracle())
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """PERCEPTUAL near-dup pairs over media content (circular 64-bit
+    dHash of decoded-byte bucket means, banded 4×16 like simhash,
+    bit_count(xor) Hamming verify): catches RE-ENCODED/resized duplicates
+    whose payload bytes differ but whose decoded content matches — the
+    gap exact content-hash dedup (`multimodal_dedup`) cannot close. Runs
+    the identical kernels over real PNG pixels in
+    tests/test_multimodal_phash.py; the fake/text codec makes this
+    instance oracle-checkable."""
+    return phash_dedup_pairs(attach_media(_t(spark, sf_dir, "documents")))
 
 
 from ..operators.graph import (  # noqa: E402
@@ -5525,7 +5553,13 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'n_copies', CAST(n_copies AS DOUBLE), "
         "'keep_doc_id', CAST(keep_doc_id AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
-    return fr.unionByName(fe).unionByName(rs).unionByName(dd_)
+    ph = REGISTRY["multimodal_phash_dedup"].fn(spark, sf_dir).selectExpr(
+        "'phash' AS section",
+        "concat(CAST(doc_a AS STRING), ':', CAST(doc_b AS STRING)) AS key",
+        "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
+        "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return fr.unionByName(fe).unionByName(rs).unionByName(dd_).unionByName(ph)
 
 
 REGISTRY["multimodal_suite"] = QueryDef(
@@ -5534,7 +5568,8 @@ REGISTRY["multimodal_suite"] = QueryDef(
     WITH fr AS ({REGISTRY["multimodal_frame_sample"].oracle}),
          fe AS ({REGISTRY["multimodal_features"].oracle}),
          rs AS ({REGISTRY["multimodal_resize"].oracle}),
-         dd AS ({REGISTRY["multimodal_dedup"].oracle})
+         dd AS ({REGISTRY["multimodal_dedup"].oracle}),
+         ph AS MATERIALIZED ({REGISTRY["multimodal_phash_dedup"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -5553,6 +5588,12 @@ REGISTRY["multimodal_suite"] = QueryDef(
            CAST(n_copies AS DOUBLE), NULL FROM dd
     UNION ALL SELECT 'dedup', content_hash, 'keep_doc_id',
            CAST(keep_doc_id AS DOUBLE), NULL FROM dd
+    UNION ALL SELECT 'phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'hamming', CAST(hamming AS DOUBLE), NULL FROM ph
+    UNION ALL SELECT 'phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'is_dup', CAST(is_dup AS DOUBLE), NULL FROM ph
     """,
 )
 
@@ -5753,11 +5794,18 @@ def q_ann_tier_suite(spark, sf_dir):
         "stack(2, 'label', CAST(label AS DOUBLE), 'cosine', cosine) "
         "AS (metric, value)",
     )
+    inc = REGISTRY["ann_incremental"].fn(spark, sf_dir).selectExpr(
+        "'incremental' AS section",
+        "concat(CAST(vec_id AS STRING), ':', CAST(m AS STRING)) AS key",
+        "stack(4, 'cell', CAST(cell AS DOUBLE), 'code', CAST(code AS DOUBLE), "
+        "'drift', drift, 'retrain', CAST(retrain_due AS DOUBLE)) "
+        "AS (metric, value)",
+    )
     return (
         bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
         .unionByName(ivl).unionByName(lb).unionByName(ivk)
         .unionByName(pqc).unionByName(rp).unionByName(ivpq)
-        .unionByName(ivpqr).unionByName(sq8)
+        .unionByName(ivpqr).unionByName(sq8).unionByName(inc)
     )
 
 
@@ -5775,7 +5823,8 @@ REGISTRY["ann_tier_suite"] = QueryDef(
          rp AS MATERIALIZED ({REGISTRY["embedding_random_projection"].oracle}),
          ivpq AS MATERIALIZED ({REGISTRY["ann_ivf_pq"].oracle}),
          ivpqr AS MATERIALIZED ({REGISTRY["ann_ivf_pq_residual"].oracle}),
-         sq8 AS MATERIALIZED ({REGISTRY["ann_sq8"].oracle})
+         sq8 AS MATERIALIZED ({REGISTRY["ann_sq8"].oracle}),
+         inc AS MATERIALIZED ({REGISTRY["ann_incremental"].oracle})
     SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
            'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
     UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
@@ -5819,6 +5868,18 @@ REGISTRY["ann_tier_suite"] = QueryDef(
            CAST(label AS DOUBLE) FROM sq8
     UNION ALL SELECT 'sq8', CAST(vec_id AS VARCHAR), 'cosine',
            cosine FROM sq8
+    UNION ALL SELECT 'incremental',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR),
+           'cell', CAST(cell AS DOUBLE) FROM inc
+    UNION ALL SELECT 'incremental',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR),
+           'code', CAST(code AS DOUBLE) FROM inc
+    UNION ALL SELECT 'incremental',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR),
+           'drift', drift FROM inc
+    UNION ALL SELECT 'incremental',
+           CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR),
+           'retrain', CAST(retrain_due AS DOUBLE) FROM inc
     """,
 )
 
@@ -6442,7 +6503,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
         "ann_pq_adc", "ann_ivf_label", "ann_lsh_bucket", "ann_ivf_kmeans",
         "pq_codes", "embedding_random_projection", "ann_ivf_pq",
-        "ann_ivf_pq_residual", "ann_sq8",
+        "ann_ivf_pq_residual", "ann_sq8", "ann_incremental",
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",
@@ -6491,7 +6552,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "multimodal_suite": (
         "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
-        "multimodal_dedup",
+        "multimodal_dedup", "multimodal_phash_dedup",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -6606,6 +6667,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "event_ewma_forecast",   # truncated-EWMA smoothing + 1-step residuals
     "event_transition_matrix",  # Markov path-analysis matrix
     "multimodal_frame_sample",  # multimodal_suite melts it above
+    "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
@@ -6616,6 +6678,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "snapshot_diff",         # CDC added/removed/changed between table states
     "ann_ivf_centroid",      # IVF tier driver-verified inside ann_recall_report
     "ann_pq_adc",            # PQ/ADC tier driver-verified inside ann_recall_report
+    "ann_incremental",       # frozen-model fold + drift retrain trigger (melted above)
     "filter_isnull",         # P1 (suite row above)
     "filter_bool",           # P2 + T4 revert flag
     "filter_enum_eq",        # P3

@@ -22,6 +22,15 @@ docstring promises.
 Restart recovery is the read side: the index is the union of all durable
 batch directories, so a new sink instance over the same path serves
 queries over everything previously ingested with no state rebuild.
+
+RETRAIN TRIGGER: frozen quantizers degrade silently as the traffic
+distribution moves away from the trained corpus, so each tick also
+appends a drift row — the cosine shift between the batch's rounded mean
+embedding and the trained baseline's (`operators/quantization.py::
+ann_incremental`'s statistic, the `embedding_source_drift` arithmetic) —
+with `retrain_due` flagged past INC_DRIFT_THRESHOLD. The monitor only
+FLAGS: retraining re-codes the whole index and belongs to the offline
+snapshot pass, exactly where a production system schedules it.
 """
 
 from __future__ import annotations
@@ -30,12 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.quantization import (
+    INC_DRIFT_THRESHOLD,
     _l2_spark,
+    _mean_vec_spark,
     _pq_assign,
     _pq_fit,
     _subvectors,
 )
 from ..operators.similarity import _kmeans_assign, _kmeans_fit, cosine_spark
+from .atomic import SnapshotStore
 
 
 class AnnIndexMaintenanceSink:
@@ -58,6 +70,10 @@ class AnnIndexMaintenanceSink:
         # queries next to this sink trains nothing twice.
         self.cents, _ = _kmeans_fit(baseline_emb, n_cells, n_iter)
         self.cb = _pq_fit(baseline_emb)
+        self._drift = SnapshotStore(spark, f"{out_path}_drift", "batch_id")
+        self._base_mean = _mean_vec_spark(
+            baseline_emb.select("vec_id", "embedding"), "bv"
+        ).localCheckpoint(eager=True)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch.isEmpty():
@@ -74,6 +90,31 @@ class AnnIndexMaintenanceSink:
         # same directory — at-least-once delivery, effectively-once index.
         rows.write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.out_path}/batch_id={batch_id}"
+        )
+        drift_row = (
+            _mean_vec_spark(vecs, "nv")
+            .crossJoin(F.broadcast(self._base_mean))
+            .selectExpr(
+                f"ROUND(1 - ({cosine_spark('bv', 'nv')}), 6) AS drift",
+            )
+            .crossJoin(batch.agg(F.count("*").cast("bigint").alias("n_vecs")))
+            .select(
+                "n_vecs",
+                "drift",
+                (F.col("drift") >= F.lit(INC_DRIFT_THRESHOLD)).alias(
+                    "retrain_due"
+                ),
+            )
+        )
+        self._drift.write(drift_row, batch_id)
+
+    def read_drift(self) -> DataFrame:
+        """(batch_id, n_vecs, drift, retrain_due) per ingested batch —
+        empty typed before the first batch."""
+        if self._drift.ids():
+            return self._drift.read_all()
+        return self.spark.createDataFrame(
+            [], "n_vecs BIGINT, drift DOUBLE, retrain_due BOOLEAN, batch_id INT"
         )
 
     def read_index(self) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Perceptual near-dup over REAL decoded PNG pixels: a re-encoded PNG
+(different deflate level, re-chunked IDAT — different payload bytes,
+identical pixels) must pair with its original at Hamming 0, which exact
+content-hash dedup (multimodal_dedup) can never do; an unrelated image
+must not be flagged. Verdict r5 #7."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from spark_deal_observer_spark.multimodal.media import (
+    PHASH_HAM_MAX,
+    media_bucket_means,
+    phash_dedup_pairs,
+)
+from spark_deal_observer_spark.multimodal.png import decode_png, encode_png
+
+
+def _reencode(png: bytes, level: int = 1, split: int = 2) -> bytes:
+    """A different ENCODING of the same pixels: re-deflate the IDAT at
+    another compression level and split it across several chunks."""
+    pos, out, idat = 8, bytearray(png[:8]), bytearray()
+    chunks = []
+    while pos + 12 <= len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        body = png[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            idat += body
+        else:
+            chunks.append((ctype, body))
+        pos += 12 + length
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = zlib.decompress(bytes(idat))
+    comp = zlib.compress(raw, level)
+    step = (len(comp) + split - 1) // split
+    for ctype, body in chunks:
+        if ctype == b"IEND":
+            for i in range(0, len(comp), step):
+                out += chunk(b"IDAT", comp[i : i + step])
+        out += chunk(ctype, body)
+    return bytes(out)
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(p), "image/png", w, h) for i, (p, w, h) in enumerate(rows, 1)],
+        "doc_id BIGINT, payload BINARY, codec STRING, width INT, height INT",
+    )
+
+
+def test_reencoded_png_pairs_with_original(spark):
+    w, h = 16, 16
+    ramp = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w * 3))
+    inv = bytes(255 - b for b in ramp)
+    png_a = encode_png(ramp, w, h, 3)
+    png_a2 = _reencode(png_a)
+    png_b = encode_png(inv, w, h, 3)
+    assert png_a2 != png_a  # different payload bytes...
+    assert decode_png(png_a2)[0] == ramp  # ...same pixels
+
+    media = _media_df(
+        spark, [(png_a, w, h), (png_a2, w, h), (png_b, w, h)]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["is_dup"])
+        for r in phash_dedup_pairs(media).collect()
+    }
+    assert pairs[(1, 2)] == (0, True)  # the re-encode is a perfect match
+    for p, (ham, dup) in pairs.items():
+        if p != (1, 2):
+            assert not dup and ham > PHASH_HAM_MAX, (p, ham)
+
+
+def test_upsampled_png_stays_within_threshold(spark):
+    """A 2× nearest-neighbor upsample of a grayscale vertical gradient
+    (rows doubled, pixels doubled — a uniform stretch of the byte
+    stream) leaves every bucket mean FIXED, so the resized duplicate
+    hashes identically: the 1-D bucket mapping is scale-invariant under
+    uniform stretch. (Arbitrary 2-D content is NOT — resize robustness
+    of the 1-D hash holds for stretch-aligned content; the re-encode
+    case above is the unconditional one.)"""
+    w, h = 16, 16
+    base = bytes(((y * 9 + 3) % 251 for y in range(h) for _ in range(w)))
+    up = b"".join(
+        bytes(b for b in base[y * w : (y + 1) * w] for _ in range(2)) * 2
+        for y in range(h)
+    )
+    media = _media_df(
+        spark,
+        [(encode_png(base, w, h, 1), w, h), (encode_png(up, 2 * w, 2 * h, 1), 2 * w, 2 * h)],
+    )
+    means = media_bucket_means(media)
+    a = {r["bucket"]: r["mean"] for r in means.where("doc_id = 1").collect()}
+    b = {r["bucket"]: r["mean"] for r in means.where("doc_id = 2").collect()}
+    assert a == b  # exact: stretch moves no byte across a bucket boundary
+    rows = phash_dedup_pairs(media).collect()
+    assert len(rows) == 1
+    assert (rows[0]["hamming"], rows[0]["is_dup"]) == (0, True)

@@ -137,3 +137,27 @@ def test_sink_through_structured_streaming(spark, tmp_path):
     # replaying the stream with the same checkpoint ingests nothing twice
     run()
     assert _index_rows(sink) == before
+
+
+def test_drift_trigger_flags_shifted_batches(spark, tmp_path):
+    """The retrain trigger: a batch drawn from the indexed distribution
+    scores low drift; the shifted tail (vec_id >= 400 — the same split
+    the batch twin `ann_incremental` uses) crosses the threshold and
+    flags retrain_due, with the streamed statistic EXACTLY equal to the
+    batch twin's (same rounded-mean + cosine arithmetic)."""
+    from spark_deal_observer_spark.operators.quantization import (
+        ann_incremental,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.where(F.col("vec_id") < 400)
+    sink = AnnIndexMaintenanceSink(spark, base, str(tmp_path / "idx"))
+    assert sink.read_drift().count() == 0  # pre-ingest: empty typed
+
+    sink.process_batch(base.where(F.col("vec_id") < 200), batch_id=0)
+    sink.process_batch(emb.where(F.col("vec_id") >= 400), batch_id=1)
+    rows = {r["batch_id"]: r for r in sink.read_drift().collect()}
+    assert rows[1]["retrain_due"] is True
+    assert rows[1]["drift"] > rows[0]["drift"]
+    want = ann_incremental(emb).select("drift").first()[0]
+    assert rows[1]["drift"] == want
