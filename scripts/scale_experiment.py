@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "event_anomaly_zscore",
     "event_transition_matrix",
     "prototype_classifier_eval",
+    # r6: frozen-model incremental ANN encode (models are snapshot-sized —
+    # the decade measures the batch-linear encode path) and the perceptual
+    # media hash (bucket means are scan-stage; the pair stage is banded)
+    "ann_incremental",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -293,16 +293,23 @@ def phash_dedup_pairs(media: DataFrame) -> DataFrame:
     bm = media_bucket_means(
         media.where(F.length("payload") >= PHASH_BUCKETS)
     )
+    return _phash_pairs(bm)
+
+
+def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
+    """dHash bits → band keys → banded candidates → Hamming verify, over
+    any (doc_id, bucket, mean) table with buckets 0..n_bits-1 (the 1-D
+    byte hash and the 2-D grid hash share this whole tail)."""
     nb = bm.select(
         F.col("doc_id").alias("n_doc"),
         F.col("bucket").alias("n_bucket"),
         F.col("mean").alias("nmean"),
     )
-    width = PHASH_BUCKETS // PHASH_BANDS
+    width = n_bits // PHASH_BANDS
     bits = bm.join(
         nb,
         (bm["doc_id"] == nb["n_doc"])
-        & (nb["n_bucket"] == (bm["bucket"] + 1) % PHASH_BUCKETS),
+        & (nb["n_bucket"] == (bm["bucket"] + 1) % n_bits),
     ).select(
         "doc_id",
         "bucket",
@@ -394,3 +401,73 @@ def phash_dedup_oracle() -> str:
         JOIN pbands kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
         GROUP BY c.doc_a, c.doc_b
     """
+
+
+def _decode_image(payload: bytes, codec: str) -> tuple[bytes, int, int, int]:
+    """Decode with GEOMETRY: (raw bytes, width, height, channels). The
+    fake codec is a 1-pixel-tall grayscale strip; PNG is real."""
+    if codec.startswith("fake/"):
+        return payload, len(payload), 1, 1
+    if codec in ("image/png", "png"):
+        from .png import decode_png
+
+        return decode_png(payload)
+    raise NotImplementedError(f"codec {codec!r}")
+
+
+def media_grid_means(
+    media: DataFrame, gw: int = 8, gh: int = 8
+) -> DataFrame:
+    """(doc_id, bucket, mean): per-cell LUMINANCE means over the gw×gh
+    grid of the decoded 2-D pixel layout — the real pHash downscale, for
+    which the geometry matters: pixel (x, y) lands in cell
+    (y·gh // h)·gw + (x·gw // w), so any resample whose dimensions are
+    multiples of the original's maps cells exactly (nearest-neighbor 2×
+    upsample → identical means for ARBITRARY content, unlike the 1-D
+    byte hash whose stretch-invariance needs row-aligned content).
+    Luminance is the channel mean; images smaller than the grid are
+    dropped."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        nb = gw * gh
+        for pdf in it:
+            ids: list[int] = []
+            buckets: list[int] = []
+            means: list[float] = []
+            for d, p, c in zip(pdf["doc_id"], pdf["payload"], pdf["codec"]):
+                raw, w, h, ch = _decode_image(bytes(p), c)
+                if w < gw or h < gh:
+                    continue
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+                lum = px.mean(axis=2)  # channel mean, exact dyadic /ch
+                gy = (np.arange(h, dtype=np.int64) * gh) // h
+                gx = (np.arange(w, dtype=np.int64) * gw) // w
+                cell = (gy[:, None] * gw + gx[None, :]).ravel()
+                sums = np.bincount(cell, weights=lum.ravel(), minlength=nb)
+                cnts = np.bincount(cell, minlength=nb)
+                ids.extend([d] * nb)
+                buckets.extend(range(nb))
+                means.extend(np.round(sums / cnts, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, BUCKET_MEAN_SCHEMA)
+
+
+def phash_dedup_pairs_2d(
+    media: DataFrame, gw: int = 8, gh: int = 8
+) -> DataFrame:
+    """The 2-D perceptual near-dup tier: grid-mean dHash over the real
+    pixel layout (geometry-aware, resize-robust for arbitrary content)
+    through the same banding/verify tail as the 1-D byte hash. Use this
+    for real image corpora; the 1-D `phash_dedup_pairs` is the
+    oracle-checkable instance over byte-stream content."""
+    return _phash_pairs(media_grid_means(media, gw, gh), n_bits=gw * gh)

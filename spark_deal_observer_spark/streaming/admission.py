@@ -23,13 +23,12 @@ against an external acceptance budget (spark-api-submit-deals.js:17-29).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_sql
 from ..operators.prefix import global_prefix_sum
+from .atomic import SnapshotStore
 
 
 class BudgetAdmissionSink:
@@ -39,28 +38,21 @@ class BudgetAdmissionSink:
         self.spark = spark
         self.budget = int(budget)
         self.out_path = out_path
-        self._applied: set[int] = set()
+        self._store = SnapshotStore(spark, f"{out_path}/admitted", "batch_id")
+        # committed dirs only: a torn batch dir (crash mid-commit) must be
+        # redelivered and overwritten, not counted as applied — and its
+        # partial rows must not inflate the recovered consumed total
+        self._applied: set[int] = set(self._store.ids())
         self._consumed = 0
-        base = f"{out_path}/admitted"
-        if os.path.isdir(base):
-            # committed dirs only: a torn batch dir (crash mid-commit)
-            # must be redelivered and overwritten, not counted as applied
-            from .atomic import committed_ids
-
-            self._applied.update(committed_ids(base, "batch_id"))
-            if self._applied:
-                # recover the consumed total from the COMMITTED dirs only
-                # (a torn dir's partial rows would inflate the budget)
-                paths = [
-                    f"{base}/batch_id={i}" for i in sorted(self._applied)
-                ]
-                row = (
-                    self.spark.read.option("basePath", base)
-                    .parquet(*paths)
-                    .agg(F.sum("n_tokens"))
-                    .first()
-                )
-                self._consumed = int(row[0] or 0)
+        if self._applied:
+            paths = [self._store.path(i) for i in sorted(self._applied)]
+            row = (
+                self.spark.read.option("basePath", self._store.base)
+                .parquet(*paths)
+                .agg(F.sum("n_tokens"))
+                .first()
+            )
+            self._consumed = int(row[0] or 0)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch_id in self._applied:
@@ -78,13 +70,12 @@ class BudgetAdmissionSink:
             "n_tokens",
             "cum_tokens",
         ).where(F.col("cum_tokens") <= F.lit(remaining))
-        out = f"{self.out_path}/admitted/batch_id={batch_id}"
-        admitted.write.mode("overwrite").parquet(out)
-        spent = self.spark.read.parquet(out).agg(F.sum("n_tokens")).first()[0]
+        self._store.write(admitted, batch_id)
+        spent = (
+            self._store.read(batch_id).agg(F.sum("n_tokens")).first()[0]
+        )
         self._consumed += int(spent or 0)
         self._applied.add(batch_id)
 
     def read_admitted(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", f"{self.out_path}/admitted"
-        ).parquet(f"{self.out_path}/admitted/batch_id=*")
+        return self._store.read_all()

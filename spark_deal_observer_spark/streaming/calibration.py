@@ -17,6 +17,7 @@ idempotent replay unit shared with every monitor sink here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from .atomic import SnapshotStore
 from pyspark.sql import functions as F
 
 from ..operators.classifier import CALIB_BINS, calibration_report, classifier_scores
@@ -42,6 +43,7 @@ class CalibrationMonitorSink:
     def __init__(self, spark: SparkSession, baseline_docs: DataFrame, out_path: str):
         self.spark = spark
         self.out_path = out_path
+        self._reports = SnapshotStore(spark, out_path, "batch_id")
         self.baseline = baseline_calibration(baseline_docs)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -72,9 +74,7 @@ class CalibrationMonitorSink:
                 ).alias("gap_vs_train"),
             )
         )
-        row.write.mode("overwrite").parquet(f"{self.out_path}/batch_id={batch_id}")
+        self._reports.write(row, batch_id)
 
     def read_report(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
-        )
+        return self._reports.read_all()

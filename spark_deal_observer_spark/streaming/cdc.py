@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .atomic import SnapshotStore
 from .sink import DealTableSink
 
 
@@ -46,6 +47,7 @@ class ChangeFeedSink:
         self.spark = spark
         self.sink = sink
         self.out_path = out_path
+        self._audits = SnapshotStore(spark, out_path, "batch_id")
         self.compare_cols = list(compare_cols) if compare_cols else None
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -77,7 +79,7 @@ class ChangeFeedSink:
                 "changed_fields"
             ),
         ).where(F.col("op").isNotNull())
-        audit.write.mode("overwrite").parquet(f"{self.out_path}/batch_id={batch_id}")
+        self._audits.write(audit, batch_id)
         if self.sink.exists():
             self.sink.merge_overwrite(ups, key)
         else:
@@ -85,6 +87,4 @@ class ChangeFeedSink:
 
     def read_feed(self) -> DataFrame:
         """The accumulated audit log, batch_id re-derived as a column."""
-        return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
-        )
+        return self._audits.read_all()

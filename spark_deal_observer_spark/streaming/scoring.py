@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.classifier import score_with_model, trained_model
+from .atomic import SnapshotStore
 
 
 class ModelScoringSink:
@@ -29,20 +30,17 @@ class ModelScoringSink:
     def __init__(self, spark: SparkSession, train_docs: DataFrame, out_path: str):
         self.spark = spark
         self.out_path = out_path
+        self._reports = SnapshotStore(spark, out_path, "batch_id")
         # Train (or fetch the published artifact) ONCE at sink construction.
         self.stats, self.weights = trained_model(train_docs)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        scored = score_with_model(batch, self.stats, self.weights)
-        (
-            scored.write.mode("overwrite")
-            .parquet(f"{self.out_path}/batch_id={batch_id}")
+        self._reports.write(
+            score_with_model(batch, self.stats, self.weights), batch_id
         )
 
     def read_scores(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
-        )
+        return self._reports.read_all()
 
 
 class DsirScoringSink:
@@ -63,18 +61,15 @@ class DsirScoringSink:
 
         self.spark = spark
         self.out_path = out_path
+        self._reports = SnapshotStore(spark, out_path, "batch_id")
         self.delta_df, self.default_delta = dsir_model(train_docs)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         from ..operators.corpus import score_with_dsir
 
-        scored = score_with_dsir(batch, self.delta_df, self.default_delta)
-        (
-            scored.write.mode("overwrite")
-            .parquet(f"{self.out_path}/batch_id={batch_id}")
+        self._reports.write(
+            score_with_dsir(batch, self.delta_df, self.default_delta), batch_id
         )
 
     def read_scores(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
-        )
+        return self._reports.read_all()

@@ -108,3 +108,41 @@ def test_upsampled_png_stays_within_threshold(spark):
     rows = phash_dedup_pairs(media).collect()
     assert len(rows) == 1
     assert (rows[0]["hamming"], rows[0]["is_dup"]) == (0, True)
+
+
+def test_grid_phash_pairs_arbitrary_content_across_resize(spark):
+    """The 2-D tier: grid-mean dHash over the real pixel layout is
+    resize-robust for ARBITRARY content (this exact ramp breaks the 1-D
+    byte hash's stretch-invariance): a 2× nearest-neighbor upsample maps
+    every grid cell exactly (dimensions are multiples), so the resized
+    duplicate hashes identically; an unrelated image does not pair."""
+    from spark_deal_observer_spark.multimodal.media import (
+        phash_dedup_pairs_2d,
+    )
+
+    w, h = 16, 16
+    ramp = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w * 3))
+    inv = bytes(255 - b for b in ramp)
+    up_rows = []
+    for y in range(h):
+        row = ramp[y * w * 3 : (y + 1) * w * 3]
+        wide = b"".join(row[i : i + 3] * 2 for i in range(0, len(row), 3))
+        up_rows += [wide, wide]
+    up = b"".join(up_rows)
+
+    media = _media_df(
+        spark,
+        [
+            (encode_png(ramp, w, h, 3), w, h),
+            (encode_png(up, 2 * w, 2 * h, 3), 2 * w, 2 * h),
+            (encode_png(inv, w, h, 3), w, h),
+        ],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["is_dup"])
+        for r in phash_dedup_pairs_2d(media).collect()
+    }
+    assert pairs[(1, 2)] == (0, True)
+    for p, (ham, dup) in pairs.items():
+        if p != (1, 2):
+            assert not dup, (p, ham)
