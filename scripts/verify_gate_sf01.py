@@ -41,6 +41,45 @@ def norm(v):
     return v
 
 
+def _substitute_cc(con) -> tuple[str, str]:
+    """The recursive-CTE connected-components oracle computes the FULL
+    transitive closure — O(Σ|component|²) rows, fine at sf0.01 but a
+    multi-hour wall at sf0.1 where the duplicate-dense fixture yields a
+    1.5M-edge near-clique pair graph (measured: >20 min on one query).
+    For this harness the CC block is verified against an equally
+    independent but tractable exact oracle: DuckDB computes the LSH pair
+    graph, pure-Python union-find labels the components, and the result
+    is registered as a table that textually replaces the recursive block
+    inside every gate oracle embedding it. Value semantics identical
+    (cluster = component-min doc id, nodes = edge endpoints)."""
+    from spark_deal_observer_spark.operators import dedup as dd
+
+    cc_sql = dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle())
+    pairs = con.execute(dd.minhash_lsh_pairs_oracle()).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    con.execute("CREATE TABLE cc_uf(doc_id BIGINT, cluster BIGINT)")
+    con.executemany("INSERT INTO cc_uf VALUES (?, ?)", rows)
+    print(
+        f"cc union-find: {len(pairs)} edges -> {len(rows)} labeled nodes",
+        flush=True,
+    )
+    return cc_sql, "SELECT doc_id, cluster FROM cc_uf"
+
+
 def main() -> int:
     from spark_deal_observer_spark.plans.registry import DRIVER_ORDER, REGISTRY
     from spark_deal_observer_spark.session import get_spark
@@ -52,6 +91,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    cc_sql, cc_sub = _substitute_cc(con)
 
     fail: list[tuple[str, str]] = []
     t0 = time.time()
@@ -67,7 +107,7 @@ def main() -> int:
             if q.oracle is None:
                 print(f"[{i + 1}/{len(gate)}] {name}: rows-only ({len(srows)})", flush=True)
                 continue
-            rel = con.sql(q.oracle)
+            rel = con.sql(q.oracle.replace(cc_sql, cc_sub))
             ocols_raw = list(rel.columns)
             if cols != sorted(ocols_raw):
                 fail.append((name, f"schema {cols} vs {sorted(ocols_raw)}"))

@@ -701,10 +701,15 @@ def _cc_run(pairs: DataFrame, max_iter: int) -> DataFrame:
 
 
 def connected_components_oracle(pairs_sql: str) -> str:
-    """DuckDB twin via recursive CTE: min reachable id == component min."""
+    """DuckDB twin via recursive CTE: min reachable id == component min.
+
+    `pairs`/`sym` are MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, so the recursive step would otherwise re-run the whole
+    LSH pair pipeline once per recursion DEPTH — invisible at sf0.01,
+    a ~20-minute wall at sf0.1 (caught by scripts/verify_gate_sf01.py)."""
     return f"""
-        WITH RECURSIVE pairs AS ({pairs_sql}),
-        sym AS (SELECT doc_a, doc_b FROM pairs
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+        sym AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
         walk(node, reach) AS (
           SELECT DISTINCT doc_a, doc_a FROM sym

@@ -118,9 +118,18 @@ class AnnIndexMaintenanceSink:
         )
 
     def read_index(self) -> DataFrame:
-        """(vec_id, cell, m, code) across every durable batch directory."""
+        """(vec_id, cell, m, code) across every COMMITTED batch directory
+        — a torn batch dir (crash mid-commit) would otherwise serve
+        PARTIAL codes to searches until its redelivery overwrites it."""
+        store = SnapshotStore(self.spark, self.out_path, "batch_id")
+        ids = store.ids()
+        paths = (
+            [store.path(i) for i in ids]
+            if ids
+            else [f"{self.out_path}/batch_id=*"]
+        )
         return self.spark.read.option("basePath", self.out_path).parquet(
-            f"{self.out_path}/batch_id=*"
+            *paths
         )
 
     def search(

@@ -171,10 +171,18 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(self.path(sid))
 
     def read_all(self) -> DataFrame:
-        """Union of every durable id dir, with the id re-derived as a
-        partition column (per-batch report/doc layouts)."""
+        """Union of every COMMITTED id dir, with the id re-derived as a
+        partition column (per-batch report/doc layouts). Torn dirs (crash
+        mid-commit) are excluded — a glob would surface their partial
+        rows as if final until the redelivery overwrites them."""
+        ids = self.ids()
+        if not ids:
+            # preserve the no-data error shape of an empty glob read
+            return self.spark.read.option("basePath", self.base).parquet(
+                os.path.join(self.base, f"{self.prefix}=*")
+            )
         return self.spark.read.option("basePath", self.base).parquet(
-            os.path.join(self.base, f"{self.prefix}=*")
+            *[self.path(i) for i in ids]
         )
 
     def gc(self, keep: int) -> None:

@@ -20,7 +20,8 @@ PYTHON_OK = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "multimodal_suite",  # gate melt of the three media kernels above
+    "multimodal_suite",  # gate melt of the media kernels above
+    "multimodal_phash_dedup",  # bucket means cross Arrow; hashing is JVM
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
     "diff_session_recall_suite",  # gate melt includes enrich_cached_peer

@@ -218,3 +218,21 @@ def test_bounded_line_dedup_still_green_after_port(spark, tmp_path):
         sink.process_batch(docs.selectExpr(f"doc_id + {2 * i} AS doc_id", "text"), i)
     assert len(sink._store.ids()) <= 2  # GC bound holds
     assert sink.read_docs().count() == 8
+
+
+def test_read_all_excludes_torn_dirs(spark, tmp_path):
+    """A report reader between a crash and the redelivery must not see
+    the torn directory's partial rows as if they were final."""
+    store = SnapshotStore(spark, str(tmp_path / "r"), "batch_id")
+    store.write(spark.range(3).selectExpr("id AS v"), 0)
+    # batch 1 crashed mid-commit: copy a committed part file, no _SUCCESS
+    torn = store.path(1)
+    os.makedirs(torn)
+    src = store.path(0)
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(src, part), os.path.join(torn, part))
+    rows = {(r["batch_id"], r["v"]) for r in store.read_all().collect()}
+    assert rows == {(0, 0), (0, 1), (0, 2)}
+    # the redelivery overwrites and commits; now it IS visible
+    store.write(spark.range(2).selectExpr("id + 10 AS v"), 1)
+    assert store.read_all().count() == 5
