@@ -296,10 +296,10 @@ def phash_dedup_pairs(media: DataFrame) -> DataFrame:
     return _phash_pairs(bm)
 
 
-def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
-    """dHash bits → band keys → banded candidates → Hamming verify, over
-    any (doc_id, bucket, mean) table with buckets 0..n_bits-1 (the 1-D
-    byte hash and the 2-D grid hash share this whole tail)."""
+def phash_band_keys(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
+    """(doc_id, band, bkey): circular dHash bits folded into PHASH_BANDS
+    integer band keys — the blocking signature shared by the batch pair
+    join and the streaming perceptual-dedup ingest sink."""
     nb = bm.select(
         F.col("doc_id").alias("n_doc"),
         F.col("bucket").alias("n_bucket"),
@@ -315,7 +315,7 @@ def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
         "bucket",
         (F.col("mean") > F.col("nmean")).cast("int").alias("bit"),
     )
-    bands = bits.groupBy(
+    return bits.groupBy(
         "doc_id", (F.col("bucket") / width).cast("int").alias("band")
     ).agg(
         F.sum(
@@ -323,6 +323,13 @@ def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
             * F.expr(f"CAST(pow(2, bucket % {width}) AS BIGINT)")
         ).alias("bkey")
     )
+
+
+def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
+    """dHash bits → band keys → banded candidates → Hamming verify, over
+    any (doc_id, bucket, mean) table with buckets 0..n_bits-1 (the 1-D
+    byte hash and the 2-D grid hash share this whole tail)."""
+    bands = phash_band_keys(bm, n_bits)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
     )
