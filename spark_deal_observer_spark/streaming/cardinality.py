@@ -42,10 +42,21 @@ class CardinalityMonitorSink:
     """foreachBatch body: merge each micro-batch's HLL registers into the
     persisted register state and append per-group distinct estimates."""
 
-    def __init__(self, spark: SparkSession, out_path: str, key: str = "event_type"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        key: str = "event_type",
+        keep_snapshots: int | None = None,
+    ):
         self.spark = spark
         self.out_path = out_path
         self.key = key
+        # snapshot-horizon GC: register snapshots beyond the newest
+        # `keep_snapshots` are replay-dead (Structured Streaming redelivers
+        # at most the tail of the batch log) — None keeps history for
+        # audit, an int bounds disk at O(keep × state) instead of O(ticks)
+        self.keep = keep_snapshots
         # shared snapshot protocol (streaming/atomic.py): committed-only
         # restart recovery + strictly-below replay reads
         self._regs = SnapshotStore(spark, f"{out_path}/registers")
@@ -77,6 +88,8 @@ class CardinalityMonitorSink:
         elif regs is None:
             regs = prev
         self._regs.write(regs, batch_id)
+        if self.keep:
+            self._regs.gc(self.keep)
         self._last_snapshot = batch_id
         merged = self._regs.read(batch_id)
         report = hll_estimate(merged, [self.key]).selectExpr(

@@ -27,9 +27,12 @@ from .atomic import SnapshotStore
 class FrequencyMonitorSink:
     """foreachBatch body: ledger-guarded CMS sum-merge + probe report."""
 
-    def __init__(self, spark: SparkSession, out_path: str):
+    def __init__(
+        self, spark: SparkSession, out_path: str, keep_snapshots: int | None = None
+    ):
         self.spark = spark
         self.out_path = out_path
+        self.keep = keep_snapshots  # None = audit history; int = bounded disk
         self._sketches = SnapshotStore(spark, f"{out_path}/sketch")
         self._reports = SnapshotStore(spark, f"{out_path}/report", "batch_id")
         # restart recovery: resume from the last durable snapshot, and
@@ -72,6 +75,8 @@ class FrequencyMonitorSink:
         elif cells is None:
             cells = prev
         self._sketches.write(cells, batch_id)
+        if self.keep:
+            self._sketches.gc(self.keep)
         self._last_snapshot = batch_id
         # ids at/below the advanced mark are covered by _is_applied; the
         # in-memory set can forget them (bounds the ledger's footprint)

@@ -52,11 +52,18 @@ class LineDedupIngestSink:
     already-seen lines removed; append newly-seen line hashes to the
     durable first-occurrence store."""
 
-    def __init__(self, spark: SparkSession, out_path: str):
+    def __init__(
+        self, spark: SparkSession, out_path: str, keep_snapshots: int | None = None
+    ):
         self.spark = spark
         self.out_path = out_path
         self.store = f"{out_path}/store"
         self.docs = f"{out_path}/docs"
+        # snapshot-horizon GC (every snapshot carries the FULL line store,
+        # so dirs beyond the replay horizon are pure duplication): None =
+        # keep history, int = O(keep × store) disk instead of O(ticks ×
+        # store). The bounded subclass supplies its own keep semantics.
+        self.keep = keep_snapshots
         # the shared snapshot protocol (committed-only selection,
         # strictly-below replay reads, GC) — see streaming/atomic.py
         self._store = SnapshotStore(spark, self.store)
@@ -119,6 +126,8 @@ class LineDedupIngestSink:
         self._store.write(
             seen.select("lh").unionByName(new_firsts.select("lh")), batch_id
         )
+        if self.keep:
+            self._store.gc(self.keep)
 
     def read_docs(self) -> DataFrame:
         return self._docs.read_all()

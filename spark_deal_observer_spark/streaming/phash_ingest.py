@@ -48,9 +48,17 @@ _STORE_SCHEMA = "doc_id BIGINT, band INT, bkey BIGINT"
 class PerceptualDedupIngestSink:
     """foreachBatch body: perceptual-signature admission for media."""
 
-    def __init__(self, spark: SparkSession, out_path: str, gw: int = 8, gh: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        gw: int = 8,
+        gh: int = 8,
+        keep_snapshots: int | None = None,
+    ):
         self.spark = spark
         self.gw, self.gh = gw, gh
+        self.keep = keep_snapshots  # None = audit history; int = bounded disk
         self._store = SnapshotStore(spark, f"{out_path}/bands")
         self._admitted = SnapshotStore(spark, f"{out_path}/admitted", "batch_id")
 
@@ -88,6 +96,8 @@ class PerceptualDedupIngestSink:
             self._admitted.read(batch_id).select("doc_id"), "doc_id", "left_semi"
         )
         self._store.write(seen.unionByName(new_bands), batch_id)
+        if self.keep:
+            self._store.gc(self.keep)
 
     def read_admitted(self) -> DataFrame:
         return self._admitted.read_all()

@@ -28,10 +28,13 @@ from .atomic import SnapshotStore
 class TransitionMonitorSink:
     """foreachBatch body: maintain (prev, next) counts + per-user last."""
 
-    def __init__(self, spark: SparkSession, out_path: str):
+    def __init__(
+        self, spark: SparkSession, out_path: str, keep_snapshots: int | None = None
+    ):
         self.spark = spark
         self.counts = f"{out_path}/counts"
         self.last = f"{out_path}/last"
+        self.keep = keep_snapshots  # None = audit history; int = bounded disk
         # shared snapshot protocol (streaming/atomic.py): committed-only
         # selection + strictly-below replay reads + empty-typed pre-ingest
         self._counts = SnapshotStore(spark, self.counts)
@@ -74,6 +77,8 @@ class TransitionMonitorSink:
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
         self._counts.write(merged, batch_id)
+        if self.keep:
+            self._counts.gc(self.keep)
         new_last = (
             combined.withColumn(
                 "rn",
@@ -87,6 +92,8 @@ class TransitionMonitorSink:
             .select(*cols)
         )
         self._last.write(new_last, batch_id)
+        if self.keep:
+            self._last.gc(self.keep)
 
     def read_matrix(self) -> DataFrame:
         """(prev_type, next_type, n, p) over everything ingested; empty

@@ -236,3 +236,24 @@ def test_read_all_excludes_torn_dirs(spark, tmp_path):
     # the redelivery overwrites and commits; now it IS visible
     store.write(spark.range(2).selectExpr("id + 10 AS v"), 1)
     assert store.read_all().count() == 5
+
+
+def test_keep_snapshots_bounds_sink_disk(spark, tmp_path):
+    """Opt-in snapshot-horizon GC: a long-lived stream's snapshot dirs
+    must stop scaling with tick count (replay needs only the tail)."""
+    from spark_deal_observer_spark.streaming.cardinality import (
+        CardinalityMonitorSink,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "user_id BIGINT, event_type STRING"
+    )
+    sink = CardinalityMonitorSink(
+        spark, str(tmp_path / "c"), keep_snapshots=2
+    )
+    for i in range(6):
+        sink.process_batch(events, batch_id=i)
+    assert sink._regs.ids() == [4, 5]
+    # the maintained estimate still reflects every tick's merge
+    got = {r["event_type"]: r["distinct_est"] for r in sink.read_report().where("batch_id = 5").collect()}
+    assert set(got) == {"a", "b"}
