@@ -133,6 +133,9 @@ HEADLINE = [
     # streaming tier) + truncated-EWMA load forecast
     "dedup_lines_ttl",
     "event_ewma_forecast",
+    # r6: frozen-model incremental ANN fold + perceptual media near-dup
+    "ann_incremental",
+    "multimodal_phash_dedup",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

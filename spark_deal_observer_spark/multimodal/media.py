@@ -337,8 +337,12 @@ def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("key_b")
     )
     cand = (
-        a.join(b, ["band"])
-        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("key_a") == F.col("key_b")))
+        a.join(
+            b,
+            (a["band"] == b["band"])
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
