@@ -290,10 +290,37 @@ def phash_dedup_pairs(media: DataFrame) -> DataFrame:
     verify reads the 4-key tables, so at 100 TB the pair stage moves
     O(candidates) 32-byte rows. Returns (doc_a, doc_b, hamming, is_dup).
     """
-    bm = media_bucket_means(
-        media.where(F.length("payload") >= PHASH_BUCKETS)
-    )
-    return _phash_pairs(bm)
+    return _phash_pairs(_published_bands(media, None))
+
+
+def _published_bands(
+    media: DataFrame, grid: tuple[int, int] | None
+) -> DataFrame:
+    """The band-key table, built ONCE per media input and published
+    through the artifact registry (parquet disk tier — it is
+    corpus-sized: PHASH_BANDS rows per doc). The pair stage consumes it
+    FIVE times (candidate join both sides, Hamming verify both sides,
+    dedup), and the circular-neighbor join reads the bucket means twice;
+    without lineage truncation every reference re-expands the Arrow
+    decode kernel into the plan (a Py=8 census before this fix — the
+    corpus would be re-DECODED eight times per execution). With it the
+    kernel runs once and every consumer is a parquet scan — the same
+    publish-once discipline as the MinHash signature tables."""
+    from ..operators.models import disk_checkpoint, published
+
+    def build() -> DataFrame:
+        if grid is None:
+            bm = media_bucket_means(
+                media.where(F.length("payload") >= PHASH_BUCKETS)
+            )
+            n_bits = PHASH_BUCKETS
+        else:
+            bm = media_grid_means(media, *grid)
+            n_bits = grid[0] * grid[1]
+        bm = disk_checkpoint(bm, "phash_means")
+        return disk_checkpoint(phash_band_keys(bm, n_bits), "phash_bands")
+
+    return published(media, "phash_bands", (grid,), build)
 
 
 def phash_band_keys(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
@@ -325,11 +352,9 @@ def phash_band_keys(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
     )
 
 
-def _phash_pairs(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
-    """dHash bits → band keys → banded candidates → Hamming verify, over
-    any (doc_id, bucket, mean) table with buckets 0..n_bits-1 (the 1-D
-    byte hash and the 2-D grid hash share this whole tail)."""
-    bands = phash_band_keys(bm, n_bits)
+def _phash_pairs(bands: DataFrame) -> DataFrame:
+    """Banded candidates → Hamming verify over a published band-key
+    table (the 1-D byte hash and the 2-D grid hash share this tail)."""
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
     )
@@ -481,4 +506,4 @@ def phash_dedup_pairs_2d(
     through the same banding/verify tail as the 1-D byte hash. Use this
     for real image corpora; the 1-D `phash_dedup_pairs` is the
     oracle-checkable instance over byte-stream content."""
-    return _phash_pairs(media_grid_means(media, gw, gh), n_bits=gw * gh)
+    return _phash_pairs(_published_bands(media, (gw, gh)))
