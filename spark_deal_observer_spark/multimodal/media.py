@@ -5,9 +5,10 @@ A 100 TB multimodal corpus stores media as `binary` columns next to a typed
 metadata struct; decode/resize/feature-extraction runs as mapInPandas so
 each Arrow batch crosses the JVM↔Python boundary once. `decode_media`
 supports the `fake/*` identity codec (the deterministic, oracle-checkable
-path) and REAL PNG via the from-scratch stdlib-zlib decoder in
-`multimodal/png.py`; codecs that would need external libraries
-(JPEG/ffmpeg) raise NotImplementedError. The plumbing — schema, batch
+path) and TWO real formats via from-scratch stdlib decoders: PNG
+(`multimodal/png.py`, struct+zlib) and WAV/PCM (`multimodal/wav.py`,
+struct); codecs that would need external libraries (JPEG/ffmpeg) raise
+NotImplementedError. The plumbing — schema, batch
 iteration, partition-preserving mapInPandas shape — is identical for all
 codecs, so the fake-path oracle checks validate the same kernels the PNG
 path runs.
@@ -88,9 +89,13 @@ def decode_media(payload: bytes, codec: str) -> bytes:
         from .png import decode_png
 
         return decode_png(payload)[0]
+    if codec in ("audio/wav", "wav"):
+        from .wav import decode_wav
+
+        return decode_wav(payload)[0]
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg) are not installed; "
-        "only fake/* and image/png are supported here"
+        "only fake/*, image/png and audio/wav are supported here"
     )
 
 
@@ -448,6 +453,17 @@ def _decode_image(payload: bytes, codec: str) -> tuple[bytes, int, int, int]:
         from .png import decode_png
 
         return decode_png(payload)
+    if codec in ("audio/wav", "wav"):
+        # fold the PCM byte stream into 8 contiguous time segments (an
+        # 8×(n/8) "image"): the 8×8 grid hash then reads as 64
+        # time-ordered bucket means — the right perceptual signature for
+        # audio (time-bucketed energy shape), re-encode/chunk-order
+        # invariant because it hashes decoded samples
+        from .wav import decode_wav
+
+        pcm = decode_wav(payload)[0]
+        w = max(1, len(pcm) // 8)
+        return pcm[: 8 * w], w, 8, 1
     raise NotImplementedError(f"codec {codec!r}")
 
 
@@ -507,3 +523,63 @@ def phash_dedup_pairs_2d(
     for real image corpora; the 1-D `phash_dedup_pairs` is the
     oracle-checkable instance over byte-stream content."""
     return _phash_pairs(_published_bands(media, (gw, gh)))
+
+
+# ---------------------------------------------------------------------------
+# audio features (real PCM through the from-scratch WAV codec)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over REAL decoded PCM (the from-scratch
+    WAV codec): per doc — sample count, rate, duration, RMS energy, and
+    zero-crossing rate (the cheap spectral-ish signal used for
+    silence/voicing heuristics). Arrow-batched mapInPandas, numpy over
+    int16 frames; rows whose payload is not decodable 16-bit PCM raise
+    (poisoned-row contract, same as the PNG kernel)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .wav import decode_wav
+
+        for pdf in it:
+            ids, ns, srs, durs, rmss, zcrs = [], [], [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                pcm, rate, channels = decode_wav(bytes(p))
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                n = len(x)
+                ids.append(d)
+                ns.append(n)
+                srs.append(rate)
+                durs.append(round(n / channels / rate * 1000.0, 6))
+                rmss.append(round(float(np.sqrt(np.mean(x * x))), 6) if n else 0.0)
+                zcrs.append(
+                    round(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), 6)
+                    if n > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zero_cross_rate": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
