@@ -448,7 +448,11 @@ def _decode_image(payload: bytes, codec: str) -> tuple[bytes, int, int, int]:
     """Decode with GEOMETRY: (raw bytes, width, height, channels). The
     fake codec is a 1-pixel-tall grayscale strip; PNG is real."""
     if codec.startswith("fake/"):
-        return payload, len(payload), 1, 1
+        # same 8-segment fold as audio: byte-stream content gets a
+        # time/position-ordered grid instead of silently failing the
+        # grid kernel's minimum-height check
+        w = max(1, len(payload) // 8)
+        return payload[: 8 * w], w, 8, 1
     if codec in ("image/png", "png"):
         from .png import decode_png
 

@@ -37,12 +37,11 @@ batch's bands — O(batch · store_fraction) per tick, never O(store).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import N_BANDS, ROWS_PER_BAND, minhash_signatures
+from .atomic import SnapshotStore
 
 
 def band_keys(docs: DataFrame) -> DataFrame:
@@ -63,20 +62,38 @@ def band_keys(docs: DataFrame) -> DataFrame:
 
 
 class NearDupIngestSink:
-    """Parquet-backed corpus + signature store with per-batch LSH dedup."""
+    """Parquet-backed corpus + signature store with per-batch LSH dedup.
+
+    State is directory-per-batch (the shared SnapshotStore discipline,
+    streaming/atomic.py) rather than plain appends: the old
+    corpus-append-then-store-append pair had a crash WINDOW between the
+    two writes — corpus rows durable with no bands meant the redelivery
+    re-admitted them (duplicates); the reverse order lost them. With
+    committed per-batch dirs and STRICTLY-BELOW probe reads, a
+    redelivered batch sees the same prior store, recomputes the same
+    admissions, and overwrites its own dirs bit-identically — every
+    crash point heals."""
 
     def __init__(self, spark: SparkSession, corpus_path: str, store_path: str):
         self.spark = spark
         self.corpus_path = corpus_path
         self.store_path = store_path
+        self._corpus = SnapshotStore(spark, corpus_path, "batch_id")
+        self._store = SnapshotStore(spark, store_path, "batch_id")
 
-    def _store_exists(self) -> bool:
-        return os.path.isdir(self.store_path) and any(
-            not f.startswith("_") for f in os.listdir(self.store_path)
+    def _store_below(self, batch_id: int) -> DataFrame | None:
+        """Union of the committed store dirs STRICTLY below `batch_id` —
+        the replay-safe probe input (a redelivery probing state its first
+        delivery wrote would collide with its own bands and emit empty)."""
+        ids = [i for i in self._store.ids() if i < batch_id]
+        if not ids:
+            return None
+        return self.spark.read.option("basePath", self.store_path).parquet(
+            *[self._store.path(i) for i in ids]
         )
 
     def read_corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_path)
+        return self._corpus.read_all().drop("batch_id")
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body: admit only documents that collide with no
@@ -95,10 +112,10 @@ class NearDupIngestSink:
         )
         survivors = bk.join(losers, "doc_id", "left_anti")
 
-        if self._store_exists():
+        store = self._store_below(batch_id)
+        if store is not None:
             # Store side is partitioned by band → the probe read prunes to
             # the batch's bands; the batch side is tiny → broadcast it.
-            store = self.spark.read.parquet(self.store_path)
             hit = (
                 store.join(
                     F.broadcast(survivors.select("band", "key").distinct()),
@@ -120,7 +137,7 @@ class NearDupIngestSink:
         admitted_ids = admitted_bk.select("doc_id").distinct().localCheckpoint()
         admitted_docs = batch.join(admitted_ids, "doc_id", "left_semi")
 
-        admitted_docs.write.mode("append").parquet(self.corpus_path)
-        admitted_bk.select("band", "key", "doc_id").write.mode("append").partitionBy(
-            "band"
-        ).parquet(self.store_path)
+        self._corpus.write(admitted_docs, batch_id)
+        admitted_bk.select("band", "key", "doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(self._store.path(batch_id))

@@ -394,3 +394,35 @@ def test_anomaly_torn_score_dir_heals(spark, tmp_path):
 
     restarted = AnomalyMonitorSink(spark, str(tmp_path / "a"))
     assert sorted(map(repr, restarted.read_scores().collect())) == want
+
+
+def test_neardup_ingest_crash_between_corpus_and_store_heals(spark, tmp_path):
+    """The pre-r6 appends had a crash WINDOW: corpus rows durable with no
+    stored bands meant the redelivery re-admitted them (duplicate corpus
+    rows). With per-batch committed dirs + strictly-below probes, tear
+    BOTH of a batch's dirs (crash mid-commit) and the redelivery must
+    rebuild them bit-identically with no duplicates."""
+    from spark_deal_observer_spark.streaming.dedup_ingest import (
+        NearDupIngestSink,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where("doc_id < 20")
+    b1 = docs.where("doc_id >= 20 AND doc_id < 40")
+
+    clean = NearDupIngestSink(spark, str(tmp_path / "c"), str(tmp_path / "cs"))
+    clean.process_batch(b0, batch_id=0)
+    clean.process_batch(b1, batch_id=1)
+    want = sorted(r["doc_id"] for r in clean.read_corpus().collect())
+
+    crash = NearDupIngestSink(spark, str(tmp_path / "x"), str(tmp_path / "xs"))
+    crash.process_batch(b0, batch_id=0)
+    # batch 1 crashed mid-commit: both of its dirs exist but are torn
+    # (fabricated from the clean run's committed files, no _SUCCESS)
+    _tear(f"{tmp_path}/c/batch_id=1", f"{tmp_path}/x/batch_id=1")
+    _tear(f"{tmp_path}/cs/batch_id=1/band=0", f"{tmp_path}/xs/batch_id=1")
+
+    restarted = NearDupIngestSink(spark, str(tmp_path / "x"), str(tmp_path / "xs"))
+    restarted.process_batch(b1, batch_id=1)  # redelivery
+    got = sorted(r["doc_id"] for r in restarted.read_corpus().collect())
+    assert got == want  # no duplicates, no losses

@@ -35,9 +35,11 @@ def test_in_batch_near_dups_collapse_to_min_id(spark, sink):
 def test_cross_batch_near_dups_drop_against_store(spark, sink):
     base = load_table(spark, SF_SMALL, "documents").select("text").limit(4).collect()
     t0, t1, t2, t3 = (r["text"] for r in base)
-    sink.process_batch(_docs(spark, [(1, t0), (2, t1)]))
+    sink.process_batch(_docs(spark, [(1, t0), (2, t1)]), batch_id=0)
     # batch 2: doc 10 duplicates stored doc 1; docs 11/12 are new content
-    sink.process_batch(_docs(spark, [(10, t0), (11, t2), (12, t3)]))
+    # (distinct batch_id — it IS the replay unit under the per-batch-dir
+    # store; redelivering an id overwrites that id's dirs bit-identically)
+    sink.process_batch(_docs(spark, [(10, t0), (11, t2), (12, t3)]), batch_id=1)
     admitted = {r["doc_id"] for r in sink.read_corpus().collect()}
     assert admitted == {1, 2, 11, 12}
 
