@@ -136,6 +136,10 @@ HEADLINE = [
     # r6: frozen-model incremental ANN fold + perceptual media near-dup
     "ann_incremental",
     "multimodal_phash_dedup",
+    # r6 continuation: lossless prefix-filter exact set-similarity join and
+    # degree-ordered triangle counting / clustering coefficients
+    "dedup_setsim_prefix",
+    "graph_triangles",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -392,3 +392,164 @@ def copurchase_pairs_oracle(
         GROUP BY a.supp, b.supp
         ORDER BY n_customers DESC, supp_a, supp_b LIMIT {top_n}
     """
+
+
+# -- triangle counting / clustering coefficient ------------------------------
+
+TRI_BASKET_CAP = 30  # per-order part-basket bound before the pair join
+
+
+def part_cooccur_edges(lineitem: DataFrame, cap: int = TRI_BASKET_CAP) -> DataFrame:
+    """(u, v) with u < v: distinct part pairs that co-occur in an order —
+    the unipartite projection of the order→part bipartite graph, the graph
+    under the market-basket family with real sparse structure (the
+    supplier projection is near-complete at every SF and degenerates
+    triangle statistics to C(deg,2)).
+
+    Same bounded-block discipline as `copurchase_pairs`: each order's
+    basket is capped to its first `cap` parts (deterministic partkey
+    order) BEFORE the self-join, so power-law baskets can't explode the
+    pair stage — TPC-H baskets are ≤7 so the cap never binds here, but
+    the plan carries the bound the 100 TB shape needs. Edge volume is
+    Σ C(min(basket, cap), 2) — linear in orders. PUBLISHED per input:
+    the edge list is the graph-build index pass every triangle/coefficient
+    consumer reads (same rule as `_graph_structure`)."""
+    from pyspark.sql.window import Window
+
+    from .models import published
+
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+    def build() -> DataFrame:
+        rn = F.row_number().over(Window.partitionBy("ord").orderBy("p"))
+        capped = b.select("ord", "p", rn.alias("rn")).where(F.col("rn") <= cap)
+        a = capped.select("ord", F.col("p").alias("u"))
+        c = capped.select("ord", F.col("p").alias("v"))
+        return (
+            a.join(c, "ord")
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return published(b, "part_cooccur_edges", (cap,), build)
+
+
+def triangle_counts(lineitem: DataFrame, cap: int = TRI_BASKET_CAP) -> DataFrame:
+    """(node, degree, triangles, clustering): per-node triangle count and
+    local clustering coefficient over the part co-occurrence graph.
+
+    Degree-ordered orientation (the MapReduce-era standard: Suri &
+    Vassilvitskii 2011 / Cohen 2009): orient every edge from the
+    lower-(degree, id) endpoint to the higher, enumerate wedges only at
+    each edge's LOW-rank apex, and close them against the oriented edge
+    list. Each triangle is generated exactly once (at its minimum-rank
+    vertex), and — the scale property — per-node oriented out-degree is
+    O(√m) on any graph, so the wedge stage is Σ C(outdeg, 2) ≤ O(m^1.5)
+    TOTAL with no hot-vertex blowup: a star graph's hub emits ZERO wedges
+    because every star edge orients INTO it. Both the wedge and the
+    closing step are equi-joins (src; then (v, w) pair keys) — shuffles
+    on bounded keys, never an all-pairs stage.
+
+    The coefficient reads triangles against the SYMMETRIC simple-graph
+    degree: clustering = 2·T / (deg·(deg−1)), 0.0 for degree-1 nodes.
+    Node-sized result, PUBLISHED per (input, cap). Oracle: unoriented
+    a<b<c three-way edge join (independent of the orientation argument —
+    value parity proves each triangle counted once, none invented)."""
+    from .models import published
+
+    e = part_cooccur_edges(lineitem, cap)
+
+    def build() -> DataFrame:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        ed = e.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        low = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o = ed.select(
+            F.when(low, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(low, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        ).localCheckpoint(eager=True)
+        w1 = o.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+        w2 = o.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+        wedges = w1.join(w2, "src").where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        tri = wedges.join(closing, ["x", "y"]).select(
+            F.col("src").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+        )
+        tn = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("t"))
+        )
+        coeff = F.when(
+            F.col("deg") > 1,
+            F.round(
+                F.lit(2.0)
+                * F.col("t")
+                / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        return (
+            deg.join(tn, "node", "left")
+            .na.fill({"t": 0})
+            .select(
+                "node",
+                F.col("deg").cast("bigint").alias("degree"),
+                F.col("t").cast("bigint").alias("triangles"),
+                coeff.alias("clustering"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return published(e, "triangle_counts", (cap,), build)
+
+
+def triangle_counts_oracle(cap: int = TRI_BASKET_CAP) -> str:
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+                   FROM lineitem),
+        capped AS (SELECT ord, p FROM (
+            SELECT ord, p,
+                   row_number() OVER (PARTITION BY ord ORDER BY p) AS rn
+            FROM b) WHERE rn <= {cap}),
+        e AS (SELECT DISTINCT a.p AS u, c.p AS v
+              FROM capped a JOIN capped c ON a.ord = c.ord AND a.p < c.p),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL SELECT v AS node FROM e)
+                GROUP BY node),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+                   SELECT a AS node FROM tri
+                   UNION ALL SELECT b AS node FROM tri
+                   UNION ALL SELECT c AS node FROM tri)
+               GROUP BY node)
+        SELECT d.node, d.deg AS degree,
+               COALESCE(tn.t, 0) AS triangles,
+               CASE WHEN d.deg > 1
+                    THEN ROUND(2.0 * COALESCE(tn.t, 0)
+                               / (d.deg * (d.deg - 1.0)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """

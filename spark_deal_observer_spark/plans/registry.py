@@ -2112,6 +2112,24 @@ def q_dedup_lsh_recall(spark, sf_dir):
     return dd.lsh_candidate_recall(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_setsim_prefix", dd.setsim_prefix_pairs_oracle())
+def q_dedup_setsim_prefix(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.35 self-join via frequency-ordered prefix
+    filtering (AllPairs/PPJoin) — lossless blocking, so this is the
+    full-corpus ground truth the LSH pipeline approximates. The oracle is
+    the UNFILTERED inverted-index brute force: value parity proves the
+    prefix filter drops no qualifying pair."""
+    return dd.setsim_prefix_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_setsim_recall", dd.setsim_lsh_recall_oracle())
+def q_dedup_setsim_recall(spark, sf_dir):
+    """Full-corpus (census, not probe) recall of the banded MinHash-LSH
+    candidate stage vs the prefix-filter exact join at Jaccard 0.35 —
+    one row (n_true, n_hit, recall) joining two published pair tables."""
+    return dd.setsim_lsh_recall(_t(spark, sf_dir, "documents"))
+
+
 @register("dedup_embedding", sim.embedding_near_pairs_oracle())
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4, label-blocked)."""
@@ -3115,6 +3133,22 @@ def q_graph_communities(spark, sf_dir):
     return label_propagation(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
+
+
+from ..operators.graph import (  # noqa: E402
+    triangle_counts,
+    triangle_counts_oracle,
+)
+
+
+@register("graph_triangles", triangle_counts_oracle())
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    part co-occurrence graph, via degree-ordered edge orientation (wedges
+    enumerated only at each edge's low-rank apex — O(m^1.5) total work,
+    star hubs emit zero wedges). Oracle is the unoriented a<b<c 3-way
+    edge join: parity proves the orientation counts each triangle once."""
+    return triangle_counts(_t(spark, sf_dir, "lineitem"))
 
 
 @register("fuzzy_name_pairs", dd.fuzzy_name_pairs_oracle())
@@ -4356,13 +4390,23 @@ def q_column_correlations(spark, sf_dir):
     UNION ALL
     SELECT 'jaccard' AS method, doc_a, doc_b, jaccard AS score
     FROM ({dd.ngram_jaccard_pairs_oracle()})
+    UNION ALL
+    SELECT 'setsim' AS method, doc_a, doc_b, jaccard AS score
+    FROM ({dd.setsim_prefix_pairs_oracle()})
+    UNION ALL
+    SELECT 'setsim_recall' AS method, n_true AS doc_a, n_hit AS doc_b,
+           recall AS score
+    FROM ({dd.setsim_lsh_recall_oracle()})
     """,
 )
 def q_dedup_pair_verify_suite(spark, sf_dir):
-    """The two bounded-block pairwise verify stages as ONE tagged union —
-    SimHash band-blocked hamming pairs and LSH-candidate n-gram Jaccard —
-    so the driver-gate prefix carries both near-dup verifiers in a single
-    slot (single-op forms stay registered below the fold)."""
+    """The bounded-block pairwise verify stages as ONE tagged union —
+    SimHash band-blocked hamming pairs, LSH-candidate n-gram Jaccard, the
+    prefix-filter EXACT set-similarity join (lossless blocking: the ground
+    truth the LSH path approximates), and the one-row census recall of the
+    LSH candidates against that truth — so the driver-gate prefix carries
+    the whole near-dup verify family in a single slot (single-op forms
+    stay registered below the fold)."""
     docs = _t(spark, sf_dir, "documents")
     sh = dd.simhash_near_pairs(docs).select(
         F.lit("simhash").alias("method"),
@@ -4373,7 +4417,19 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     ja = dd.ngram_jaccard_pairs(docs).select(
         F.lit("jaccard").alias("method"), "doc_a", "doc_b", F.col("jaccard").alias("score")
     )
-    return sh.unionAll(ja)
+    ss = dd.setsim_prefix_pairs(docs).select(
+        F.lit("setsim").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+    rc = dd.setsim_lsh_recall(docs).select(
+        F.lit("setsim_recall").alias("method"),
+        F.col("n_true").alias("doc_a"),
+        F.col("n_hit").alias("doc_b"),
+        F.col("recall").alias("score"),
+    )
+    return sh.unionAll(ja).unionAll(ss).unionAll(rc)
 
 
 # ---------------------------------------------------------------------------
@@ -6438,7 +6494,22 @@ def q_graph_suite(spark, sf_dir):
         "CAST(n_customers AS DOUBLE) AS value_num",
         "CAST(NULL AS STRING) AS value_str",
     )
-    return pr.unionByName(cm).unionByName(cop)
+    tr = REGISTRY["graph_triangles"].fn(spark, sf_dir)
+    tr_t = tr.selectExpr(
+        "'triangles' AS section",
+        "CAST(node AS STRING) AS key",
+        "'triangles' AS metric",
+        "CAST(triangles AS DOUBLE) AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    tr_c = tr.selectExpr(
+        "'triangles' AS section",
+        "CAST(node AS STRING) AS key",
+        "'clustering' AS metric",
+        "clustering AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return pr.unionByName(cm).unionByName(cop).unionByName(tr_t).unionByName(tr_c)
 
 
 REGISTRY["graph_suite"] = QueryDef(
@@ -6446,7 +6517,8 @@ REGISTRY["graph_suite"] = QueryDef(
     f"""
     WITH pr AS MATERIALIZED ({REGISTRY["pagerank_entities"].oracle}),
          cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle}),
-         cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle})
+         cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle}),
+         tri AS MATERIALIZED ({REGISTRY["graph_triangles"].oracle})
     SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
            pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
     UNION ALL SELECT 'communities', node, 'community',
@@ -6454,6 +6526,10 @@ REGISTRY["graph_suite"] = QueryDef(
     UNION ALL SELECT 'copurchase',
            CAST(supp_a AS VARCHAR) || ':' || CAST(supp_b AS VARCHAR),
            'n_customers', CAST(n_customers AS DOUBLE), NULL FROM cop
+    UNION ALL SELECT 'triangles', CAST(node AS VARCHAR), 'triangles',
+           CAST(triangles AS DOUBLE), NULL FROM tri
+    UNION ALL SELECT 'triangles', CAST(node AS VARCHAR), 'clustering',
+           clustering, NULL FROM tri
     """,
 )
 
@@ -6494,6 +6570,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "dedup_pair_verify_suite": (
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
+        "dedup_setsim_prefix", "dedup_setsim_recall",
     ),
     "ann_recall_report": (
         "ann_brute_force", "ann_ivf_centroid", "ann_lsh_multiprobe",
@@ -6580,6 +6657,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
+        "graph_triangles",
     ),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),

@@ -1,0 +1,127 @@
+"""Round-6 behavioral properties: exact set-similarity join (prefix
+filtering), LSH census recall, triangle counting / clustering coefficient.
+
+Oracle parity at sf0.01 is auto-swept by test_oracle_parity.py; these pin
+the properties a value-diff can't express — losslessness on crafted
+near-dups, containment between the exact and LSH-verified pair sets, and
+the graph identities (handshake, coefficient bounds)."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE
+
+from spark_deal_observer_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in enumerate(rows)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+
+
+def test_setsim_prefix_finds_crafted_near_dup(spark):
+    """A 90%-overlapping doc pair must survive the prefix filter with the
+    exact Jaccard; unrelated docs must not pair."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base[:-20] + "and then sat down ok"
+    other = "completely different content about spark catalyst optimizer " * 5
+    out = dd.setsim_prefix_pairs(_docs(spark, [base, near, other])).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.35
+    assert all(k == (0, 1) for k in pairs)
+
+
+def test_setsim_prefix_jaccard_equals_direct_set_math(spark):
+    """The pipeline's jaccard equals a direct per-pair computation over the
+    same distinct hashed-shingle sets (no filter-stage distortion)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 4,
+        "alpha beta gamma delta epsilon zeta eta iota " * 4,
+    ]
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           dd.setsim_prefix_pairs(_docs(spark, texts)).collect()}
+    sets = {r.doc_id: set(r.sh) for r in
+            dd._setsim_sets(_docs(spark, texts)).collect()}
+    a, b = sets[0], sets[1]
+    want = round(len(a & b) / len(a | b), 6)
+    if want >= 0.35:
+        assert out[(0, 1)] == want
+    else:  # crafted to overlap; guard against fixture drift
+        raise AssertionError("fixture no longer overlaps enough")
+
+
+def test_lsh_verified_pairs_are_subset_of_exact_join(spark):
+    """LSH proposes a SUBSET of the truth: every MinHash-LSH-verified
+    ngram-Jaccard pair at 0.35 must appear in the prefix-filter exact join
+    at the same threshold (pair keys; denominators may differ by hash
+    collisions, so keys only)."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b) for r in dd.setsim_prefix_pairs(docs).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dd.ngram_jaccard_pairs(docs).collect()
+    }
+    assert lsh <= exact, f"LSH-verified pairs missing from exact: {lsh - exact}"
+
+
+def test_setsim_recall_row_is_consistent(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    row = dd.setsim_lsh_recall(docs).collect()[0]
+    assert 0 <= row.n_hit <= row.n_true
+    assert 0.0 <= row.recall <= 1.0
+    n_exact = dd.setsim_prefix_pairs(docs).count()
+    assert row.n_true == n_exact
+
+
+def _lineitem(spark, baskets):
+    rows = [
+        (ordkey, p, 1.0)
+        for ordkey, parts in enumerate(baskets, start=1)
+        for p in parts
+    ]
+    return spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE"
+    )
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """Baskets {1,2,3} and {3,4}: one triangle at nodes 1/2/3, node 4 in no
+    triangle; coefficients from the closed form 2T/(d(d-1))."""
+    from spark_deal_observer_spark.operators.graph import triangle_counts
+
+    out = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in triangle_counts(_lineitem(spark, [[1, 2, 3], [3, 4]])).collect()
+    }
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (2, 1, 1.0)
+    assert out[3] == (3, 1, round(2 / 6, 6))
+    assert out[4] == (1, 0, 0.0)
+
+
+def test_triangle_counts_star_graph_has_none(spark):
+    """A star (hub + leaves, one 2-part basket per leaf) has no triangles;
+    the degree orientation must emit ZERO wedges at the hub (every star
+    edge orients INTO it) — the hot-vertex property the algorithm exists
+    for."""
+    from spark_deal_observer_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(
+        _lineitem(spark, [[100, i] for i in range(1, 9)])
+    ).collect()
+    assert all(r.triangles == 0 and r.clustering == 0.0 for r in out)
+    hub = next(r for r in out if r.node == 100)
+    assert hub.degree == 8
+
+
+def test_triangle_handshake_identity(spark):
+    """Σ per-node triangles = 3 × |triangles|: each triangle is charged to
+    exactly its three corners (duplicates or misses break the identity).
+    Complete graph K4 from one 4-part basket: C(4,3)=4 triangles."""
+    from spark_deal_observer_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(_lineitem(spark, [[1, 2, 3, 4]])).collect()
+    assert sum(r.triangles for r in out) == 3 * 4
+    assert all(r.clustering == 1.0 for r in out)
