@@ -587,3 +587,249 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# -- audio leg: real-WAV corpus + Haar-spectral perceptual fingerprint -------
+
+AUDIO_RATE = 16000
+AUDIO_PHASES = 8  # synthesized samples per character
+AUDIO_SEGMENTS = 16  # time segments of the spectral fingerprint
+AUDIO_LEVELS = 4  # Haar octave bands; SEGMENTS × LEVELS = 64 bits
+AUDIO_MIN_CHARS = 32  # ⇒ ≥ 16 Haar coeffs at the deepest level
+
+
+def attach_audio(docs: DataFrame) -> DataFrame:
+    """Wrap documents as an AUDIO media table: real RIFF/WAVE payloads
+    (the from-scratch `multimodal/wav.py` encoder) over PCM synthesized
+    deterministically from the text — sample (p, q) for character p,
+    phase q ∈ [0, {phases}) is `(ascii·257 + q·193) mod 4096 − 2048`, an
+    8-sample oscillator per character, so the corpus has genuine
+    time/frequency structure and every audio kernel's DuckDB twin can
+    recompute features from the text column alone.
+
+    A third of the docs (doc_id % 3 == 0) are encoded with an injected
+    ignorable `LIST` chunk — a DIFFERENT byte encoding of the SAME
+    samples. The oracle derives from text and never sees the container,
+    so value-level parity of every downstream query PROVES the decode
+    path is container-invariant (the property re-encode dedup relies
+    on). Kernel is Arrow-batched mapInPandas; payloads are real WAV files
+    decoded back by `decode_media` on every consumer."""
+    from ..operators.dedup import spread_cpu
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .wav import encode_wav
+
+        phases = np.arange(AUDIO_PHASES, dtype=np.int64) * 193
+        for pdf in it:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+                s = (
+                    (codes.astype(np.int64)[:, None] * 257 + phases) % 4096
+                    - 2048
+                ).astype("<i2")
+                extra = (b"LIST", b"INFO") if d % 3 == 0 else None
+                ids.append(d)
+                payloads.append(
+                    encode_wav(s.tobytes(), AUDIO_RATE, 1, extra_chunk=extra)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "codec": pd.Series(["audio/wav"] * len(ids)),
+                    "width": pd.Series([0] * len(ids), dtype="int32"),
+                    "height": pd.Series([0] * len(ids), dtype="int32"),
+                }
+            )
+
+    return spread_cpu(docs.select("doc_id", "text")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def audio_features_oracle() -> str:
+    """DuckDB twin of attach_audio → extract_audio_features: recomputes
+    n_samples / duration / RMS / zero-crossing rate from the synthesis
+    arithmetic. Every aggregate is exact-integer (samples are ints, sums
+    < 2^53), so cross-engine parity is bitwise before the final ROUND."""
+    ph, rate = AUDIO_PHASES, AUDIO_RATE
+    return f"""
+        WITH chars AS (
+          SELECT doc_id, generate_subscripts(cs, 1) AS p,
+                 ascii(unnest(cs)) AS code
+          FROM (SELECT doc_id, str_split(text, '') AS cs FROM documents) t),
+        samp AS MATERIALIZED (
+          SELECT doc_id, (p - 1) * {ph} + q.q AS i,
+                 (code * 257 + q.q * 193) % 4096 - 2048 AS s
+          FROM chars CROSS JOIN (SELECT unnest(range(0, {ph})) AS q) q),
+        base AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+                 ROUND(sqrt(avg(CAST(s * s AS DOUBLE))), 6) AS rms
+          FROM samp GROUP BY doc_id),
+        zc AS (
+          SELECT a.doc_id,
+                 ROUND(avg(CASE WHEN (a.s < 0) <> (b.s < 0)
+                           THEN 1.0 ELSE 0.0 END), 6) AS zero_cross_rate
+          FROM samp a JOIN samp b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          GROUP BY a.doc_id)
+        SELECT base.doc_id, base.n_samples, {rate} AS sample_rate,
+               ROUND(CAST(base.n_samples AS DOUBLE) / {rate} * 1000.0, 6)
+                 AS duration_ms,
+               base.rms, zc.zero_cross_rate
+        FROM base JOIN zc ON zc.doc_id = base.doc_id
+    """
+
+
+def audio_spectral_means(media: DataFrame) -> DataFrame:
+    """(doc_id, bucket, mean): Haar-DWT octave-band energies over the
+    DECODED PCM, bucketed into AUDIO_SEGMENTS time segments — the
+    spectral analog of `media_bucket_means`, emitting the same narrow
+    schema so the banded dHash tail (`phash_band_keys` → `_phash_pairs`)
+    is shared verbatim.
+
+    The Haar ladder (detail d_l = pairwise differences, approximation
+    carried forward as pairwise sums) is a REAL octave filter bank —
+    level 1 is the highest band — and, unlike a DFT, stays in exact
+    integer arithmetic end to end: every energy is a sum of squared
+    integer coefficients < 2^53, so the DuckDB oracle (the same ladder as
+    four self-join CTEs over the synthesized samples) matches bitwise and
+    the downstream bit decisions can never tie-break differently across
+    engines. bucket = (level−1)·SEGMENTS + segment, segment by the same
+    `idx·S // count` mapping as the byte-bucket hash. Docs shorter than
+    AUDIO_MIN_CHARS·PHASES samples are dropped (deepest level would not
+    cover every segment); callers filter symmetrically."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        min_n = AUDIO_MIN_CHARS * AUDIO_PHASES
+        for pdf in it:
+            ids: list[int] = []
+            buckets: list[int] = []
+            means: list[float] = []
+            for d, p, c in zip(pdf["doc_id"], pdf["payload"], pdf["codec"]):
+                pcm = decode_media(bytes(p), c)
+                a = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                if len(a) < min_n:
+                    continue
+                for level in range(1, AUDIO_LEVELS + 1):
+                    m = len(a) // 2
+                    dcoef = a[0 : 2 * m : 2] - a[1 : 2 * m : 2]
+                    a = a[0 : 2 * m : 2] + a[1 : 2 * m : 2]
+                    idx = np.arange(m, dtype=np.int64)
+                    seg = idx * AUDIO_SEGMENTS // m
+                    e = np.bincount(
+                        seg, weights=(dcoef * dcoef).astype(np.float64),
+                        minlength=AUDIO_SEGMENTS,
+                    )
+                    ids.extend([d] * AUDIO_SEGMENTS)
+                    buckets.extend(
+                        (level - 1) * AUDIO_SEGMENTS + s
+                        for s in range(AUDIO_SEGMENTS)
+                    )
+                    means.extend(np.round(e, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, BUCKET_MEAN_SCHEMA)
+
+
+def audio_phash_dedup_pairs(media: DataFrame) -> DataFrame:
+    """Perceptual near-dup pairs over AUDIO content: Haar-spectral
+    fingerprint (4 octave bands × 16 time segments) → circular dHash →
+    4 × 16-bit band keys → banded candidate join → Hamming verify — the
+    audio twin of `phash_dedup_pairs`, sharing its JVM tail. Catches
+    re-encoded audio (different RIFF chunking, injected ignorable
+    chunks — a third of the corpus by construction) that byte-level
+    dedup cannot, because the fingerprint hashes decoded samples."""
+    from ..operators.models import disk_checkpoint, published
+
+    def build() -> DataFrame:
+        bm = disk_checkpoint(audio_spectral_means(media), "audio_phash_means")
+        return disk_checkpoint(
+            phash_band_keys(bm, AUDIO_SEGMENTS * AUDIO_LEVELS),
+            "audio_phash_bands",
+        )
+
+    return _phash_pairs(published(media, "audio_phash_bands", (), build))
+
+
+def audio_phash_dedup_oracle() -> str:
+    """The full fingerprint pipeline as SQL over the synthesized samples:
+    Haar ladder (4 self-join CTE levels), per-(level, segment) energies,
+    circular dHash, band keys, banded candidates, Hamming — independent
+    of the kernel (it never decodes a payload), so parity also proves the
+    WAV round-trip and container invariance."""
+    ph, S, L = AUDIO_PHASES, AUDIO_SEGMENTS, AUDIO_LEVELS
+    nbits, w = S * L, (S * L) // PHASH_BANDS
+    ladder = []
+    prev = "lvl0"
+    for level in range(1, L + 1):
+        ladder.append(
+            f"""lvl{level} AS MATERIALIZED (
+          SELECT e.doc_id, e.i // 2 AS i, e.s + o.s AS s, e.s - o.s AS d
+          FROM {prev} e JOIN {prev} o
+            ON o.doc_id = e.doc_id AND o.i = e.i + 1
+          WHERE e.i % 2 = 0)"""
+        )
+        prev = f"lvl{level}"
+    energies = "\n          UNION ALL ".join(
+        f"""SELECT doc_id, {level - 1} * {S}
+                 + CAST(i * {S} // cnt AS INT) AS bucket,
+                 ROUND(SUM(CAST(d * d AS DOUBLE)), 6) AS mean
+          FROM (SELECT l.*, c.cnt FROM lvl{level} l
+                JOIN (SELECT doc_id, count(*) AS cnt FROM lvl{level}
+                      GROUP BY doc_id) c ON c.doc_id = l.doc_id)
+          GROUP BY doc_id, {level - 1} * {S} + CAST(i * {S} // cnt AS INT)"""
+        for level in range(1, L + 1)
+    )
+    return f"""
+        WITH pdocs AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) >= {AUDIO_MIN_CHARS}),
+        chars AS (
+          SELECT doc_id, generate_subscripts(cs, 1) AS p,
+                 ascii(unnest(cs)) AS code
+          FROM (SELECT doc_id, str_split(text, '') AS cs FROM pdocs) t),
+        lvl0 AS MATERIALIZED (
+          SELECT doc_id, (p - 1) * {ph} + q.q AS i,
+                 (code * 257 + q.q * 193) % 4096 - 2048 AS s
+          FROM chars CROSS JOIN (SELECT unnest(range(0, {ph})) AS q) q),
+        {','.join(ladder)},
+        bmeans AS MATERIALIZED (
+          {energies}),
+        pbits AS (
+          SELECT b.doc_id, b.bucket,
+                 CASE WHEN b.mean > nbm.mean THEN 1 ELSE 0 END AS bit
+          FROM bmeans b JOIN bmeans nbm
+            ON nbm.doc_id = b.doc_id
+           AND nbm.bucket = (b.bucket + 1) % {nbits}),
+        pbands AS MATERIALIZED (
+          SELECT doc_id, bucket // {w} AS band,
+                 CAST(sum(bit * CAST(pow(2, bucket % {w}) AS BIGINT))
+                      AS BIGINT) AS bkey
+          FROM pbits GROUP BY doc_id, bucket // {w}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pbands a JOIN pbands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT) AS hamming,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT)
+                 <= {PHASH_HAM_MAX} AS is_dup
+        FROM cand c
+        JOIN pbands ka ON ka.doc_id = c.doc_a
+        JOIN pbands kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
+        GROUP BY c.doc_a, c.doc_b
+    """

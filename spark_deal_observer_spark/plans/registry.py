@@ -3076,6 +3076,43 @@ def q_multimodal_dedup(spark, sf_dir):
     )
 
 
+from ..multimodal.media import (  # noqa: E402
+    attach_audio,
+    audio_features_oracle,
+    audio_phash_dedup_oracle,
+    audio_phash_dedup_pairs,
+    extract_audio_features,
+)
+
+
+@register("multimodal_audio_features", audio_features_oracle())
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction through the REAL WAV round-trip: the
+    corpus is synthesized PCM encoded by the from-scratch RIFF writer
+    (a third of the payloads carry an injected ignorable chunk), decoded
+    back by the from-scratch reader, then sample count / duration / RMS /
+    zero-crossing rate per doc. The oracle recomputes from the text-side
+    synthesis arithmetic and never sees a payload — value parity proves
+    the codec round-trip AND container invariance, with every aggregate
+    exact-integer before the final ROUND."""
+    return extract_audio_features(
+        attach_audio(_t(spark, sf_dir, "documents"))
+    )
+
+
+@register("multimodal_audio_dedup", audio_phash_dedup_oracle())
+def q_multimodal_audio_dedup(spark, sf_dir):
+    """Perceptual AUDIO near-dup pairs: Haar-DWT octave-band energies
+    (4 bands × 16 time segments, exact integer arithmetic) over decoded
+    PCM → circular dHash → banded candidates → Hamming verify — the
+    audio twin of `multimodal_phash_dedup`, sharing its JVM tail. The
+    oracle runs the same Haar ladder in SQL over the synthesized
+    samples."""
+    return audio_phash_dedup_pairs(
+        attach_audio(_t(spark, sf_dir, "documents"))
+    )
+
+
 @register("multimodal_phash_dedup", phash_dedup_oracle())
 def q_multimodal_phash_dedup(spark, sf_dir):
     """PERCEPTUAL near-dup pairs over media content (circular 64-bit
@@ -5615,7 +5652,27 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
         "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
-    return fr.unionByName(fe).unionByName(rs).unionByName(dd_).unionByName(ph)
+    au = REGISTRY["multimodal_audio_features"].fn(spark, sf_dir).selectExpr(
+        "'audio' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(4, 'n_samples', CAST(n_samples AS DOUBLE), "
+        "'duration_ms', duration_ms, 'rms', rms, "
+        "'zero_cross_rate', zero_cross_rate) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    ad = REGISTRY["multimodal_audio_dedup"].fn(spark, sf_dir).selectExpr(
+        "'audio_phash' AS section",
+        "concat(CAST(doc_a AS STRING), ':', CAST(doc_b AS STRING)) AS key",
+        "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
+        "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    return (
+        fr.unionByName(fe)
+        .unionByName(rs)
+        .unionByName(dd_)
+        .unionByName(ph)
+        .unionByName(au)
+        .unionByName(ad)
+    )
 
 
 REGISTRY["multimodal_suite"] = QueryDef(
@@ -5625,7 +5682,9 @@ REGISTRY["multimodal_suite"] = QueryDef(
          fe AS ({REGISTRY["multimodal_features"].oracle}),
          rs AS ({REGISTRY["multimodal_resize"].oracle}),
          dd AS ({REGISTRY["multimodal_dedup"].oracle}),
-         ph AS MATERIALIZED ({REGISTRY["multimodal_phash_dedup"].oracle})
+         ph AS MATERIALIZED ({REGISTRY["multimodal_phash_dedup"].oracle}),
+         au AS MATERIALIZED ({REGISTRY["multimodal_audio_features"].oracle}),
+         ad AS MATERIALIZED ({REGISTRY["multimodal_audio_dedup"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -5650,6 +5709,20 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'phash',
            CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
            'is_dup', CAST(is_dup AS DOUBLE), NULL FROM ph
+    UNION ALL SELECT 'audio', CAST(doc_id AS VARCHAR), 'n_samples',
+           CAST(n_samples AS DOUBLE), NULL FROM au
+    UNION ALL SELECT 'audio', CAST(doc_id AS VARCHAR), 'duration_ms',
+           duration_ms, NULL FROM au
+    UNION ALL SELECT 'audio', CAST(doc_id AS VARCHAR), 'rms',
+           rms, NULL FROM au
+    UNION ALL SELECT 'audio', CAST(doc_id AS VARCHAR), 'zero_cross_rate',
+           zero_cross_rate, NULL FROM au
+    UNION ALL SELECT 'audio_phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'hamming', CAST(hamming AS DOUBLE), NULL FROM ad
+    UNION ALL SELECT 'audio_phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'is_dup', CAST(is_dup AS DOUBLE), NULL FROM ad
     """,
 )
 
@@ -6630,6 +6703,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "multimodal_suite": (
         "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
         "multimodal_dedup", "multimodal_phash_dedup",
+        "multimodal_audio_features", "multimodal_audio_dedup",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
