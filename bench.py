@@ -140,6 +140,7 @@ HEADLINE = [
     # degree-ordered triangle counting / clustering coefficients
     "dedup_setsim_prefix",
     "graph_triangles",
+    "dedup_setsim_incremental",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

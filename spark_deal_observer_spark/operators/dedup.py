@@ -1529,3 +1529,163 @@ def setsim_lsh_recall_oracle(threshold: float = SETSIM_THRESHOLD) -> str:
                ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                      / greatest((SELECT count(*) FROM exact), 1), 6) AS recall
     """
+
+
+def setsim_corpus_index(
+    corpus: DataFrame, threshold: float = SETSIM_THRESHOLD
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(prefix postings, df table, sets) of the CORPUS side — the
+    persisted exact-dedup index an ingestion pipeline maintains next to
+    its LSH store: prefix postings (tok, doc_id, n) under the corpus-df
+    total order, the df table that DEFINES that order (probes must sort
+    by the same keys), and the full sorted sets for the verify stage.
+    Published per (input, threshold) through the artifact registry."""
+    from .models import disk_checkpoint, published
+
+    sets = _setsim_sets(corpus)
+
+    def build() -> tuple[DataFrame, DataFrame, DataFrame]:
+        tok = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+        df_ = disk_checkpoint(
+            tok.groupBy("tok").agg(F.count("*").alias("df")), "setsim_df"
+        )
+        plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast(
+            "int"
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        )
+        pref = (
+            tok.join(df_, "tok")
+            .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
+            .where(F.col("rn") <= F.col("plen"))
+            .select("tok", "doc_id", "n")
+        )
+        return (
+            disk_checkpoint(pref, "setsim_postings"),
+            df_,
+            disk_checkpoint(sets, "setsim_sets"),
+        )
+
+    return published(sets, "setsim_corpus_index", (threshold,), build)
+
+
+def setsim_probe(
+    batch_sets: DataFrame,
+    postings: DataFrame,
+    df_: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float = SETSIM_THRESHOLD,
+) -> DataFrame:
+    """EXACT batch-vs-corpus near-dup probe through a prefix index —
+    the lossless counterpart of the banded-LSH probe: every corpus doc
+    within Jaccard ≥ threshold of a batch doc is found, none invented.
+
+    The batch side sorts by the CORPUS df order (the order the postings
+    were prefixed under — a shared total order is what the smallest-
+    shared-token argument needs); tokens the corpus has never seen get
+    df 0, sort first, and can't match a posting, which costs prefix
+    slots but never correctness. Returns the best qualifying match per
+    batch doc: (batch_doc, match_doc, jaccard), jaccard ≥ threshold —
+    row present ⇔ the ingest decision is REJECT. Restricting output to
+    qualifying pairs is what makes the operator exactly oracle-equal:
+    the prefix filter preserves every qualifying pair but prunes
+    arbitrary non-qualifying candidates."""
+    tok = batch_sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")
+    )
+    pref = (
+        tok.join(df_, "tok", "left")
+        .na.fill({"df": 0})
+        .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
+        .where(F.col("rn") <= F.col("plen"))
+    )
+    cands = (
+        pref.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("nb_"), "tok")
+        .join(
+            postings.select(
+                "tok", F.col("doc_id").alias("match_doc"), F.col("n").alias("nc_")
+            ),
+            "tok",
+        )
+        .where(
+            F.least("nb_", "nc_") >= F.lit(threshold) * F.greatest("nb_", "nc_")
+        )
+        .select("batch_doc", "match_doc")
+        .distinct()
+    )
+    a = batch_sets.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a"))
+    b = corpus_sets.select(F.col("doc_id").alias("match_doc"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    scored = (
+        cands.join(a, "batch_doc")
+        .join(b, "match_doc")
+        .select("batch_doc", "match_doc", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    # per-batch-doc argmax as a map-side-combinable aggregate (the
+    # incremental_dedup rule): max(struct(jaccard, -match_doc)) is the
+    # (jaccard DESC, match_doc ASC) tiebreak exactly.
+    return (
+        scored.groupBy("batch_doc")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("match_doc")).alias("nmd"))
+            ).alias("b")
+        )
+        .select(
+            "batch_doc",
+            (-F.col("b.nmd")).alias("match_doc"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
+
+
+def setsim_incremental(
+    docs: DataFrame, batch_mod: int = 10, threshold: float = SETSIM_THRESHOLD
+) -> DataFrame:
+    """EXACT incremental dedup: probe the deterministic batch split
+    (doc_id % batch_mod == 0, the same split as `incremental_dedup`)
+    against the corpus-side prefix index — the lossless twin of the
+    banded-LSH probe, so the two queries over the SAME split quantify
+    precisely what the LSH index trades away (every `incremental_dedup`
+    is_dup row at this threshold must appear here; the reverse can
+    fail — pinned in tests). The CONTINUOUS form is
+    streaming/setsim_ingest.py::SetSimIngestSink."""
+    batch = docs.where(F.col("doc_id") % batch_mod == 0)
+    corpus = docs.where(F.col("doc_id") % batch_mod != 0)
+    postings, df_, corpus_sets = setsim_corpus_index(corpus, threshold)
+    return setsim_probe(
+        _setsim_sets(batch), postings, df_, corpus_sets, threshold
+    )
+
+
+def setsim_incremental_oracle(
+    batch_mod: int = 10, threshold: float = SETSIM_THRESHOLD
+) -> str:
+    sh = hashed_shingles_sql("duckdb", "text")
+    return f"""
+        WITH s AS MATERIALIZED (
+          SELECT doc_id, list_sort(list_distinct({sh})) AS sh FROM documents),
+        sz AS (SELECT doc_id, len(sh) AS n FROM s),
+        tokb AS (SELECT doc_id, unnest(sh) AS tok FROM s
+                 WHERE doc_id % {batch_mod} = 0),
+        tokc AS (SELECT doc_id, unnest(sh) AS tok FROM s
+                 WHERE doc_id % {batch_mod} != 0),
+        i AS (SELECT b.doc_id AS batch_doc, c.doc_id AS match_doc,
+                     CAST(count(*) AS DOUBLE) AS i
+              FROM tokb b JOIN tokc c ON b.tok = c.tok
+              GROUP BY 1, 2),
+        scored AS (
+          SELECT batch_doc, match_doc,
+                 ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+          FROM i JOIN sz sa ON sa.doc_id = i.batch_doc
+                 JOIN sz sb ON sb.doc_id = i.match_doc),
+        q AS (SELECT * FROM scored WHERE jaccard >= {threshold}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY batch_doc
+                     ORDER BY jaccard DESC, match_doc) AS rn FROM q)
+        SELECT batch_doc, match_doc, jaccard FROM r WHERE rn = 1
+    """

@@ -2130,6 +2130,16 @@ def q_dedup_setsim_recall(spark, sf_dir):
     return dd.setsim_lsh_recall(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_setsim_incremental", dd.setsim_incremental_oracle())
+def q_dedup_setsim_incremental(spark, sf_dir):
+    """EXACT incremental dedup: the deterministic batch split probed
+    through the corpus-side prefix index (lossless), over the SAME split
+    as the banded-LSH `dedup_incremental` — the pair of queries
+    quantifies exactly what the LSH probe trades for its smaller state.
+    Continuous form: streaming/setsim_ingest.py."""
+    return dd.setsim_incremental(_t(spark, sf_dir, "documents"))
+
+
 @register("dedup_embedding", sim.embedding_near_pairs_oracle())
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4, label-blocked)."""
@@ -6312,6 +6322,12 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "'jaccard', jaccard, "
         "'is_dup', CAST(CAST(is_dup AS INT) AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    ssi = REGISTRY["dedup_setsim_incremental"].fn(spark, sf_dir).selectExpr(
+        "'setsim_incremental' AS section",
+        "CAST(batch_doc AS STRING) AS key",
+        "stack(2, 'match_doc', CAST(match_doc AS DOUBLE), "
+        "'jaccard', jaccard) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     ov = REGISTRY["source_ngram_overlap"].fn(spark, sf_dir).selectExpr(
         "'overlap' AS section",
         "concat(source_a, ':', source_b) AS key",
@@ -6395,7 +6411,8 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "clean_text AS value_str",
     )
     return (
-        inc.unionByName(ov).unionByName(sp).unionByName(cp_).unionByName(fk)
+        inc.unionByName(ssi).unionByName(ov).unionByName(sp)
+        .unionByName(cp_).unionByName(fk)
         .unionByName(ex).unionByName(sh).unionByName(aj)
         .unionByName(ln).unionByName(ln_t).unionByName(chm)
         .unionByName(lt).unionByName(lt_t)
@@ -6406,6 +6423,7 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
     REGISTRY["dedup_lifecycle_suite"].fn,
     f"""
     WITH inc AS MATERIALIZED ({REGISTRY["dedup_incremental"].oracle}),
+         ssi AS MATERIALIZED ({REGISTRY["dedup_setsim_incremental"].oracle}),
          ov AS MATERIALIZED ({REGISTRY["source_ngram_overlap"].oracle}),
          ln AS MATERIALIZED ({REGISTRY["dedup_lines"].oracle}),
          chm AS MATERIALIZED ({REGISTRY["dedup_cluster_histogram"].oracle}),
@@ -6423,6 +6441,10 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
            jaccard, NULL FROM inc
     UNION ALL SELECT 'incremental', CAST(batch_doc AS VARCHAR), 'is_dup',
            CAST(CAST(is_dup AS INT) AS DOUBLE), NULL FROM inc
+    UNION ALL SELECT 'setsim_incremental', CAST(batch_doc AS VARCHAR),
+           'match_doc', CAST(match_doc AS DOUBLE), NULL FROM ssi
+    UNION ALL SELECT 'setsim_incremental', CAST(batch_doc AS VARCHAR),
+           'jaccard', jaccard, NULL FROM ssi
     UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'n_shared',
            CAST(n_shared AS DOUBLE), NULL FROM ov
     UNION ALL SELECT 'overlap', source_a || ':' || source_b, 'n_a',
@@ -6718,7 +6740,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "compaction_plan", "vocab_prune_report",
     ),
     "dedup_lifecycle_suite": (
-        "dedup_incremental", "source_ngram_overlap", "dedup_duplicate_spans",
+        "dedup_incremental", "dedup_setsim_incremental",
+        "source_ngram_overlap", "dedup_duplicate_spans",
         "dedup_lines", "dedup_lines_ttl", "dedup_cluster_histogram",
         "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
         "dedup_simhash", "anti_join_dedup",
