@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_setsim_prefix",
     "graph_triangles",
     "dedup_setsim_incremental",
+    "graph_kcore",
+    "multimodal_audio_dedup",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -399,7 +399,9 @@ def copurchase_pairs_oracle(
 TRI_BASKET_CAP = 30  # per-order part-basket bound before the pair join
 
 
-def part_cooccur_edges(lineitem: DataFrame, cap: int = TRI_BASKET_CAP) -> DataFrame:
+def part_cooccur_edges(
+    lineitem: DataFrame, cap: int = TRI_BASKET_CAP, w_min: int = 1
+) -> DataFrame:
     """(u, v) with u < v: distinct part pairs that co-occur in an order —
     the unipartite projection of the order→part bipartite graph, the graph
     under the market-basket family with real sparse structure (the
@@ -430,12 +432,14 @@ def part_cooccur_edges(lineitem: DataFrame, cap: int = TRI_BASKET_CAP) -> DataFr
         return (
             a.join(c, "ord")
             .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .where(F.col("w") >= w_min)
             .select("u", "v")
-            .distinct()
             .localCheckpoint(eager=True)
         )
 
-    return published(b, "part_cooccur_edges", (cap,), build)
+    return published(b, "part_cooccur_edges", (cap, w_min), build)
 
 
 def triangle_counts(lineitem: DataFrame, cap: int = TRI_BASKET_CAP) -> DataFrame:
@@ -552,4 +556,116 @@ def triangle_counts_oracle(cap: int = TRI_BASKET_CAP) -> str:
                                / (d.deg * (d.deg - 1.0)), 6)
                     ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """
+
+
+# -- k-core decomposition (iterative peeling) ---------------------------------
+
+KCORE_K = 3
+KCORE_W_MIN = 2  # weighted edges: pairs co-purchased >= twice
+KCORE_MAX_ITER = 16  # measured peel depth at sf0.01 is 10; oracle unrolls this
+
+
+def kcore(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    cap: int = TRI_BASKET_CAP,
+    w_min: int = KCORE_W_MIN,
+    max_iter: int = KCORE_MAX_ITER,
+) -> DataFrame:
+    """(node, core_degree): the k-core of the weighted part co-occurrence
+    graph (edges with ≥ `w_min` shared orders) — synchronous peeling:
+    each round drops EVERY node whose degree over the surviving subgraph
+    is < k, until a fixpoint. The classic density filter for graph-shaped
+    curation (keep entities embedded in a mutually-dense neighborhood;
+    Seidman 1983, Batagelj-Zaveršnik peeling).
+
+    Spark shape: one symmetric-degree aggregate + two semi-joins per
+    round over a `localCheckpoint`ed edge list (the CC/LPA iteration
+    discipline); convergence detection is a surviving-NODE count compare
+    riding the checkpoint's materialization job, so a converged round
+    costs no extra action. Early-exit is exact against the
+    fixed-iteration oracle by the usual fixpoint argument: once no node
+    falls below k, every further peel round is a no-op, so the oracle's
+    `max_iter`-round unroll equals the converged state (the measured peel
+    depth at sf0.01 is 10 rounds; `max_iter` = 16 bounds both engines).
+    At 100 TB each round is edge-partitioned degree counting — the same
+    per-round cost envelope as one PageRank round, and peel depth on
+    real co-occurrence graphs is tens, not thousands."""
+    from .models import published
+
+    e = part_cooccur_edges(lineitem, cap, w_min)
+
+    def build() -> DataFrame:
+        LAST_ROUNDS["kcore"] = 0
+        edges = e.localCheckpoint()
+        n_nodes = -1
+        for _ in range(max_iter):
+            deg = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            keep = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
+            n_now = keep.count()
+            if n_now == n_nodes:
+                break
+            LAST_ROUNDS["kcore"] = LAST_ROUNDS.get("kcore", 0) + 1
+            n_nodes = n_now
+            edges = (
+                edges.join(
+                    keep.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+            .localCheckpoint(eager=True)
+        )
+
+    return published(e, "kcore", (k, cap, w_min, max_iter), build)
+
+
+def kcore_oracle(
+    k: int = KCORE_K,
+    cap: int = TRI_BASKET_CAP,
+    w_min: int = KCORE_W_MIN,
+    max_iter: int = KCORE_MAX_ITER,
+) -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, max_iter + 1):
+        rounds.append(
+            f"""n{i} AS MATERIALIZED (
+            SELECT node FROM (SELECT u AS node FROM {prev}
+                              UNION ALL SELECT v AS node FROM {prev})
+            GROUP BY node HAVING count(*) >= {k}),
+        e{i} AS MATERIALIZED (
+            SELECT e.u, e.v FROM {prev} e
+            JOIN n{i} a ON a.node = e.u
+            JOIN n{i} b ON b.node = e.v)"""
+        )
+        prev = f"e{i}"
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+                   FROM lineitem),
+        capped AS (SELECT ord, p FROM (
+            SELECT ord, p,
+                   row_number() OVER (PARTITION BY ord ORDER BY p) AS rn
+            FROM b) WHERE rn <= {cap}),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS u, c.p AS v
+            FROM capped a JOIN capped c ON a.ord = c.ord AND a.p < c.p
+            GROUP BY a.p, c.p HAVING count(*) >= {w_min}),
+        {','.join(rounds)}
+        SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+        GROUP BY node HAVING count(*) >= {k}
     """

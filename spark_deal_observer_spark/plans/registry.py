@@ -3183,6 +3183,8 @@ def q_graph_communities(spark, sf_dir):
 
 
 from ..operators.graph import (  # noqa: E402
+    kcore,
+    kcore_oracle,
     triangle_counts,
     triangle_counts_oracle,
 )
@@ -3196,6 +3198,15 @@ def q_graph_triangles(spark, sf_dir):
     star hubs emit zero wedges). Oracle is the unoriented a<b<c 3-way
     edge join: parity proves the orientation counts each triangle once."""
     return triangle_counts(_t(spark, sf_dir, "lineitem"))
+
+
+@register("graph_kcore", kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """k-core of the weighted (≥2 shared orders) part co-occurrence
+    graph via synchronous peeling with convergence early-exit — exact vs
+    the oracle's fixed 16-round unroll by the fixpoint argument (peel
+    depth at sf0.01 measures 10). Returns surviving (node, core_degree)."""
+    return kcore(_t(spark, sf_dir, "lineitem"))
 
 
 @register("fuzzy_name_pairs", dd.fuzzy_name_pairs_oracle())
@@ -6604,7 +6615,20 @@ def q_graph_suite(spark, sf_dir):
         "clustering AS value_num",
         "CAST(NULL AS STRING) AS value_str",
     )
-    return pr.unionByName(cm).unionByName(cop).unionByName(tr_t).unionByName(tr_c)
+    kc = REGISTRY["graph_kcore"].fn(spark, sf_dir).selectExpr(
+        "'kcore' AS section",
+        "CAST(node AS STRING) AS key",
+        "'core_degree' AS metric",
+        "CAST(core_degree AS DOUBLE) AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    return (
+        pr.unionByName(cm)
+        .unionByName(cop)
+        .unionByName(tr_t)
+        .unionByName(tr_c)
+        .unionByName(kc)
+    )
 
 
 REGISTRY["graph_suite"] = QueryDef(
@@ -6613,7 +6637,8 @@ REGISTRY["graph_suite"] = QueryDef(
     WITH pr AS MATERIALIZED ({REGISTRY["pagerank_entities"].oracle}),
          cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle}),
          cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle}),
-         tri AS MATERIALIZED ({REGISTRY["graph_triangles"].oracle})
+         tri AS MATERIALIZED ({REGISTRY["graph_triangles"].oracle}),
+         kc AS MATERIALIZED ({REGISTRY["graph_kcore"].oracle})
     SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
            pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
     UNION ALL SELECT 'communities', node, 'community',
@@ -6625,6 +6650,8 @@ REGISTRY["graph_suite"] = QueryDef(
            CAST(triangles AS DOUBLE), NULL FROM tri
     UNION ALL SELECT 'triangles', CAST(node AS VARCHAR), 'clustering',
            clustering, NULL FROM tri
+    UNION ALL SELECT 'kcore', CAST(node AS VARCHAR), 'core_degree',
+           CAST(core_degree AS DOUBLE), NULL FROM kc
     """,
 )
 
@@ -6754,7 +6781,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
-        "graph_triangles",
+        "graph_triangles", "graph_kcore",
     ),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),

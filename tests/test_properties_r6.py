@@ -125,3 +125,31 @@ def test_triangle_handshake_identity(spark):
     out = triangle_counts(_lineitem(spark, [[1, 2, 3, 4]])).collect()
     assert sum(r.triangles for r in out) == 3 * 4
     assert all(r.clustering == 1.0 for r in out)
+
+
+def test_kcore_peels_pendant_chain_over_rounds(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5-6, k=2: the chain peels one
+    node per round (3 live rounds), the triangle survives with
+    core_degree 2 everywhere — pins the multi-round iteration and the
+    LAST_ROUNDS observability."""
+    from spark_deal_observer_spark.operators.graph import LAST_ROUNDS, kcore
+
+    li = _lineitem(spark, [[1, 2], [2, 3], [1, 3], [3, 4], [4, 5], [5, 6]])
+    out = {r.node: r.core_degree for r in kcore(li, k=2, w_min=1).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    assert LAST_ROUNDS["kcore"] >= 3
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    from spark_deal_observer_spark.operators.graph import kcore
+
+    li = _lineitem(spark, [[1, 2], [2, 3], [3, 4]])  # path: no 2-core
+    assert kcore(li, k=2, w_min=1).count() == 0
+
+
+def test_kcore_of_clique_is_the_clique(spark):
+    from spark_deal_observer_spark.operators.graph import kcore
+
+    li = _lineitem(spark, [[1, 2, 3, 4, 5]])  # K5 in one basket
+    out = {r.node: r.core_degree for r in kcore(li, k=4, w_min=1).collect()}
+    assert out == {i: 4 for i in range(1, 6)}
