@@ -1436,25 +1436,31 @@ def setsim_prefix_pairs(
             tok.join(df_, "tok")
             .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
             .where(F.col("rn") <= F.col("plen"))
-            .select("doc_id", "n", "tok")
+            .select("doc_id", "n", "tok", "rn")
         )
         a = pref.select(
-            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok"
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("na"),
+            "tok",
+            F.col("rn").alias("ra"),
         )
         b = pref.select(
-            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok"
+            F.col("doc_id").alias("doc_b"),
+            F.col("n").alias("nb"),
+            "tok",
+            F.col("rn").alias("rb"),
         )
-        cands = (
-            a.join(b, "tok")
-            .where(
+        cands = _positional_candidates(
+            a.join(b, "tok").where(
                 (F.col("doc_a") < F.col("doc_b"))
                 & (
                     F.least("na", "nb")
                     >= F.lit(threshold) * F.greatest("na", "nb")
                 )
-            )
-            .select("doc_a", "doc_b")
-            .distinct()
+            ),
+            "doc_a",
+            "doc_b",
+            threshold,
         )
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -1532,17 +1538,19 @@ def setsim_lsh_recall_oracle(threshold: float = SETSIM_THRESHOLD) -> str:
 
 
 def setsim_corpus_index(
-    corpus: DataFrame, threshold: float = SETSIM_THRESHOLD
+    sets: DataFrame, threshold: float = SETSIM_THRESHOLD
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(prefix postings, df table, sets) of the CORPUS side — the
     persisted exact-dedup index an ingestion pipeline maintains next to
     its LSH store: prefix postings (tok, doc_id, n) under the corpus-df
     total order, the df table that DEFINES that order (probes must sort
     by the same keys), and the full sorted sets for the verify stage.
-    Published per (input, threshold) through the artifact registry."""
+    Takes a (doc_id, sh, n) SETS frame (callers carve the corpus side out
+    of the ONE published shingle artifact — building a second shingle
+    table per subset was the dominant cost of the first cut: the md5 pass
+    is paid per distinct published input). Published per (input,
+    threshold) through the artifact registry."""
     from .models import disk_checkpoint, published
-
-    sets = _setsim_sets(corpus)
 
     def build() -> tuple[DataFrame, DataFrame, DataFrame]:
         tok = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
@@ -1559,7 +1567,7 @@ def setsim_corpus_index(
             tok.join(df_, "tok")
             .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
             .where(F.col("rn") <= F.col("plen"))
-            .select("tok", "doc_id", "n")
+            .select("tok", "doc_id", "n", "rn")
         )
         return (
             disk_checkpoint(pref, "setsim_postings"),
@@ -1602,27 +1610,51 @@ def setsim_probe(
         .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
         .where(F.col("rn") <= F.col("plen"))
     )
-    cands = (
-        pref.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("nb_"), "tok")
-        .join(
-            postings.select(
-                "tok", F.col("doc_id").alias("match_doc"), F.col("n").alias("nc_")
-            ),
+    joined = pref.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("n").alias("na"),
+        "tok",
+        F.col("rn").alias("ra"),
+    ).join(
+        postings.select(
             "tok",
-        )
-        .where(
-            F.least("nb_", "nc_") >= F.lit(threshold) * F.greatest("nb_", "nc_")
-        )
-        .select("batch_doc", "match_doc")
-        .distinct()
+            F.col("doc_id").alias("match_doc"),
+            F.col("n").alias("nb"),
+            *(
+                [F.col("rn").alias("rb")]
+                if "rn" in postings.columns
+                else []
+            ),
+        ),
+        "tok",
+    ).where(
+        F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
     )
+    if "rn" in postings.columns:
+        # positional filter: needs positions under the SHARED global
+        # order — available when the store was prefixed by this index's
+        # own df order. The sink's full-postings store carries no rn
+        # (value-order probe, see streaming/setsim_ingest.py) and takes
+        # the plain distinct path.
+        cands = _positional_candidates(
+            joined, "batch_doc", "match_doc", threshold
+        )
+    else:
+        cands = joined.select("batch_doc", "match_doc").distinct()
     a = batch_sets.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a"))
     b = corpus_sets.select(F.col("doc_id").alias("match_doc"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    # explicit keyed-COUNT repartition on both sides of each verify join
+    # (the _verify_join discipline): the per-row intersection is CPU-heavy
+    # while the candidate rows are narrow, so AQE's byte-based coalescing
+    # would run the verify on a fraction of the cluster
+    npart = cands.sparkSession.sparkContext.defaultParallelism * 4
     scored = (
-        cands.join(a, "batch_doc")
-        .join(b, "match_doc")
+        cands.repartition(npart, "batch_doc")
+        .join(a.repartition(npart, "batch_doc"), "batch_doc")
+        .repartition(npart, "match_doc")
+        .join(b.repartition(npart, "match_doc"), "match_doc")
         .select("batch_doc", "match_doc", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -1655,12 +1687,25 @@ def setsim_incremental(
     is_dup row at this threshold must appear here; the reverse can
     fail — pinned in tests). The CONTINUOUS form is
     streaming/setsim_ingest.py::SetSimIngestSink."""
-    batch = docs.where(F.col("doc_id") % batch_mod == 0)
-    corpus = docs.where(F.col("doc_id") % batch_mod != 0)
-    postings, df_, corpus_sets = setsim_corpus_index(corpus, threshold)
-    return setsim_probe(
-        _setsim_sets(batch), postings, df_, corpus_sets, threshold
-    )
+    # ONE published shingle artifact; both sides are filters over it
+    # (publishing per-subset repaid the md5 pass twice — 95 → 24 s cold
+    # at sf0.1 together with the positional filter). The probe RESULT is
+    # itself published (row-bounded, consumed by the lifecycle gate
+    # suite, the standalone query, and the subset property tests): the
+    # probe join re-ran ~11 s warm per consumer otherwise.
+    from .models import published
+
+    sets = _setsim_sets(docs)
+
+    def build() -> DataFrame:
+        batch_sets = sets.where(F.col("doc_id") % batch_mod == 0)
+        corpus_sets = sets.where(F.col("doc_id") % batch_mod != 0)
+        postings, df_, csets = setsim_corpus_index(corpus_sets, threshold)
+        return setsim_probe(
+            batch_sets, postings, df_, csets, threshold
+        ).localCheckpoint(eager=True)
+
+    return published(sets, "setsim_incremental", (batch_mod, threshold), build)
 
 
 def setsim_incremental_oracle(
@@ -1689,3 +1734,42 @@ def setsim_incremental_oracle(
                      ORDER BY jaccard DESC, match_doc) AS rn FROM q)
         SELECT batch_doc, match_doc, jaccard FROM r WHERE rn = 1
     """
+
+
+def _positional_candidates(
+    joined: DataFrame, col_a: str, col_b: str, threshold: float
+) -> DataFrame:
+    """PPJoin positional filter over the prefix-token join output
+    (columns: col_a, col_b, na, nb, ra, rb — rn positions under the ONE
+    global token order both sides were prefixed with).
+
+    Sound overlap upper bound per pair: every shared token globally
+    BEFORE the last shared prefix token w is itself inside both prefixes
+    (positions are monotone in the shared order), so it is counted by
+    c = |shared prefix tokens|; tokens after w number ≤ min(na−ra, nb−rb).
+    A pair can only reach Jaccard ≥ t if i ≥ t·(na+nb)/(1+t), so pairs
+    with c + min(na−ra, nb−rb) below that are dropped WITHOUT a verify —
+    measured 10.5 M → 98 k candidates at sf0.1 (107×), which moves the
+    verify stage from the dominant cost to noise. The ε guards the float
+    evaluation of the real-valued bound (an exact-integer boundary must
+    never round into an over-filter); the oracle is the unfiltered brute
+    force, so the gate proves the filter lossless every round."""
+    alpha = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("na") + F.col("nb")
+    ) - F.lit(1e-6)
+    return (
+        joined.groupBy(col_a, col_b)
+        .agg(
+            F.count("*").alias("c"),
+            F.max("ra").alias("ra"),
+            F.max("rb").alias("rb"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .where(
+            F.col("c")
+            + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+            >= alpha
+        )
+        .select(col_a, col_b)
+    )
