@@ -315,6 +315,55 @@ def probe_decade(spark) -> None:
         print(f"| {label} | {b:.2f} | {t:.2f} | {h} | {n} |")
 
 
+def setsim_probe_decade(spark) -> None:
+    """--setsim-probe: the EXACT incremental-dedup decade, same
+    fixed-batch-vs-grown-store shape as --probe but through the prefix
+    index, over the LOWDUP corpora — the id-shifted protocol is excluded
+    for the exact tier by the standing quadratic-semantics rule: unlike
+    the LSH band SEMI-join (density-insensitive), the exact probe's
+    candidate volume tracks duplicate density by construction, and ×N
+    id-shifted copies mean ~N× true matches per batch doc (measured: the
+    id-shifted 10× tick skew-straggled on hot shingles). Per-copy salted
+    corpora hold duplicate density at the base rate, so the decade
+    measures STORE-GROWTH cost, which is the production claim. The exact
+    tier's per-tick growth vs the LSH tier's quantifies what
+    losslessness costs at each store size."""
+    from spark_deal_observer_spark.operators import models
+    from spark_deal_observer_spark.operators.dedup import (
+        _setsim_sets,
+        setsim_corpus_index,
+        setsim_probe,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    batch = load_table(spark, SRC, "documents").where("doc_id % 10 = 0")
+    rows = []
+    for label, d in (("1x", SRC), ("10x", DST_LD10), ("100x", DST_LD100)):
+        models.clear()
+        t0 = time.perf_counter()
+        corpus_sets = _setsim_sets(load_table(spark, d, "documents"))
+        postings, df_, csets = setsim_corpus_index(corpus_sets)
+        n_post = postings.count()
+        build_s = time.perf_counter() - t0
+        bsets = _setsim_sets(batch)
+        ticks = []
+        n_hit = 0
+        for _ in range(3):
+            t1 = time.perf_counter()
+            n_hit = setsim_probe(bsets, postings, df_, csets).count()
+            ticks.append(time.perf_counter() - t1)
+        rows.append((label, build_s, min(ticks), n_hit, n_post))
+        print(
+            f"DONE setsim-probe {label} build={build_s:.2f} "
+            f"tick={min(ticks):.2f}",
+            flush=True,
+        )
+    print("\n| store | index build sec | exact probe tick sec | batch rejects | posting rows |")
+    print("|---|---|---|---|---|")
+    for label, b, t, h, n in rows:
+        print(f"| {label} | {b:.2f} | {t:.2f} | {h} | {n} |")
+
+
 def main() -> None:
     import duckdb
 
@@ -323,7 +372,12 @@ def main() -> None:
     x100 = "--x100" in args
     lowdup = "--lowdup" in args
     probe = "--probe" in args
-    args = [a for a in args if a not in ("--skew", "--x100", "--lowdup", "--probe")]
+    setsim = "--setsim-probe" in args
+    args = [
+        a
+        for a in args
+        if a not in ("--skew", "--x100", "--lowdup", "--probe", "--setsim-probe")
+    ]
     if lowdup:
         names = args or LOWDUP_QUERIES
     else:
@@ -337,6 +391,9 @@ def main() -> None:
         synthesize_skew(con)
     if x100 or probe:
         synthesize(con, DST100, 100)
+    if setsim:
+        synthesize(con, DST_LD10, 10, salt=True)
+        synthesize(con, DST_LD100, 100, salt=True)
     if lowdup:
         # 10x only: even at CONSTANT density the pair family's verify
         # volume is 10x the base corpus's (the fixture is duplicate-
@@ -356,6 +413,9 @@ def main() -> None:
 
     if probe:
         probe_decade(spark)
+        return
+    if setsim:
+        setsim_probe_decade(spark)
         return
 
     if lowdup:

@@ -426,3 +426,38 @@ def test_neardup_ingest_crash_between_corpus_and_store_heals(spark, tmp_path):
     restarted.process_batch(b1, batch_id=1)  # redelivery
     got = sorted(r["doc_id"] for r in restarted.read_corpus().collect())
     assert got == want  # no duplicates, no losses
+
+
+def test_setsim_ingest_crash_between_three_dirs_heals(spark, tmp_path):
+    """The exact-setsim sink writes THREE per-batch dirs (corpus, sets,
+    postings). Tear all three mid-commit (crash before any _SUCCESS) and
+    the redelivery must rebuild them bit-identically: committed-only
+    selection keeps the torn dirs out of every probe, and the
+    strictly-below read rule makes the recomputed admissions equal the
+    first delivery's."""
+    from spark_deal_observer_spark.streaming.setsim_ingest import (
+        SetSimIngestSink,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where("doc_id < 20")
+    b1 = docs.where("doc_id >= 20 AND doc_id < 40")
+
+    clean = SetSimIngestSink(spark, str(tmp_path / "clean"))
+    clean.process_batch(b0, batch_id=0)
+    clean.process_batch(b1, batch_id=1)
+    want = sorted(r["doc_id"] for r in clean.read_corpus().collect())
+    want_post = clean._postings.read_all().count()
+
+    crash = SetSimIngestSink(spark, str(tmp_path / "x"))
+    crash.process_batch(b0, batch_id=0)
+    base = f"{tmp_path}/clean"
+    _tear(f"{base}/corpus/batch_id=1", f"{tmp_path}/x/corpus/batch_id=1")
+    _tear(f"{base}/sets/batch_id=1", f"{tmp_path}/x/sets/batch_id=1")
+    _tear(f"{base}/postings/batch_id=1", f"{tmp_path}/x/postings/batch_id=1")
+
+    restarted = SetSimIngestSink(spark, str(tmp_path / "x"))
+    restarted.process_batch(b1, batch_id=1)  # redelivery
+    got = sorted(r["doc_id"] for r in restarted.read_corpus().collect())
+    assert got == want
+    assert restarted._postings.read_all().count() == want_post
