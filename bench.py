@@ -143,6 +143,12 @@ HEADLINE = [
     "dedup_setsim_incremental",
     "graph_kcore",
     "multimodal_audio_dedup",
+    # r6 continuation: classical seasonal decomposition, link prediction,
+    # supernode-contraction incremental clustering, zonemap skipping audit
+    "event_seasonal_decompose",
+    "graph_link_prediction",
+    "dedup_clusters_incremental",
+    "zonemap_pruning_report",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -1773,3 +1773,108 @@ def _positional_candidates(
         )
         .select(col_a, col_b)
     )
+
+
+# -- incremental connected components (cluster maintenance under ingest) -----
+
+
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows over the published signature
+    table — the probe-side index every incremental consumer carves its
+    subsets from (the published-once rule: subsetting docs BEFORE the
+    signature build would retrain the artifact per subset)."""
+    sigs = minhash_signatures(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _star(bands: DataFrame) -> DataFrame:
+    """Per-bucket star edges (hub = min member) over (doc_id, band, key)
+    rows — connectivity-equivalent to the in-bucket clique at O(k) edges
+    per bucket (see minhash_lsh_star_edges)."""
+    buckets = bands.groupBy("band", "key").agg(
+        F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
+    )
+    return (
+        buckets.where(F.size("ids") > 1)
+        .select("hub", F.explode("ids").alias("doc_id"))
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+
+
+def incremental_clusters(
+    docs: DataFrame, batch_mod: int = 10, max_iter: int = 25
+) -> DataFrame:
+    """Incremental cluster maintenance: fold a new batch into the
+    ESTABLISHED corpus clustering without re-running connected components
+    over the corpus graph — the cluster-map twin of `incremental_dedup`
+    (candidates) and the production shape of dedup under continuous
+    ingest: at 100 TB the corpus label map is a maintained artifact; a
+    delta touches only the components its candidate buckets reach.
+
+    Supernode contraction (the textbook incremental-CC construction):
+    corpus endpoints of the delta's edges are REWRITTEN to their corpus
+    cluster label, so the delta CC runs over batch docs + touched
+    CLUSTERS — O(|batch| + touched components) nodes, independent of
+    corpus graph size. Because corpus labels are component-MIN doc ids,
+    the contracted fixpoint's min-label per merged component equals the
+    global min doc id — so the expanded result is BYTE-IDENTICAL to the
+    from-scratch clustering, and the oracle (the full-graph recursive
+    CTE, same as `dedup_clusters`) proves that equality at value level
+    every gate run.
+
+    Stages: (1) corpus-only star edges from the ONE published band-row
+    table → published corpus label map (in production: read, not built);
+    (2) batch band keys semi-select touched buckets → full star over
+    their members (covers batch-batch AND batch-corpus connectivity);
+    (3) contract via two left joins on the label map; (4) CC over the
+    contracted delta graph (rounds bounded by DELTA diameter);
+    (5) re-expand: relabel corpus components through the delta fixpoint,
+    emit delta-only nodes directly."""
+    bands = _band_rows(docs)
+    is_batch = F.col("doc_id") % batch_mod == 0
+    corpus_edges = _star(bands.where(~is_batch))
+    corpus_labels = connected_components(corpus_edges, max_iter)
+    batch_keys = bands.where(is_batch).select("band", "key").distinct()
+    touched = bands.join(batch_keys, ["band", "key"])
+    delta_edges = _star(touched)
+    la = corpus_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca")
+    )
+    lb = corpus_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb")
+    )
+    contracted = (
+        delta_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("ca", "doc_a").alias("doc_a"),
+            F.coalesce("cb", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    delta_cc = connected_components(contracted, max_iter)
+    reps = delta_cc.select(
+        F.col("doc_id").alias("rep"), F.col("cluster").alias("new_label")
+    )
+    corpus_final = corpus_labels.join(
+        reps, corpus_labels.cluster == reps.rep, "left"
+    ).select("doc_id", F.coalesce("new_label", "cluster").alias("cluster"))
+    delta_only = delta_cc.join(
+        corpus_labels.select(F.col("cluster").alias("rep")).distinct(),
+        delta_cc.doc_id == F.col("rep"),
+        "left_anti",
+    ).select("doc_id", "cluster")
+    return corpus_final.unionByName(delta_only)

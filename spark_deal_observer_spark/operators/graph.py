@@ -669,3 +669,146 @@ def kcore_oracle(
         FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
         GROUP BY node HAVING count(*) >= {k}
     """
+
+
+# -- link prediction (common-neighbour family) --------------------------------
+
+LP_APEX_CAP = 32  # neighbours enumerated per wedge apex (bounded-block rule):
+# wedge volume is nodes x C(cap,2); 64 measured 40M wedge rows / 10 s at
+# sf0.1 vs 10M / ~3 s at 32 with the same top-k panel shape
+LP_MIN_CN = 2  # pairs sharing fewer common neighbours are noise, not links
+LP_TOPK = 5  # predicted links reported per left node
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    cap: int = TRI_BASKET_CAP,
+    apex_cap: int = LP_APEX_CAP,
+    min_cn: int = LP_MIN_CN,
+    topk: int = LP_TOPK,
+) -> DataFrame:
+    """(u, w, cn, deg_u, deg_w, jaccard, pref_attach): the top predicted
+    links per node over the part co-occurrence graph — non-adjacent pairs
+    ranked by common-neighbour count, with the Jaccard and
+    preferential-attachment scores of the classic link-prediction panel
+    (Liben-Nowell & Kleinberg 2003). The "customers who bought X also
+    bought Y" inference over graph structure rather than direct
+    co-occurrence: a high-scoring non-edge is a co-purchase the data
+    implies but hasn't seen. Reference analog: the observer's dimension
+    lookups relate entities by direct keys only; this is the derived
+    relation layer a recommendation consumer would build on it.
+
+    Adamic-Adar / resource-allocation are deliberately omitted: both sum
+    per-neighbour float quotients (1/log·deg, 1/deg) whose accumulation
+    order the two engines need not share. The panel kept is
+    integer-exact: cn and pref_attach are BIGINTs and jaccard is ONE
+    division of exact integers — the seasonal-decompose determinism rule.
+
+    Scale shape: wedges enumerate at each apex over a DETERMINISTIC
+    apex_cap-bounded neighbour list (lowest-id order), so the wedge stage
+    is Σ C(min(deg, apex_cap), 2) — linear in nodes with the cap as the
+    hot-vertex bound (the degree-ordered-orientation trick is unavailable
+    here: common neighbours need BOTH spokes of every wedge). The
+    candidate set then anti-joins the edge list (equi, AQE-splittable)
+    and joins degrees twice (node-sized). Output is top-k per node —
+    row-bounded like `copurchase_pairs`."""
+    from pyspark.sql.window import Window
+
+    from .models import published
+
+    edges = part_cooccur_edges(lineitem, cap)
+
+    def build() -> DataFrame:
+        sym = edges.select(F.col("u").alias("v"), F.col("v").alias("n")).union(
+            edges.select(F.col("v").alias("v"), F.col("u").alias("n"))
+        )
+        deg = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
+        rn = F.row_number().over(Window.partitionBy("v").orderBy("n"))
+        # checkpoint the capped adjacency: the wedge self-join reads it
+        # TWICE, and without the barrier each branch re-sorts the full
+        # symmetric edge list for the row_number window
+        capped = (
+            sym.select("v", "n", rn.alias("rn"))
+            .where(F.col("rn") <= apex_cap)
+            .select("v", "n")
+            .localCheckpoint(eager=True)
+        )
+        a = capped.select("v", F.col("n").alias("u"))
+        b = capped.select("v", F.col("n").alias("w"))
+        cand = (
+            a.join(b, "v")
+            .where(F.col("u") < F.col("w"))
+            .groupBy("u", "w")
+            .agg(F.count("*").cast("bigint").alias("cn"))
+            .where(F.col("cn") >= min_cn)
+        )
+        non_edges = cand.join(
+            edges, (cand.u == edges.u) & (cand.w == edges.v), "left_anti"
+        )
+        du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+        dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w"))
+        scored = non_edges.join(du, "u").join(dw, "w")
+        pick = F.row_number().over(
+            Window.partitionBy("u").orderBy(F.col("cn").desc(), F.col("w"))
+        )
+        return (
+            scored.select("u", "w", "cn", "deg_u", "deg_w", pick.alias("pick"))
+            .where(F.col("pick") <= topk)
+            .select(
+                "u",
+                "w",
+                "cn",
+                "deg_u",
+                "deg_w",
+                F.round(
+                    F.col("cn") / (F.col("deg_u") + F.col("deg_w") - F.col("cn")), 6
+                ).alias("jaccard"),
+                (F.col("deg_u") * F.col("deg_w")).cast("bigint").alias("pref_attach"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # top-k per node is ROW-BOUNDED and read by two consumers (the
+    # registered query and graph_suite) — published like copurchase_pairs
+    return published(edges, "link_prediction", (cap, apex_cap, min_cn, topk), build)
+
+
+def link_prediction_oracle(
+    cap: int = TRI_BASKET_CAP,
+    apex_cap: int = LP_APEX_CAP,
+    min_cn: int = LP_MIN_CN,
+    topk: int = LP_TOPK,
+) -> str:
+    return f"""
+        WITH b AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+                   FROM lineitem),
+        capped_b AS (SELECT ord, p FROM (
+            SELECT ord, p,
+                   row_number() OVER (PARTITION BY ord ORDER BY p) AS rn
+            FROM b) WHERE rn <= {cap}),
+        e AS MATERIALIZED (SELECT DISTINCT a.p AS u, c.p AS v
+              FROM capped_b a JOIN capped_b c ON a.ord = c.ord AND a.p < c.p),
+        sym AS MATERIALIZED (SELECT u AS v, v AS n FROM e
+               UNION ALL SELECT v AS v, u AS n FROM e),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY v),
+        capped AS MATERIALIZED (SELECT v, n FROM (
+            SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY n) AS rn
+            FROM sym) WHERE rn <= {apex_cap}),
+        cand AS (SELECT a.n AS u, c.n AS w, CAST(count(*) AS BIGINT) AS cn
+                 FROM capped a JOIN capped c ON a.v = c.v AND a.n < c.n
+                 GROUP BY a.n, c.n HAVING count(*) >= {min_cn}),
+        non_edges AS (SELECT * FROM cand
+                      WHERE NOT EXISTS (SELECT 1 FROM e
+                                        WHERE e.u = cand.u AND e.v = cand.w)),
+        scored AS (SELECT ne.u, ne.w, ne.cn, du.deg AS deg_u, dw.deg AS deg_w
+                   FROM non_edges ne
+                   JOIN deg du ON du.v = ne.u
+                   JOIN deg dw ON dw.v = ne.w),
+        picked AS (SELECT *, row_number() OVER (PARTITION BY u
+                            ORDER BY cn DESC, w) AS pick FROM scored)
+        SELECT u, w, cn, deg_u, deg_w,
+               CAST(ROUND(CAST(cn / (deg_u + deg_w - cn) AS DECIMAL(18,12)),
+                          6) AS DOUBLE) AS jaccard,
+               CAST(deg_u * deg_w AS BIGINT) AS pref_attach
+        FROM picked WHERE pick <= {topk}
+    """

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.epoch import trunc_ntz
+from ..functions.epoch import _UNIX_NTZ, trunc_ntz
 
 # Incident-window parameters for the registered query: error events open a
 # 30-minute window on the same user; bucket width equals window width so
@@ -404,4 +404,131 @@ def event_anomaly_zscore_oracle() -> str:
                     THEN ROUND((n_events - base_mean) / base_std, 6) END)
                     >= {ANOM_Z}, FALSE) AS is_anomaly
         FROM scored
+    """
+
+
+# -- classical seasonal decomposition -----------------------------------------
+
+SEAS_PERIOD = 24  # hour-of-day seasonality over the hourly rollup
+SEAS_HALF = SEAS_PERIOD // 2
+
+
+def event_seasonal_decompose(events: DataFrame) -> DataFrame:
+    """(event_type, bucket_ts, n_events, hod, trend, seasonal, remainder):
+    classical additive decomposition of the hourly event-count series —
+    trend by 2×24 centered moving average, hour-of-day seasonal index by
+    period-averaging the detrended series, remainder as what's left over.
+    The capacity-planning companion of `event_ewma_forecast`: the EWMA
+    tracks level, this separates the daily shape from it (Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice*, "classical
+    decomposition"; reference analog: the observer's telemetry counters
+    are the series — spark-evaluate-deals.js:21-34).
+
+    Exactness discipline (the EWMA rule): aggregates run over exact
+    integers for as long as possible. The DOUBLED MA numerator
+    (num2 = x[-12] + 2·Σ_{j=-11..+11} x[j] + x[+12]) and the ×48-scaled
+    detrended series (48·x − num2) are BIGINTs, so the per-slot seasonal
+    index is ONE division of exact integers — no float summation order
+    exists for the engines to disagree on. Lag/lead terms are NOT
+    coalesced: a missing neighbour nulls num2, which IS the classical
+    full-window rule (trend undefined within half a period of either
+    series end). The seasonal index is the plain period average of the
+    detrended series (uncentered — the remainder is zero-mean per slot by
+    construction, and no float mean-of-means enters the plan). Each
+    output column rounds exactly once, at 6 dp.
+
+    Plan: one corpus shuffle to the hourly rollup, one window pass for
+    the MA (25 unrolled lag/lead terms, codegen'd), one |types|×24
+    aggregate joined back — after the first shuffle everything is
+    |types|×hours rows, metadata-sized at any SF."""
+    from pyspark.sql.window import Window
+
+    hourly = events.groupBy(
+        "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    num2 = None
+    for j in range(-SEAS_HALF, SEAS_HALF + 1):
+        if j == 0:
+            t = F.col("n_events")
+        elif j < 0:
+            t = F.lag("n_events", -j).over(w)
+        else:
+            t = F.lead("n_events", j).over(w)
+        t = t * (1 if abs(j) == SEAS_HALF else 2)
+        num2 = t if num2 is None else num2 + t
+    # hour-of-day via NTZ integer arithmetic (the trunc_ntz rule: extraction
+    # functions coerce instant inputs through the session timezone; hours
+    # since the NTZ origin are wall-clock by construction)
+    hod = (
+        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
+        % SEAS_PERIOD
+    ).cast("bigint")
+    ma = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        hod.alias("hod"),
+        num2.cast("bigint").alias("num2"),
+        (F.lit(48) * F.col("n_events") - num2).cast("bigint").alias("detr48"),
+    )
+    slot = ma.where(F.col("detr48").isNotNull()).groupBy("event_type", "hod").agg(
+        F.sum("detr48").alias("s48"), F.count("*").alias("c")
+    )
+    seasonal = F.round(F.col("s48") / (48.0 * F.col("c")), 6)
+    out = ma.join(slot, ["event_type", "hod"], "left").select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "hod",
+        F.round(F.col("num2") / 48.0, 6).alias("trend"),
+        seasonal.alias("seasonal"),
+        F.round(
+            F.col("n_events")
+            - F.round(F.col("num2") / 48.0, 6)
+            - seasonal,
+            6,
+        ).alias("remainder"),
+    )
+    return out
+
+
+def event_seasonal_decompose_oracle() -> str:
+    terms = []
+    for j in range(-SEAS_HALF, SEAS_HALF + 1):
+        if j == 0:
+            lag = "n_events"
+        elif j < 0:
+            lag = f"lag(n_events, {-j}) OVER w"
+        else:
+            lag = f"lead(n_events, {j}) OVER w"
+        wt = 1 if abs(j) == SEAS_HALF else 2
+        terms.append(f"{wt} * ({lag})" if wt != 1 else f"({lag})")
+    num2 = " + ".join(terms)
+    # quotients round through DECIMAL(18,12) — the exact-decimal-tie rule
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    trend = rnd.format(x="num2 / 48.0")
+    seasonal = rnd.format(x="s48 / (48.0 * c)")
+    return f"""
+        WITH sd_hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        sd_ma AS (
+          SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+                 n_events,
+                 CAST(hour(bucket_ts) AS BIGINT) AS hod,
+                 CAST({num2} AS BIGINT) AS num2,
+                 CAST(48 * n_events - ({num2}) AS BIGINT) AS detr48
+          FROM sd_hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+        sd_slot AS (
+          SELECT event_type, hod, SUM(detr48) AS s48, COUNT(*) AS c
+          FROM sd_ma WHERE detr48 IS NOT NULL GROUP BY event_type, hod)
+        SELECT m.event_type, m.bucket_ts, m.n_events, m.hod,
+               {trend} AS trend,
+               {seasonal} AS seasonal,
+               {rnd.format(x=f"m.n_events - ({trend}) - ({seasonal})")} AS remainder
+        FROM sd_ma m LEFT JOIN sd_slot s
+          ON s.event_type = m.event_type AND s.hod = m.hod
     """

@@ -217,3 +217,199 @@ def compaction_plan_oracle() -> str:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM assigned GROUP BY source, file_id
     """
+
+
+# -- zonemap pruning audit -----------------------------------------------------
+
+ZM_NATURAL_CHUNK = 64  # orderkeys per "file" in insert order
+ZM_SHIP_CHUNK = 28  # days per "file" in shipdate-sorted order
+
+# the predicate panel a 100 TB consumer actually runs: a time slice, a
+# point lookup on the second key, and the combined box. Bounds are day
+# numbers from the TPC-H epoch / raw suppkeys; None = unbounded.
+ZM_PREDICATES = [
+    # (name, d_lo_sql, d_hi_sql, s_lo, s_hi)
+    ("ship_30d", "DATE '1996-03-01'", "DATE '1996-03-30'", None, None),
+    ("supp_point", None, None, 3, 3),
+    ("ship_and_supp", "DATE '1996-03-01'", "DATE '1996-03-30'", 2, 5),
+]
+
+
+def _ship_day(dialect: str = "spark") -> str:
+    if dialect == "spark":
+        return "datediff(l_shipdate, DATE '1992-01-01')"
+    return "datediff('day', DATE '1992-01-01', l_shipdate)"
+
+
+def _pred_day_bounds(dialect: str, lo_sql: str | None, hi_sql: str | None):
+    fmt = (
+        "datediff({d}, DATE '1992-01-01')"
+        if dialect == "spark"
+        else "datediff('day', DATE '1992-01-01', {d})"
+    )
+    lo = fmt.format(d=lo_sql) if lo_sql else str(-(1 << 40))
+    hi = fmt.format(d=hi_sql) if hi_sql else str(1 << 40)
+    return lo, hi
+
+
+def zonemap_pruning_report(lineitem: DataFrame) -> DataFrame:
+    """(layout, predicate, n_chunks, chunks_scanned, rows_total,
+    rows_scanned, chunk_fraction, row_fraction): how much of the table a
+    min/max-pruned scan actually reads, per physical LAYOUT × predicate —
+    the data-skipping audit that justifies (or indicts) a layout choice
+    BEFORE a 100 TB rewrite. Chunks stand in for parquet files; each
+    layout's chunk key is the value-range a range-partitioned writer
+    would produce (never a global row_number — a whole-table rank is the
+    single-task trap this report exists to avoid):
+
+      * natural  — l_orderkey ranges (insert order): prunes the time
+                   predicate incidentally (orderkeys correlate with
+                   dates), nothing else.
+      * shipdate — 4-weekly shipdate ranges: optimal for the time slice,
+                   useless for the supplier point lookup.
+      * zorder   — Morton tiles over (ship day, suppkey): bounded spread
+                   on BOTH dimensions (the zorder_tiles guarantee), so
+                   every panel predicate prunes.
+
+    The zonemap itself is one map-side-combined aggregate per layout
+    (min/max/count per chunk — exactly the stats a parquet footer
+    carries), the audit is a chunk-table × 3-predicate cross join over
+    metadata-sized rows, and every fraction is ONE division of exact
+    integers (the seasonal-decompose determinism rule)."""
+    day = _ship_day("spark")
+    src = lineitem.select(
+        F.expr(day).alias("d"), F.col("l_suppkey").alias("s"), "l_orderkey"
+    )
+    bounds = src.agg(
+        F.min("d").alias("x_lo"),
+        F.max("d").alias("x_hi"),
+        F.min("s").alias("y_lo"),
+        F.max("s").alias("y_hi"),
+    )
+    keyed = zorder_key(src, "d", "s", bounds)
+    chunked = keyed.select(
+        "d",
+        "s",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    (F.col("l_orderkey") / ZM_NATURAL_CHUNK)
+                    .cast("bigint")
+                    .alias("chunk"),
+                ),
+                F.struct(
+                    F.lit("shipdate").alias("layout"),
+                    F.floor(F.col("d") / ZM_SHIP_CHUNK).cast("bigint").alias("chunk"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    (F.col("zkey") / (1 << TILE_SHIFT)).cast("bigint").alias("chunk"),
+                ),
+            )
+        ).alias("lc"),
+    )
+    zones = chunked.groupBy(
+        F.col("lc.layout").alias("layout"), F.col("lc.chunk").alias("chunk")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.min("s").alias("s_min"),
+        F.max("s").alias("s_max"),
+    )
+    spark = lineitem.sparkSession
+    pred_rows = []
+    for name, dlo, dhi, slo, shi in ZM_PREDICATES:
+        lo, hi = _pred_day_bounds("spark", dlo, dhi)
+        pred_rows.append(
+            f"SELECT '{name}' AS predicate, CAST({lo} AS BIGINT) AS d_lo, "
+            f"CAST({hi} AS BIGINT) AS d_hi, "
+            f"CAST({slo if slo is not None else -(1 << 40)} AS BIGINT) AS s_lo, "
+            f"CAST({shi if shi is not None else 1 << 40} AS BIGINT) AS s_hi"
+        )
+    preds = spark.sql(" UNION ALL ".join(pred_rows))
+    hit = (
+        (F.col("d_min") <= F.col("d_hi"))
+        & (F.col("d_max") >= F.col("d_lo"))
+        & (F.col("s_min") <= F.col("s_hi"))
+        & (F.col("s_max") >= F.col("s_lo"))
+    )
+    joined = zones.crossJoin(F.broadcast(preds))
+    agg = joined.groupBy("layout", "predicate").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("chunks_scanned"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+    )
+    return agg.select(
+        "layout",
+        "predicate",
+        "n_chunks",
+        "chunks_scanned",
+        "rows_total",
+        "rows_scanned",
+        F.round(F.col("chunks_scanned") / F.col("n_chunks"), 6).alias(
+            "chunk_fraction"
+        ),
+        F.round(F.col("rows_scanned") / F.col("rows_total"), 6).alias("row_fraction"),
+    )
+
+
+def zonemap_pruning_report_oracle() -> str:
+    day = _ship_day("duckdb")
+    qx = _quantize_sql("duckdb", "d", "x_lo", "x_hi")
+    qy = _quantize_sql("duckdb", "s", "y_lo", "y_hi")
+    z = _interleave_sql("duckdb", qx, qy)
+    pred_rows = []
+    for name, dlo, dhi, slo, shi in ZM_PREDICATES:
+        lo, hi = _pred_day_bounds("duckdb", dlo, dhi)
+        pred_rows.append(
+            f"SELECT '{name}' AS predicate, CAST({lo} AS BIGINT) AS d_lo, "
+            f"CAST({hi} AS BIGINT) AS d_hi, "
+            f"CAST({slo if slo is not None else -(1 << 40)} AS BIGINT) AS s_lo, "
+            f"CAST({shi if shi is not None else 1 << 40} AS BIGINT) AS s_hi"
+        )
+    preds = " UNION ALL ".join(pred_rows)
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+        WITH zm_src AS (SELECT {day} AS d, l_suppkey AS s, l_orderkey
+                        FROM lineitem),
+        zm_bounds AS (SELECT min(d) AS x_lo, max(d) AS x_hi,
+                             min(s) AS y_lo, max(s) AS y_hi FROM zm_src),
+        zm_keyed AS (SELECT d, s, l_orderkey, {z} AS zkey
+                     FROM zm_src CROSS JOIN zm_bounds),
+        zm_chunked AS (
+            SELECT d, s, 'natural' AS layout,
+                   l_orderkey // {ZM_NATURAL_CHUNK} AS chunk FROM zm_keyed
+            UNION ALL
+            SELECT d, s, 'shipdate',
+                   CAST(floor(d / {ZM_SHIP_CHUNK}) AS BIGINT) FROM zm_keyed
+            UNION ALL
+            SELECT d, s, 'zorder', zkey // {1 << TILE_SHIFT} FROM zm_keyed),
+        zm_zones AS (
+            SELECT layout, chunk, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(d) AS d_min, max(d) AS d_max,
+                   min(s) AS s_min, max(s) AS s_max
+            FROM zm_chunked GROUP BY layout, chunk),
+        zm_preds AS ({preds}),
+        zm_agg AS (
+            SELECT layout, predicate,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN d_min <= d_hi AND d_max >= d_lo
+                                  AND s_min <= s_hi AND s_max >= s_lo
+                             THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned,
+                   CAST(sum(n_rows) AS BIGINT) AS rows_total,
+                   CAST(sum(CASE WHEN d_min <= d_hi AND d_max >= d_lo
+                                  AND s_min <= s_hi AND s_max >= s_lo
+                             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+            FROM zm_zones CROSS JOIN zm_preds
+            GROUP BY layout, predicate)
+        SELECT layout, predicate, n_chunks, chunks_scanned, rows_total,
+               rows_scanned,
+               {rnd.format(x="chunks_scanned / n_chunks")} AS chunk_fraction,
+               {rnd.format(x="rows_scanned / rows_total")} AS row_fraction
+        FROM zm_agg
+    """

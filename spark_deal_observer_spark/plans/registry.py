@@ -2066,6 +2066,20 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters_incremental",
+    dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle()),
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Incremental cluster maintenance: the deterministic batch split
+    folded into the established corpus clustering by supernode
+    contraction — CC runs over batch docs + touched clusters only, never
+    the corpus graph. The oracle is the FULL-graph clustering (same as
+    `dedup_clusters`), so every gate run re-proves the incremental path
+    byte-identical to the from-scratch one."""
+    return dd.incremental_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_canonical_pick",
     dd.canonical_pick_oracle(dd.connected_components_oracle(dd.minhash_lsh_pairs_oracle())),
 )
@@ -3185,6 +3199,8 @@ def q_graph_communities(spark, sf_dir):
 from ..operators.graph import (  # noqa: E402
     kcore,
     kcore_oracle,
+    link_prediction,
+    link_prediction_oracle,
     triangle_counts,
     triangle_counts_oracle,
 )
@@ -3207,6 +3223,17 @@ def q_graph_kcore(spark, sf_dir):
     the oracle's fixed 16-round unroll by the fixpoint argument (peel
     depth at sf0.01 measures 10). Returns surviving (node, core_degree)."""
     return kcore(_t(spark, sf_dir, "lineitem"))
+
+
+@register("graph_link_prediction", link_prediction_oracle())
+def q_graph_link_prediction(spark, sf_dir):
+    """Link prediction over the part co-occurrence graph: top-k
+    non-adjacent pairs per node by common-neighbour count, with the
+    Jaccard and preferential-attachment scores of the Liben-Nowell &
+    Kleinberg panel. Wedge enumeration over a deterministic
+    apex-cap-bounded neighbour list (the hot-vertex bound), anti-join
+    against the edge list, integer-exact scores throughout."""
+    return link_prediction(_t(spark, sf_dir, "lineitem"))
 
 
 @register("fuzzy_name_pairs", dd.fuzzy_name_pairs_oracle())
@@ -3415,6 +3442,17 @@ def q_event_ewma_forecast(spark, sf_dir):
     return iv.event_ewma_forecast(_t(spark, sf_dir, "events"))
 
 
+@register("event_seasonal_decompose", iv.event_seasonal_decompose_oracle())
+def q_event_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the hourly event-count series:
+    2×24 centered-MA trend, hour-of-day seasonal index by period
+    averaging, remainder — the EWMA forecast's structural companion
+    (level vs daily shape). Integer-exact to the final divisions: the
+    doubled MA numerator and the ×48-scaled detrended series are BIGINTs,
+    so no float summation order exists for the engines to disagree on."""
+    return iv.event_seasonal_decompose(_t(spark, sf_dir, "events"))
+
+
 @register("event_anomaly_zscore", iv.event_anomaly_zscore_oracle())
 def q_event_anomaly_zscore(spark, sf_dir):
     """Rolling z-score anomaly detection over hourly event counts: each
@@ -3447,6 +3485,18 @@ def q_zorder_layout(spark, sf_dir):
     data-skipping guarantee the layout buys (writers range-partition on the
     same key: operators/layout.py::zorder_write)."""
     return zl.zorder_tiles(_t(spark, sf_dir, "orders"))
+
+
+@register("zonemap_pruning_report", zl.zonemap_pruning_report_oracle())
+def q_zonemap_pruning_report(spark, sf_dir):
+    """Min/max data-skipping audit: per physical layout (insert-order /
+    shipdate-sorted / z-ordered) × predicate panel, the fraction of
+    chunks and rows a zonemap-pruned scan reads — the numbers that
+    justify a layout choice before a 100 TB rewrite. Chunk keys are
+    value ranges (what a range-partitioning writer produces), never a
+    global row_number; fractions are single divisions of exact
+    integers."""
+    return zl.zonemap_pruning_report(_t(spark, sf_dir, "lineitem"))
 
 
 @register("compaction_plan", zl.compaction_plan_oracle())
@@ -4679,6 +4729,12 @@ def q_event_analytics_suite(spark, sf_dir):
         "stack(3, 'ewma', ewma, 'forecast', forecast, "
         "'forecast_err', forecast_err) AS (metric, value)",
     )
+    sd_m = REGISTRY["event_seasonal_decompose"].fn(spark, sf_dir).selectExpr(
+        "'seasonal' AS section",
+        "concat(event_type, ':', CAST(bucket_ts AS STRING)) AS key",
+        "stack(3, 'trend', trend, 'seasonal', seasonal, "
+        "'remainder', remainder) AS (metric, value)",
+    )
     return (
         rt_m.unionByName(pr_m)
         .unionByName(cv_m)
@@ -4687,6 +4743,7 @@ def q_event_analytics_suite(spark, sf_dir):
         .unionByName(an_m)
         .unionByName(tm_m)
         .unionByName(ew_m)
+        .unionByName(sd_m)
     )
 
 
@@ -4747,7 +4804,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
          fu AS ({REGISTRY["funnel_conversion"].oracle}),
          anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle}),
          trm AS MATERIALIZED ({REGISTRY["event_transition_matrix"].oracle}),
-         ewm AS MATERIALIZED ({REGISTRY["event_ewma_forecast"].oracle})
+         ewm AS MATERIALIZED ({REGISTRY["event_ewma_forecast"].oracle}),
+         sdm AS MATERIALIZED ({REGISTRY["event_seasonal_decompose"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -4790,6 +4848,12 @@ REGISTRY["event_analytics_suite"] = QueryDef(
            'forecast', forecast FROM ewm
     UNION ALL SELECT 'ewma', event_type || ':' || CAST(bucket_ts AS VARCHAR),
            'forecast_err', forecast_err FROM ewm
+    UNION ALL SELECT 'seasonal', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'trend', trend FROM sdm
+    UNION ALL SELECT 'seasonal', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'seasonal', seasonal FROM sdm
+    UNION ALL SELECT 'seasonal', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'remainder', remainder FROM sdm
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -6223,6 +6287,16 @@ def q_corpus_prep_suite(spark, sf_dir):
         "'verdict', CAST(NULL AS DOUBLE), verdict) "
         "AS (metric, value_num, value_str)",
     )
+    zm = REGISTRY["zonemap_pruning_report"].fn(spark, sf_dir).selectExpr(
+        "'zonemap' AS section",
+        "concat(layout, ':', predicate) AS key",
+        "stack(6, 'n_chunks', CAST(n_chunks AS DOUBLE), "
+        "'chunks_scanned', CAST(chunks_scanned AS DOUBLE), "
+        "'rows_total', CAST(rows_total AS DOUBLE), "
+        "'rows_scanned', CAST(rows_scanned AS DOUBLE), "
+        "'chunk_fraction', chunk_fraction, "
+        "'row_fraction', row_fraction) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         de.unionByName(bl)
         .unionByName(pk)
@@ -6235,6 +6309,7 @@ def q_corpus_prep_suite(spark, sf_dir):
         .unionByName(sd)
         .unionByName(co)
         .unionByName(vp)
+        .unionByName(zm)
     )
 
 
@@ -6252,7 +6327,8 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
          dc AS MATERIALIZED ({REGISTRY["corpus_domain_cap"].oracle}),
          zo AS MATERIALIZED ({REGISTRY["zorder_layout"].oracle}),
          cpl AS MATERIALIZED ({REGISTRY["compaction_plan"].oracle}),
-         vpr AS MATERIALIZED ({REGISTRY["vocab_prune_report"].oracle})
+         vpr AS MATERIALIZED ({REGISTRY["vocab_prune_report"].oracle}),
+         zmp AS MATERIALIZED ({REGISTRY["zonemap_pruning_report"].oracle})
     SELECT 'decontaminate' AS section, CAST(doc_id AS VARCHAR) AS key,
            'n_shared' AS metric, CAST(n_shared AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM de
@@ -6314,6 +6390,18 @@ REGISTRY["corpus_prep_suite"] = QueryDef(
            CAST(occurrences AS DOUBLE), NULL FROM vpr
     UNION ALL SELECT 'vocab_prune', token, 'verdict',
            CAST(NULL AS DOUBLE), verdict FROM vpr
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'n_chunks',
+           CAST(n_chunks AS DOUBLE), NULL FROM zmp
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'chunks_scanned',
+           CAST(chunks_scanned AS DOUBLE), NULL FROM zmp
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'rows_total',
+           CAST(rows_total AS DOUBLE), NULL FROM zmp
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'rows_scanned',
+           CAST(rows_scanned AS DOUBLE), NULL FROM zmp
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'chunk_fraction',
+           chunk_fraction, NULL FROM zmp
+    UNION ALL SELECT 'zonemap', layout || ':' || predicate, 'row_fraction',
+           row_fraction, NULL FROM zmp
     """,
 )
 
@@ -6421,12 +6509,19 @@ def q_dedup_lifecycle_suite(spark, sf_dir):
         "CAST(NULL AS DOUBLE) AS value_num",
         "clean_text AS value_str",
     )
+    icc = REGISTRY["dedup_clusters_incremental"].fn(spark, sf_dir).selectExpr(
+        "'inc_clusters' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "'cluster' AS metric",
+        "CAST(cluster AS DOUBLE) AS value_num",
+        null_str,
+    )
     return (
         inc.unionByName(ssi).unionByName(ov).unionByName(sp)
         .unionByName(cp_).unionByName(fk)
         .unionByName(ex).unionByName(sh).unionByName(aj)
         .unionByName(ln).unionByName(ln_t).unionByName(chm)
-        .unionByName(lt).unionByName(lt_t)
+        .unionByName(lt).unionByName(lt_t).unionByName(icc)
     )
 
 
@@ -6444,7 +6539,8 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
          ex AS MATERIALIZED ({REGISTRY["dedup_exact"].oracle}),
          sh AS MATERIALIZED ({REGISTRY["dedup_simhash"].oracle}),
          aj AS MATERIALIZED ({REGISTRY["anti_join_dedup"].oracle}),
-         lnt AS MATERIALIZED ({REGISTRY["dedup_lines_ttl"].oracle})
+         lnt AS MATERIALIZED ({REGISTRY["dedup_lines_ttl"].oracle}),
+         icc AS MATERIALIZED ({REGISTRY["dedup_clusters_incremental"].oracle})
     SELECT 'incremental' AS section, CAST(batch_doc AS VARCHAR) AS key,
            'match_doc' AS metric, CAST(match_doc AS DOUBLE) AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM inc
@@ -6501,6 +6597,8 @@ REGISTRY["dedup_lifecycle_suite"] = QueryDef(
            CAST(n_kept AS DOUBLE), NULL FROM lnt
     UNION ALL SELECT 'ttl_lines', CAST(doc_id AS VARCHAR), 'clean_text',
            CAST(NULL AS DOUBLE), clean_text FROM lnt
+    UNION ALL SELECT 'inc_clusters', CAST(doc_id AS VARCHAR), 'cluster',
+           CAST(cluster AS DOUBLE), NULL FROM icc
     """,
 )
 
@@ -6622,12 +6720,21 @@ def q_graph_suite(spark, sf_dir):
         "CAST(core_degree AS DOUBLE) AS value_num",
         "CAST(NULL AS STRING) AS value_str",
     )
+    lp = REGISTRY["graph_link_prediction"].fn(spark, sf_dir).selectExpr(
+        "'link_pred' AS section",
+        "concat(CAST(u AS STRING), ':', CAST(w AS STRING)) AS key",
+        "stack(3, 'cn', CAST(cn AS DOUBLE), 'jaccard', jaccard, "
+        "'pref_attach', CAST(pref_attach AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr(
+        "section", "key", "metric", "value_num", "CAST(NULL AS STRING) AS value_str"
+    )
     return (
         pr.unionByName(cm)
         .unionByName(cop)
         .unionByName(tr_t)
         .unionByName(tr_c)
         .unionByName(kc)
+        .unionByName(lp)
     )
 
 
@@ -6638,7 +6745,8 @@ REGISTRY["graph_suite"] = QueryDef(
          cm AS MATERIALIZED ({REGISTRY["graph_communities"].oracle}),
          cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle}),
          tri AS MATERIALIZED ({REGISTRY["graph_triangles"].oracle}),
-         kc AS MATERIALIZED ({REGISTRY["graph_kcore"].oracle})
+         kc AS MATERIALIZED ({REGISTRY["graph_kcore"].oracle}),
+         glp AS MATERIALIZED ({REGISTRY["graph_link_prediction"].oracle})
     SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
            pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
     UNION ALL SELECT 'communities', node, 'community',
@@ -6652,6 +6760,15 @@ REGISTRY["graph_suite"] = QueryDef(
            clustering, NULL FROM tri
     UNION ALL SELECT 'kcore', CAST(node AS VARCHAR), 'core_degree',
            CAST(core_degree AS DOUBLE), NULL FROM kc
+    UNION ALL SELECT 'link_pred',
+           CAST(u AS VARCHAR) || ':' || CAST(w AS VARCHAR), 'cn',
+           CAST(cn AS DOUBLE), NULL FROM glp
+    UNION ALL SELECT 'link_pred',
+           CAST(u AS VARCHAR) || ':' || CAST(w AS VARCHAR), 'jaccard',
+           jaccard, NULL FROM glp
+    UNION ALL SELECT 'link_pred',
+           CAST(u AS VARCHAR) || ':' || CAST(w AS VARCHAR), 'pref_attach',
+           CAST(pref_attach AS DOUBLE), NULL FROM glp
     """,
 )
 

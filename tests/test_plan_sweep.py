@@ -22,6 +22,7 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_suite",  # gate melt of the media kernels above
     "multimodal_phash_dedup",  # bucket means cross Arrow; hashing is JVM
+    "multimodal_audio_features",  # WAV decode + feature kernel is Arrow by design
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
     "diff_session_recall_suite",  # gate melt includes enrich_cached_peer

@@ -1,0 +1,192 @@
+"""Round-6 (continuation) behavioral properties: seasonal decomposition,
+link prediction, incremental connected components, zonemap pruning.
+
+Oracle parity at sf0.01 is auto-swept by test_oracle_parity.py; these pin
+the properties a value-diff can't express — decomposition identities,
+prediction-candidate exclusions, incremental-vs-batch label equality on
+crafted merges, and the layout-quality ordering the zonemap audit exists
+to demonstrate."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_ORACLE, SF_SMALL
+from pyspark.sql import functions as F
+
+from spark_deal_observer_spark.operators import dedup as dd
+from spark_deal_observer_spark.operators import graph as gr
+from spark_deal_observer_spark.operators import intervals as iv
+from spark_deal_observer_spark.operators import layout as zl
+from spark_deal_observer_spark.sources.tables import load_table
+
+
+# -- seasonal decomposition ---------------------------------------------------
+
+
+def test_seasonal_identity_holds_within_rounding(spark):
+    """remainder = n_events - trend - seasonal (each rounded once at 6dp)
+    must reconstruct the series to within the two rounding steps."""
+    out = iv.event_seasonal_decompose(load_table(spark, SF_ORACLE, "events"))
+    bad = out.where(
+        F.col("trend").isNotNull()
+        & (
+            F.abs(
+                F.col("n_events") - F.col("trend") - F.col("seasonal") - F.col("remainder")
+            )
+            > 2e-6
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_seasonal_trend_null_exactly_at_series_edges(spark):
+    """The 2x24 MA is defined iff the bucket has 12 predecessors AND 12
+    followers in its event_type partition — the classical full-window
+    rule, here expressed as null-propagating lag/lead terms."""
+    out = iv.event_seasonal_decompose(
+        load_table(spark, SF_ORACLE, "events")
+    ).select("event_type", "bucket_ts", "trend")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    flagged = out.select(
+        "trend",
+        (F.row_number().over(w)).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mism = flagged.where(
+        (F.col("trend").isNull())
+        != ((F.col("rn") <= 12) | (F.col("rn") > F.col("n") - 12))
+    ).count()
+    assert mism == 0
+
+
+def test_seasonal_index_constant_per_slot(spark):
+    """The seasonal column is an hour-of-day INDEX: one value per
+    (event_type, hod), repeated across all buckets in that slot."""
+    out = iv.event_seasonal_decompose(load_table(spark, SF_ORACLE, "events"))
+    multi = (
+        out.groupBy("event_type", "hod")
+        .agg(F.countDistinct("seasonal").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+# -- link prediction ----------------------------------------------------------
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    pred = gr.link_prediction(li)
+    edges = gr.part_cooccur_edges(li)
+    overlap = pred.join(
+        edges,
+        (pred.u == edges.u) & (pred.w == edges.v),
+        "inner",
+    ).count()
+    assert overlap == 0
+
+
+def test_link_prediction_topk_and_score_bounds(spark):
+    pred = gr.link_prediction(load_table(spark, SF_ORACLE, "lineitem"))
+    per_u = pred.groupBy("u").count().agg(F.max("count")).first()[0]
+    assert per_u <= gr.LP_TOPK
+    bad = pred.where(
+        (F.col("cn") < gr.LP_MIN_CN)
+        | (F.col("jaccard") <= 0)
+        | (F.col("jaccard") > 1)
+        | (F.col("cn") > F.least("deg_u", "deg_w"))
+    ).count()
+    assert bad == 0
+
+
+def test_link_prediction_finds_planted_wedge(spark):
+    """Two orders {1,2},{2,3}: parts 1 and 3 share neighbour 2 but no
+    edge — the canonical predicted link; (1,2) and (2,3) are real edges
+    and must NOT appear."""
+    rows = [(100, p) for p in (1, 2)] + [(200, p) for p in (2, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT")
+    out = gr.link_prediction(li, min_cn=1).collect()
+    got = {(r.u, r.w): r for r in out}
+    assert (1, 3) in got
+    assert got[(1, 3)].cn == 1
+    assert got[(1, 3)].jaccard == 1.0  # cn=1, deg_u=deg_w=1 → 1/(1+1-1)
+    assert (1, 2) not in got and (2, 3) not in got
+
+
+# -- incremental connected components ----------------------------------------
+
+
+def test_incremental_clusters_equal_batch_clusters(spark):
+    """The supernode-contraction path must reproduce the from-scratch
+    clustering exactly (the registered oracle proves this vs DuckDB; this
+    pins Spark-vs-Spark so a future refactor can't drift both sides)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    full = dd.connected_components(dd.minhash_lsh_star_edges(docs))
+    inc = dd.incremental_clusters(docs)
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+
+
+def test_incremental_clusters_merges_across_split(spark):
+    """A batch doc (id % 10 == 0) bridging two corpus docs must merge
+    their clusters into one component labeled by the global min id."""
+    a = "alpha bravo charlie delta echo foxtrot golf hotel " * 4
+    b = "november oscar papa quebec romeo sierra tango uniform " * 4
+    rows = [
+        (1, a),  # corpus
+        (3, b),  # corpus
+        (10, a[:-10] + b[-10:]),  # batch: near-dup of 1
+        (11, a),  # corpus near-dup of 1 (distinct id)
+        (13, b),  # corpus near-dup of 3
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    inc = {r.doc_id: r.cluster for r in dd.incremental_clusters(docs).collect()}
+    full = {
+        r.doc_id: r.cluster
+        for r in dd.connected_components(dd.minhash_lsh_star_edges(docs)).collect()
+    }
+    assert inc == full
+    assert inc[1] == inc[11] == 1  # corpus component keeps min label
+
+
+# -- zonemap pruning ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zm(spark):
+    return {
+        (r.layout, r.predicate): r
+        for r in zl.zonemap_pruning_report(
+            load_table(spark, SF_ORACLE, "lineitem")
+        ).collect()
+    }
+
+
+def test_zonemap_sorted_layout_prunes_time_slice(zm):
+    """A shipdate-sorted layout must scan a small fraction of chunks for
+    the 30-day slice; the insert-order layout scans ~everything (order
+    keys are uncorrelated with shipdate in the fixture)."""
+    assert zm[("shipdate", "ship_30d")].chunk_fraction < 0.10
+    assert zm[("natural", "ship_30d")].chunk_fraction > 0.5
+
+
+def test_zonemap_zorder_prunes_both_dimensions(zm):
+    """The z-ordered layout must prune BOTH the time slice and the
+    supplier point lookup — the bounded-spread-in-every-dimension
+    guarantee; the single-key sorted layout fails the other key."""
+    assert zm[("zorder", "ship_30d")].chunk_fraction < 0.25
+    assert zm[("zorder", "supp_point")].chunk_fraction < 0.25
+    assert zm[("shipdate", "supp_point")].chunk_fraction == 1.0
+
+
+def test_zonemap_row_accounting(zm):
+    for r in zm.values():
+        assert r.rows_scanned <= r.rows_total
+        assert r.chunks_scanned <= r.n_chunks
+        assert r.rows_total == zm[("natural", "ship_30d")].rows_total
