@@ -1344,3 +1344,58 @@ def vocab_prune_report_oracle() -> str:
                     WHEN df > {VOCAB_MAX_DF_FRAC} * n.n_docs THEN 'stopword'
                     ELSE 'keep' END) != 'keep'
     """
+
+
+# -- cluster-aware split (leakage-free by construction) ------------------------
+
+
+def cluster_split(docs: DataFrame, val_pct: int = DEFAULT_VAL_PCT) -> DataFrame:
+    """(doc_id, grp, split_bucket, split): train/val assignment hashed on
+    the NEAR-DUP CLUSTER, not the document — every member of a cluster
+    lands on the same side, so no near-duplicate pair can straddle the
+    split. The constructive fix for what `split_leakage_audit` measures
+    on the naive doc-hash split: a val doc whose near-twin sits in train
+    is a leaked eval answer (the Lee et al. 2021 dedup-test-leakage
+    finding), and auditing can only find it after the fact — grouping the
+    split unit makes it impossible.
+
+    grp = the doc's connected-component label from the published cluster
+    map (its own id for singletons), so the split rides the same
+    artifact the dedup family maintains — one broadcast-sized left join
+    on top of a scan, no new corpus pass. Same hash-the-key discipline
+    as `train_val_split`: content-independent, reproducible, oracle-
+    expressible."""
+    from .dedup import connected_components, minhash_lsh_star_edges
+
+    clusters = connected_components(minhash_lsh_star_edges(docs))
+    grp = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    bucket = F.expr(
+        f"{hash32_sql('CAST(grp AS STRING)', 'spark')} % 100"
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select("doc_id", grp.alias("grp"))
+        .select(
+            "doc_id",
+            "grp",
+            bucket.cast("int").alias("split_bucket"),
+            F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+        )
+    )
+
+
+def cluster_split_oracle(val_pct: int = DEFAULT_VAL_PCT) -> str:
+    from .dedup import connected_components_oracle, minhash_lsh_pairs_oracle
+
+    cc = connected_components_oracle(minhash_lsh_pairs_oracle())
+    bucket = f"{hash32_sql('CAST(grp AS STRING)', 'duckdb')} % 100"
+    return f"""
+        WITH csp_cc AS MATERIALIZED ({cc}),
+        csp_grp AS (
+          SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS grp
+          FROM documents d LEFT JOIN csp_cc c ON c.doc_id = d.doc_id)
+        SELECT doc_id, grp,
+               CAST({bucket} AS INT) AS split_bucket,
+               CASE WHEN {bucket} < {val_pct} THEN 'val' ELSE 'train' END AS split
+        FROM csp_grp
+    """

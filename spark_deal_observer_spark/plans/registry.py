@@ -2688,6 +2688,16 @@ def q_enrich_cached_peer(spark, sf_dir):
 from ..operators import corpus as cp  # noqa: E402
 
 
+@register("corpus_cluster_split", cp.cluster_split_oracle())
+def q_corpus_cluster_split(spark, sf_dir):
+    """Leakage-free train/val split: the split key is the near-dup CLUSTER
+    (published CC label; own id for singletons), so no near-duplicate
+    pair can straddle the split — the constructive fix for what
+    split_leakage_audit measures on the naive doc-hash split. One
+    broadcast-sized left join over the maintained cluster artifact."""
+    return cp.cluster_split(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_train_val_split", cp.train_val_split_oracle())
 def q_corpus_train_val_split(spark, sf_dir):
     """Deterministic train/val split: hash(primary key) % 100 buckets —
@@ -3782,6 +3792,9 @@ def q_filter_suite(spark, sf_dir):
     UNION ALL
     SELECT 'budget' AS sampler, doc_id
     FROM ({cp.budget_admission_oracle()}) WHERE admitted
+    UNION ALL
+    SELECT 'cluster_val' AS sampler, doc_id
+    FROM ({cp.cluster_split_oracle()}) WHERE split = 'val'
     """,
 )
 def q_corpus_sampling_suite(spark, sf_dir):
@@ -3807,6 +3820,9 @@ def q_corpus_sampling_suite(spark, sf_dir):
         .unionAll(pick(cp.grouped_fixed_sample(docs), "fixed_k"))
         .unionAll(pick(cp.dsir_importance_sample(docs), "dsir"))
         .unionAll(pick(cp.budget_admission(docs).where("admitted"), "budget"))
+        .unionAll(
+            pick(cp.cluster_split(docs).where(F.col("split") == "val"), "cluster_val")
+        )
     )
 
 
@@ -6806,6 +6822,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "corpus_train_val_split", "stratified_sample", "corpus_mixture_sample",
         "corpus_weighted_sample", "corpus_fixed_sample",
         "dsir_importance_sample", "corpus_budget_admission",
+        "corpus_cluster_split",
     ),
     "dedup_pair_verify_suite": (
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
@@ -6830,6 +6847,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "running_totals", "percentile_rank_orders", "constraint_violations",
         "cohort_retention", "funnel_conversion", "event_anomaly_zscore",
         "event_transition_matrix", "event_ewma_forecast",
+        "event_seasonal_decompose",
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
@@ -6881,14 +6899,14 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "corpus_pack_manifest", "corpus_token_chunks", "corpus_difficulty_bins",
         "corpus_token_doc_freq", "corpus_global_shuffle", "corpus_domain_cap",
         "zorder_layout", "corpus_decontaminate_semantic",
-        "compaction_plan", "vocab_prune_report",
+        "compaction_plan", "vocab_prune_report", "zonemap_pruning_report",
     ),
     "dedup_lifecycle_suite": (
         "dedup_incremental", "dedup_setsim_incremental",
         "source_ngram_overlap", "dedup_duplicate_spans",
         "dedup_lines", "dedup_lines_ttl", "dedup_cluster_histogram",
         "dedup_canonical_pick", "dedup_first_per_key", "dedup_exact",
-        "dedup_simhash", "anti_join_dedup",
+        "dedup_simhash", "anti_join_dedup", "dedup_clusters_incremental",
     ),
     "corpus_e2e_pipeline": ("corpus_quality_gate",),
     "hybrid_retrieval_rrf": ("bm25_scores",),
@@ -6898,7 +6916,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     ),
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
-        "graph_triangles", "graph_kcore",
+        "graph_triangles", "graph_kcore", "graph_link_prediction",
     ),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),

@@ -190,3 +190,65 @@ def test_zonemap_row_accounting(zm):
         assert r.rows_scanned <= r.rows_total
         assert r.chunks_scanned <= r.n_chunks
         assert r.rows_total == zm[("natural", "ship_30d")].rows_total
+
+
+# -- cluster-aware split --------------------------------------------------------
+
+
+def test_cluster_split_has_zero_near_dup_leakage(spark):
+    """No LSH candidate pair may straddle the cluster-keyed split — the
+    by-construction guarantee (contrast: split_leakage_audit measures the
+    leakage the naive doc-hash split admits)."""
+    from spark_deal_observer_spark.operators import corpus as cp
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    split = cp.cluster_split(docs)
+    pairs = dd.minhash_lsh_pairs(docs)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddle == 0
+    # one split per group (the split is a function of grp, never the doc)
+    multi = (
+        split.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_cluster_split_produces_both_sides_on_distinct_corpus(spark):
+    """On a corpus of singletons (every doc its own group) the group hash
+    must populate both sides near the configured ratio. The sf0.01
+    fixture is deliberately duplicate-dense — a handful of mega-clusters
+    — so BOTH-sides is asserted here on synthetic distinct docs, and the
+    coarse behavior there (few groups → possibly one side) is correct."""
+    from spark_deal_observer_spark.operators import corpus as cp
+
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10]
+                    for j in range(12)
+                ),
+                "en",
+                "unit",
+                60,
+            )
+            for i in range(400)
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    split = cp.cluster_split(docs)
+    frac = split.where("split = 'val'").count() / 400
+    # DEFAULT_VAL_PCT = 5; hash noise bounds for 400 singleton groups
+    assert 0.01 < frac < 0.12
