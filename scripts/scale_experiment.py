@@ -364,6 +364,59 @@ def setsim_probe_decade(spark) -> None:
         print(f"| {label} | {b:.2f} | {t:.2f} | {h} | {n} |")
 
 
+
+
+def cluster_probe_decade(spark) -> None:
+    """--cluster-probe: the cluster-MAINTENANCE decade — a FIXED batch
+    folded into a grown corpus clustering through the supernode
+    contraction (streaming/cluster_maint.py), over the LOWDUP corpora
+    (bucket membership tracks duplicate density, so the id-shifted
+    protocol is excluded like the exact pair family). Build = the sink's
+    first tick over the whole corpus (full CC — what the incremental path
+    amortizes away); tick = folding the same base-corpus batch into each
+    store, re-run 3x against the same batch_id (strictly-below reads make
+    redeliveries bit-identical, so each re-run does identical work). The
+    tick includes the full label-snapshot rewrite — the honest price of a
+    maintained artifact; label rows are reported so the O(labels) write
+    is attributable."""
+    import shutil
+    import tempfile
+
+    from spark_deal_observer_spark.operators import models
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.cluster_maint import ClusterMaintSink
+
+    batch = load_table(spark, SRC, "documents").where("doc_id % 10 = 0")
+    rows = []
+    for label, d in (("1x", SRC), ("10x", DST_LD10), ("100x", DST_LD100)):
+        models.clear()
+        base = tempfile.mkdtemp(prefix=f"cluster_probe_{label}_")
+        sink = ClusterMaintSink(spark, f"{base}/bands", f"{base}/labels")
+        corpus = load_table(spark, d, "documents").where("doc_id % 10 != 0")
+        t0 = time.perf_counter()
+        sink.process_batch(corpus, batch_id=0)
+        build_s = time.perf_counter() - t0
+        n_labels = sink.read_labels().count()
+        ticks = []
+        for _ in range(3):
+            models.clear()  # the batch's signature pass is per-tick work
+            t1 = time.perf_counter()
+            sink.process_batch(batch, batch_id=1)
+            ticks.append(time.perf_counter() - t1)
+        n_after = sink.read_labels().count()
+        rows.append((label, build_s, min(ticks), n_labels, n_after))
+        print(
+            f"DONE cluster-probe {label} build={build_s:.2f} "
+            f"tick={min(ticks):.2f}",
+            flush=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+    print("\n| store | cluster build sec | fold tick sec | corpus label rows | labels after fold |")
+    print("|---|---|---|---|---|")
+    for label, b, t, n0, n1 in rows:
+        print(f"| {label} | {b:.2f} | {t:.2f} | {n0} | {n1} |")
+
+
 def main() -> None:
     import duckdb
 
@@ -373,10 +426,11 @@ def main() -> None:
     lowdup = "--lowdup" in args
     probe = "--probe" in args
     setsim = "--setsim-probe" in args
+    cluster = "--cluster-probe" in args
     args = [
         a
         for a in args
-        if a not in ("--skew", "--x100", "--lowdup", "--probe", "--setsim-probe")
+        if a not in ("--skew", "--x100", "--lowdup", "--probe", "--setsim-probe", "--cluster-probe")
     ]
     if lowdup:
         names = args or LOWDUP_QUERIES
@@ -391,7 +445,7 @@ def main() -> None:
         synthesize_skew(con)
     if x100 or probe:
         synthesize(con, DST100, 100)
-    if setsim:
+    if setsim or cluster:
         synthesize(con, DST_LD10, 10, salt=True)
         synthesize(con, DST_LD100, 100, salt=True)
     if lowdup:
@@ -416,6 +470,9 @@ def main() -> None:
         return
     if setsim:
         setsim_probe_decade(spark)
+        return
+    if cluster:
+        cluster_probe_decade(spark)
         return
 
     if lowdup:

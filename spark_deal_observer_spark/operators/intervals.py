@@ -464,6 +464,10 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
         F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
         % SEAS_PERIOD
     ).cast("bigint")
+    # |types|×hours rows — checkpointed because BOTH the slot aggregate
+    # and the final join read it, and the slot side's detr48 filter breaks
+    # exchange reuse (the DSIR pushdown-fragility class): without the
+    # barrier the events scan + hourly aggregate execute twice.
     ma = hourly.select(
         "event_type",
         "bucket_ts",
@@ -471,7 +475,7 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
         hod.alias("hod"),
         num2.cast("bigint").alias("num2"),
         (F.lit(48) * F.col("n_events") - num2).cast("bigint").alias("detr48"),
-    )
+    ).localCheckpoint(eager=False)
     slot = ma.where(F.col("detr48").isNotNull()).groupBy("event_type", "hod").agg(
         F.sum("detr48").alias("s48"), F.count("*").alias("c")
     )

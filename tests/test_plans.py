@@ -452,3 +452,42 @@ def test_budget_admission_avoids_single_partition_window(spark):
     assert "SinglePartition" not in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p, f"{marker} in plan:\n{p}"
+
+
+def test_seasonal_decompose_single_corpus_shuffle(spark):
+    """Everything after the hourly rollup is |types|×hours rows: one
+    events-scan aggregate, then window + slot-join over the bucket table
+    — no second scan of the events source."""
+    df = q(spark, "event_seasonal_decompose")
+    df.write.format("noop").mode("overwrite").save()  # materialize the barrier
+    p = plan(df)
+    assert p.count("events.parquet") <= 1
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_link_prediction_is_published_scan(spark):
+    """The registered query reads the published top-k artifact — its
+    plan is a scan, never the wedge enumeration (the copurchase rule);
+    the wedge work is pinned cold by the bench's cold_s."""
+    df = q(spark, "graph_link_prediction")
+    p = plan(df)
+    assert "Join" not in p and "Window" not in p
+
+
+def test_zonemap_report_no_global_window(spark):
+    """Chunk keys are value-range expressions — a whole-table row_number
+    (single-task) must never appear; the zonemap aggregate is two-phase."""
+    p = plan(q(spark, "zonemap_pruning_report"))
+    assert "Window" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_incremental_clusters_contraction_is_bounded(spark):
+    """The incremental path must not run CC over the full graph: its
+    delta CC input is the contracted batch-touched subgraph. Pinned
+    structurally: the published full-corpus label build and the
+    incremental result agree (oracle-proven), and the registered query's
+    plan contains no iterative-driver artifacts at read time (published
+    checkpoint scans + the final relabel joins only)."""
+    p = plan(q(spark, "dedup_clusters_incremental"))
+    assert "documents.parquet" not in p  # rides published artifacts, not a rescan
