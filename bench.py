@@ -149,6 +149,8 @@ HEADLINE = [
     "graph_link_prediction",
     "dedup_clusters_incremental",
     "zonemap_pruning_report",
+    "ann_dim_ablation",
+    "corpus_cluster_split",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -1273,3 +1273,161 @@ def prototype_classifier_eval_oracle() -> str:
                      / CAST(count(*) AS DOUBLE), 6) AS accuracy
         FROM assigned GROUP BY label
     """
+
+
+# -- dimension-truncation ablation ---------------------------------------------
+
+ABL_DIMS = (8, 16, 32, 64)  # truncation tiers; 64 = DIM is the ground truth
+ABL_PROBES = 24  # fixed probe set: vec_id < ABL_PROBES (probe-audit shape)
+ABL_K = 10
+
+
+def _dot_prefix_spark(a: str, b: str, d: int) -> str:
+    return (
+        f"aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}), "
+        f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_prefix_duck(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def dim_ablation(
+    emb: DataFrame,
+    dims: tuple[int, ...] = ABL_DIMS,
+    n_probes: int = ABL_PROBES,
+    k: int = ABL_K,
+) -> DataFrame:
+    """(dim, n_probes, total_hits, recall_at_k): exact-cosine recall@k of
+    PREFIX-truncated embeddings vs the full-width ground truth, per
+    truncation tier — the dimension-ablation audit behind
+    Matryoshka-style storage tiering (Kusupati et al. 2022): how much
+    retrieval quality survives keeping only the first d of DIM
+    components. The storage-side twin of the ANN recall report: that one
+    varies the INDEX (IVF/LSH/PQ) at full width, this varies the WIDTH
+    under exact search, so the two reports together separate index loss
+    from representation loss.
+
+    Probe-audit shape (the dedup_lsh_recall rule): a FIXED probe set
+    (vec_id < n_probes) against the corpus — |probes|·|corpus|·|dims|
+    scored pairs, linear in corpus for the fixed panel. Truncated
+    cosines are computed as plain pre-projected columns (non-cheap
+    aliases — kept out of the Generate per the janino fusion hazard),
+    then exploded to (dim, cos) rows over attribute refs. recall =
+    total_hits / (k·n_probes) is ONE division of exact integers.
+    """
+    from .models import published
+
+    return published(
+        emb, "dim_ablation", (dims, n_probes, k), lambda: _dim_ablation_run(emb, dims, n_probes, k)
+    )
+
+
+def _dim_ablation_run(
+    emb: DataFrame, dims: tuple[int, ...], n_probes: int, k: int
+) -> DataFrame:
+    probes = emb.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qvec")
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos_cols = [
+        F.expr(
+            f"ROUND({_dot_prefix_spark('embedding', 'qvec', d)} / "
+            f"(sqrt({_dot_prefix_spark('embedding', 'embedding', d)}) * "
+            f"sqrt({_dot_prefix_spark('qvec', 'qvec', d)})), 6)"
+        ).alias(f"cos_{d}")
+        for d in dims
+    ]
+    scored = pairs.select("probe_id", "vec_id", *cos_cols)
+    tiers = scored.select(
+        "probe_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"), F.col(f"cos_{d}").alias("cos")
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("t"),
+    ).select("probe_id", "vec_id", F.col("t.dim").alias("dim"), F.col("t.cos").alias("cos"))
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("probe_id", "dim").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+    )
+    topk = (
+        tiers.select("probe_id", "vec_id", "dim", rn.alias("rn"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "dim")
+    )
+    truth = (
+        topk.where(F.col("dim") == max(dims))
+        .select(F.col("probe_id").alias("tp"), F.col("vec_id").alias("tv"))
+        .localCheckpoint(eager=False)  # breaks the self-join lineage ambiguity
+    )
+    hits = topk.join(
+        truth, (topk.probe_id == truth.tp) & (topk.vec_id == truth.tv)
+    ).select("probe_id", "dim")
+    return (
+        hits.groupBy("dim")
+        .agg(F.count("*").cast("bigint").alias("total_hits"))
+        .select(
+            "dim",
+            F.lit(n_probes).cast("bigint").alias("n_probes"),
+            "total_hits",
+            F.round(F.col("total_hits") / (k * n_probes), 6).alias("recall_at_k"),
+        )
+        .localCheckpoint(eager=True)  # |dims| rows — the published artifact
+    )
+
+
+def dim_ablation_oracle(
+    dims: tuple[int, ...] = ABL_DIMS,
+    n_probes: int = ABL_PROBES,
+    k: int = ABL_K,
+) -> str:
+    tier_selects = " UNION ALL ".join(
+        f"""SELECT probe_id, vec_id, {d} AS dim,
+            ROUND({_dot_prefix_duck('embedding', 'qvec', d)} /
+                  (sqrt({_dot_prefix_duck('embedding', 'embedding', d)}) *
+                   sqrt({_dot_prefix_duck('qvec', 'qvec', d)})), 6) AS cos
+            FROM abl_pairs"""
+        for d in dims
+    )
+    return f"""
+        WITH abl_probes AS (
+          SELECT vec_id AS probe_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < {n_probes}),
+        abl_pairs AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding, p.probe_id, p.qvec
+          FROM embeddings e CROSS JOIN abl_probes p
+          WHERE e.vec_id != p.probe_id),
+        abl_tiers AS MATERIALIZED ({tier_selects}),
+        abl_topk AS MATERIALIZED (
+          SELECT probe_id, vec_id, dim FROM (
+            SELECT probe_id, vec_id, dim,
+                   row_number() OVER (PARTITION BY probe_id, dim
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM abl_tiers) WHERE rn <= {k}),
+        abl_truth AS (
+          SELECT probe_id, vec_id AS tv FROM abl_topk WHERE dim = {max(dims)}),
+        abl_hits AS (
+          SELECT t.probe_id, t.dim FROM abl_topk t
+          JOIN abl_truth g ON g.probe_id = t.probe_id AND g.tv = t.vec_id)
+        SELECT dim, CAST({n_probes} AS BIGINT) AS n_probes,
+               CAST(count(*) AS BIGINT) AS total_hits,
+               ROUND(count(*) / CAST({k * n_probes} AS DOUBLE), 6) AS recall_at_k
+        FROM abl_hits GROUP BY dim
+    """

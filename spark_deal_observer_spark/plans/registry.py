@@ -3023,6 +3023,16 @@ def q_ann_ivf_pq(spark, sf_dir):
     return pq.ivf_pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_dim_ablation", sim.dim_ablation_oracle())
+def q_ann_dim_ablation(spark, sf_dir):
+    """Dimension-truncation recall audit: exact-cosine recall@10 of
+    prefix-truncated embeddings (8/16/32/64 dims) vs the full-width
+    ground truth over a fixed probe panel — separates representation
+    loss from index loss (the ANN recall report's storage-side twin;
+    Matryoshka-style tiering)."""
+    return sim.dim_ablation(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ann_sq8", pq.sq_topk_oracle())
 def q_ann_sq8(spark, sf_dir):
     """Scalar-quantized (SQ8) cosine top-k: per-coordinate affine int8
@@ -6031,11 +6041,18 @@ def q_ann_tier_suite(spark, sf_dir):
         "'drift', drift, 'retrain', CAST(retrain_due AS DOUBLE)) "
         "AS (metric, value)",
     )
+    abl = REGISTRY["ann_dim_ablation"].fn(spark, sf_dir).selectExpr(
+        "'dim_ablation' AS section",
+        "CAST(dim AS STRING) AS key",
+        "stack(2, 'total_hits', CAST(total_hits AS DOUBLE), "
+        "'recall_at_k', recall_at_k) AS (metric, value)",
+    )
     return (
         bf.unionByName(ivf).unionByName(mp).unionByName(pq_)
         .unionByName(ivl).unionByName(lb).unionByName(ivk)
         .unionByName(pqc).unionByName(rp).unionByName(ivpq)
         .unionByName(ivpqr).unionByName(sq8).unionByName(inc)
+        .unionByName(abl)
     )
 
 
@@ -6054,7 +6071,8 @@ REGISTRY["ann_tier_suite"] = QueryDef(
          ivpq AS MATERIALIZED ({REGISTRY["ann_ivf_pq"].oracle}),
          ivpqr AS MATERIALIZED ({REGISTRY["ann_ivf_pq_residual"].oracle}),
          sq8 AS MATERIALIZED ({REGISTRY["ann_sq8"].oracle}),
-         inc AS MATERIALIZED ({REGISTRY["ann_incremental"].oracle})
+         inc AS MATERIALIZED ({REGISTRY["ann_incremental"].oracle}),
+         abl AS MATERIALIZED ({REGISTRY["ann_dim_ablation"].oracle})
     SELECT 'brute_force' AS section, CAST(vec_id AS VARCHAR) AS key,
            'label' AS metric, CAST(label AS DOUBLE) AS value FROM bf
     UNION ALL SELECT 'brute_force', CAST(vec_id AS VARCHAR), 'cosine', cosine FROM bf
@@ -6110,6 +6128,10 @@ REGISTRY["ann_tier_suite"] = QueryDef(
     UNION ALL SELECT 'incremental',
            CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR),
            'retrain', CAST(retrain_due AS DOUBLE) FROM inc
+    UNION ALL SELECT 'dim_ablation', CAST(dim AS VARCHAR), 'total_hits',
+           CAST(total_hits AS DOUBLE) FROM abl
+    UNION ALL SELECT 'dim_ablation', CAST(dim AS VARCHAR), 'recall_at_k',
+           recall_at_k FROM abl
     """,
 )
 
@@ -6837,6 +6859,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "ann_pq_adc", "ann_ivf_label", "ann_lsh_bucket", "ann_ivf_kmeans",
         "pq_codes", "embedding_random_projection", "ann_ivf_pq",
         "ann_ivf_pq_residual", "ann_sq8", "ann_incremental",
+        "ann_dim_ablation",
     ),
     "profile_suite": (
         "table_profile", "column_correlations", "winsorized_stats",

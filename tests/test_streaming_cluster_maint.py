@@ -125,3 +125,34 @@ def test_label_snapshot_gc_bounds_disk(spark, tmp_path):
     # band dirs are the probe corpus — never GC'd
     assert len(sink._bands.ids()) == 5
     assert _labels(sink)[41] == 1  # all copies of `a` share one cluster
+
+
+def test_crash_between_labels_and_bands_heals_on_redelivery(spark, tmp_path):
+    """Torn-state chaos: a crash AFTER the labels snapshot commits but
+    BEFORE the bands dir lands leaves batch N half-written (the tick's
+    two writes are ordered labels-then-bands). Simulated by running the
+    tick and deleting its bands dir. On redelivery the strictly-below
+    reads reproduce the same inputs, both dirs overwrite bit-identically,
+    and the final state equals the crash-free run."""
+    import shutil
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india " * 4
+    b0 = _docs(spark, [(1, a), (11, a)])
+    b1 = _docs(spark, [(21, a), (22, a + " coda")])
+
+    clean = ClusterMaintSink(spark, str(tmp_path / "cb"), str(tmp_path / "cl"))
+    clean.process_batch(b0, batch_id=0)
+    clean.process_batch(b1, batch_id=1)
+    want = {r.doc_id: r.cluster for r in clean.read_labels().collect()}
+
+    crashy = ClusterMaintSink(spark, str(tmp_path / "xb"), str(tmp_path / "xl"))
+    crashy.process_batch(b0, batch_id=0)
+    crashy.process_batch(b1, batch_id=1)
+    shutil.rmtree(crashy._bands.path(1), ignore_errors=True)  # the torn window
+    assert 1 in crashy._labels.ids() and 1 not in crashy._bands.ids()
+    # Structured Streaming redelivers batch 1 (its foreachBatch never
+    # returned); the redelivery overwrites both dirs
+    crashy.process_batch(b1, batch_id=1)
+    got = {r.doc_id: r.cluster for r in crashy.read_labels().collect()}
+    assert got == want
+    assert set(crashy._bands.ids()) == {0, 1}
