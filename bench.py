@@ -151,6 +151,9 @@ HEADLINE = [
     "zonemap_pruning_report",
     "ann_dim_ablation",
     "corpus_cluster_split",
+    # r6 continuation: the video leg over the from-scratch GIF/LZW codec
+    "multimodal_video_features",
+    "multimodal_video_dedup",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

@@ -5,9 +5,10 @@ A 100 TB multimodal corpus stores media as `binary` columns next to a typed
 metadata struct; decode/resize/feature-extraction runs as mapInPandas so
 each Arrow batch crosses the JVM↔Python boundary once. `decode_media`
 supports the `fake/*` identity codec (the deterministic, oracle-checkable
-path) and TWO real formats via from-scratch stdlib decoders: PNG
-(`multimodal/png.py`, struct+zlib) and WAV/PCM (`multimodal/wav.py`,
-struct); codecs that would need external libraries (JPEG/ffmpeg) raise
+path) and THREE real formats via from-scratch stdlib decoders: PNG
+(`multimodal/png.py`, struct+zlib), WAV/PCM (`multimodal/wav.py`,
+struct), and animated GIF (`multimodal/gif.py`, LZW — the video leg);
+codecs that would need external libraries (JPEG/ffmpeg) raise
 NotImplementedError. The plumbing — schema, batch
 iteration, partition-preserving mapInPandas shape — is identical for all
 codecs, so the fake-path oracle checks validate the same kernels the PNG
@@ -93,9 +94,13 @@ def decode_media(payload: bytes, codec: str) -> bytes:
         from .wav import decode_wav
 
         return decode_wav(payload)[0]
+    if codec in ("video/gif", "gif"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)[0]
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg) are not installed; "
-        "only fake/*, image/png and audio/wav are supported here"
+        "only fake/*, image/png, audio/wav and video/gif are supported here"
     )
 
 
@@ -819,6 +824,295 @@ def audio_phash_dedup_oracle() -> str:
           SELECT doc_id, bucket // {w} AS band,
                  CAST(sum(bit * CAST(pow(2, bucket % {w}) AS BIGINT))
                       AS BIGINT) AS bkey
+          FROM pbits GROUP BY doc_id, bucket // {w}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pbands a JOIN pbands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT) AS hamming,
+               CAST(sum(bit_count(xor(ka.bkey, kb.bkey))) AS BIGINT)
+                 <= {PHASH_HAM_MAX} AS is_dup
+        FROM cand c
+        JOIN pbands ka ON ka.doc_id = c.doc_a
+        JOIN pbands kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
+        GROUP BY c.doc_a, c.doc_b
+    """
+
+
+# -- video leg: real animated-GIF corpus (from-scratch LZW codec) -------------
+
+VIDEO_W = 8
+VIDEO_H = 8
+VIDEO_PIXELS = VIDEO_W * VIDEO_H
+VIDEO_MIN_FRAMES = 2
+VIDEO_MAX_FRAMES = 12
+VIDEO_CHARS_PER_FRAME = 16
+VIDEO_SAMPLE_TARGET = 4  # frame sampling keeps ~this many frames per doc
+VIDEO_COLOR_BITS = 4  # 16-entry grayscale palette
+
+
+def _video_n_frames(n_chars: int) -> int:
+    return max(VIDEO_MIN_FRAMES, min(VIDEO_MAX_FRAMES, n_chars // VIDEO_CHARS_PER_FRAME))
+
+
+def attach_video(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a VIDEO media table: real animated-GIF payloads
+    (the from-scratch `multimodal/gif.py` LZW encoder) whose frames are
+    synthesized deterministically from the text — pixel (f, p) of frame f
+    is palette index `(ascii(text[(f·64 + p) mod n]) · 131 + f·17 + p·7)
+    mod 16`, so the corpus has genuine inter-frame structure (motion) and
+    every video kernel's DuckDB twin can recompute frames from the text
+    column alone. Frame count scales with document length
+    (max(2, min(12, n/16))).
+
+    A third of the docs (doc_id % 3 == 0) are encoded with an injected
+    ignorable application extension — a DIFFERENT byte encoding of the
+    SAME frames — so value-level parity of every downstream query proves
+    the decode path container-invariant (the WAV `LIST`-chunk
+    discipline). Kernel is Arrow-batched mapInPandas; payloads are real
+    GIF89a files decoded back by `decode_media` on every consumer."""
+    from ..operators.dedup import spread_cpu
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import encode_gif
+
+        p_off = (np.arange(VIDEO_PIXELS, dtype=np.int64) * 7)[None, :]
+        for pdf in it:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(codes)
+                nf = _video_n_frames(n)
+                f_idx = np.arange(nf, dtype=np.int64)[:, None]
+                pos = (f_idx * VIDEO_PIXELS + np.arange(VIDEO_PIXELS)[None, :]) % n
+                idx = (codes[pos] * 131 + f_idx * 17 + p_off) % 16
+                frames = [bytes(row.astype(np.uint8)) for row in idx]
+                extra = b"reenc" if d % 3 == 0 else None
+                ids.append(d)
+                payloads.append(
+                    encode_gif(
+                        frames,
+                        VIDEO_W,
+                        VIDEO_H,
+                        color_bits=VIDEO_COLOR_BITS,
+                        extra_app_ext=extra,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "codec": pd.Series(["video/gif"] * len(ids)),
+                    "width": pd.Series([VIDEO_W] * len(ids), dtype="int32"),
+                    "height": pd.Series([VIDEO_H] * len(ids), dtype="int32"),
+                }
+            )
+
+    return spread_cpu(docs.select("doc_id", "text")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_idx", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def _round6_ratio(num: int, den: int) -> float:
+    """ROUND(num/den, 6) with HALF-UP tie behavior in EXACT integer
+    arithmetic. Python's round() is banker's (half-even), and frame
+    means have DYADIC denominators (nf·64), so exact 6-dp ties are
+    routine — num/den = 7.6640625 rounds DOWN under banker's while both
+    engines' ROUND goes up (the exact-decimal-tie class from the sf0.1
+    gate, now on the kernel side)."""
+    q, r = divmod(num * 10**6, den)
+    if 2 * r >= den:
+        q += 1
+    return q / 1e6
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, width, height, mean_idx, motion): per-video
+    summary over DECODED frames — mean palette index and mean absolute
+    inter-frame pixel delta (the motion statistic a sampling curriculum
+    filters static clips on). Exact integer sums divided once (half-up
+    6-dp via `_round6_ratio` — frame means have dyadic denominators, the
+    exact-tie class); Arrow mapInPandas over the real GIF decode."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import decode_gif
+
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_frames", "width", "height", "mean_idx", "motion")}
+        for pdf in it:
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw, w, h, nf = decode_gif(bytes(p))
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(nf, w * h).astype(
+                    np.int64
+                )
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(nf)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_idx"].append(_round6_ratio(int(px.sum()), px.size))
+                dif = np.abs(px[1:] - px[:-1])
+                rows["motion"].append(_round6_ratio(int(dif.sum()), dif.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_idx": pd.Series(rows["mean_idx"], dtype="float64"),
+                    "motion": pd.Series(rows["motion"], dtype="float64"),
+                }
+            )
+            rows = {k: [] for k in rows}
+
+    return media.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
+
+
+def _video_grid_sql(where: str = "length(text) >= 1") -> str:
+    """Shared oracle CTEs reconstructing the (doc_id, f, p, idx) grid
+    from the text column — the synthesis arithmetic in SQL."""
+    return f"""vdocs AS MATERIALIZED (
+          SELECT doc_id, text, length(text) AS n,
+                 GREATEST({VIDEO_MIN_FRAMES},
+                          LEAST({VIDEO_MAX_FRAMES},
+                                length(text) // {VIDEO_CHARS_PER_FRAME})) AS nf
+          FROM documents WHERE {where}),
+        vchars AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(cs, 1) AS cp,
+                 ascii(unnest(cs)) AS code
+          FROM (SELECT doc_id, str_split(text, '') AS cs FROM vdocs) t),
+        vgrid AS MATERIALIZED (
+          SELECT v.doc_id, f.f, p.p, v.nf,
+                 (c.code * 131 + f.f * 17 + p.p * 7) % 16 AS idx
+          FROM vdocs v
+          CROSS JOIN (SELECT unnest(range(0, {VIDEO_MAX_FRAMES})) AS f) f
+          CROSS JOIN (SELECT unnest(range(0, {VIDEO_PIXELS})) AS p) p
+          JOIN vchars c ON c.doc_id = v.doc_id
+           AND c.cp = ((f.f * {VIDEO_PIXELS} + p.p) % v.n) + 1
+          WHERE f.f < v.nf)"""
+
+
+def video_features_oracle() -> str:
+    return f"""
+        WITH {_video_grid_sql()}
+        SELECT doc_id, CAST(max(nf) AS INT) AS n_frames,
+               {VIDEO_W} AS width, {VIDEO_H} AS height,
+               ROUND(sum(idx) / CAST(count(*) AS DOUBLE), 6) AS mean_idx,
+               ROUND(sum(d) / CAST(count(d) AS DOUBLE), 6) AS motion
+        FROM (
+          SELECT a.doc_id, a.nf, a.idx, abs(b.idx - a.idx) AS d
+          FROM vgrid a LEFT JOIN vgrid b
+            ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f + 1)
+        GROUP BY doc_id
+    """
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("checksum", LongType()),
+        StructField("mean_idx", DoubleType()),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_no, checksum, mean_idx): every stride-th decoded
+    frame, stride = max(1, n_frames // {target}) — the 1:N frame-sampling
+    leg over a REAL container (the fake-codec `multimodal_frame_sample`
+    keeps the byte-split form). checksum = Σ (p+1)·idx(p) is the exact
+    per-frame fingerprint the oracle recomputes from text."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import decode_gif
+
+        weights = np.arange(1, VIDEO_PIXELS + 1, dtype=np.int64)
+        for pdf in it:
+            ids, fnos, sums, means = [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw, w, h, nf = decode_gif(bytes(p))
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(nf, w * h).astype(
+                    np.int64
+                )
+                stride = max(1, nf // VIDEO_SAMPLE_TARGET)
+                for f in range(0, nf, stride):
+                    ids.append(d)
+                    fnos.append(f)
+                    sums.append(int((px[f] * weights).sum()))
+                    means.append(round(px[f].sum() / (w * h), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                    "mean_idx": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_sample_oracle() -> str:
+    return f"""
+        WITH {_video_grid_sql()}
+        SELECT doc_id, CAST(f AS INT) AS frame_no,
+               CAST(sum((p + 1) * idx) AS BIGINT) AS checksum,
+               ROUND(sum(idx) / CAST({VIDEO_PIXELS} AS DOUBLE), 6) AS mean_idx
+        FROM vgrid
+        WHERE f % GREATEST(1, nf // {VIDEO_SAMPLE_TARGET}) = 0
+        GROUP BY doc_id, f
+    """
+
+
+def video_phash_dedup_oracle() -> str:
+    """DuckDB twin of phash_dedup_pairs(attach_video(...)): bucket means
+    over the reconstructed frame-index stream (position i = f·64 + p),
+    then the standard circular-dHash / band-key / Hamming tail. Never
+    parses a GIF, so value parity proves the LZW round-trip and the
+    re-encode (application-extension) container invariance."""
+    nb_, w = PHASH_BUCKETS, PHASH_BUCKETS // PHASH_BANDS
+    return f"""
+        WITH {_video_grid_sql()},
+        vstream AS (
+          SELECT doc_id, f * {VIDEO_PIXELS} + p AS i, idx,
+                 nf * {VIDEO_PIXELS} AS total
+          FROM vgrid),
+        bmeans AS MATERIALIZED (
+          SELECT doc_id, CAST((i * {nb_}) // total AS INT) AS bucket,
+                 ROUND(avg(CAST(idx AS DOUBLE)), 6) AS mean
+          FROM vstream GROUP BY doc_id, (i * {nb_}) // total),
+        pbits AS (
+          SELECT b.doc_id, b.bucket,
+                 CASE WHEN b.mean > nbm.mean THEN 1 ELSE 0 END AS bit
+          FROM bmeans b JOIN bmeans nbm
+            ON nbm.doc_id = b.doc_id AND nbm.bucket = (b.bucket + 1) % {nb_}),
+        pbands AS MATERIALIZED (
+          SELECT doc_id, bucket // {w} AS band,
+                 CAST(sum(bit * CAST(pow(2, bucket % {w}) AS BIGINT)) AS BIGINT) AS bkey
           FROM pbits GROUP BY doc_id, bucket // {w}),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -3157,6 +3157,48 @@ def q_multimodal_audio_dedup(spark, sf_dir):
     )
 
 
+from ..multimodal.media import (  # noqa: E402
+    attach_video,
+    extract_video_features,
+    video_features_oracle,
+    video_frame_sample,
+    video_frame_sample_oracle,
+    video_phash_dedup_oracle,
+)
+
+
+@register("multimodal_video_features", video_features_oracle())
+def q_multimodal_video_features(spark, sf_dir):
+    """Video feature extraction through the REAL animated-GIF round-trip
+    (from-scratch LZW codec, multimodal/gif.py): frames synthesized from
+    text, encoded, decoded back, then frame count / geometry / mean
+    palette index / inter-frame motion per clip. The oracle recomputes
+    from the synthesis arithmetic and never parses a GIF — value parity
+    proves the LZW round-trip and (for the third of docs carrying an
+    injected application extension) container invariance."""
+    return extract_video_features(attach_video(_t(spark, sf_dir, "documents")))
+
+
+@register("multimodal_video_frames", video_frame_sample_oracle())
+def q_multimodal_video_frames(spark, sf_dir):
+    """1:N frame sampling over a REAL container: every stride-th decoded
+    GIF frame with an exact per-frame checksum — the video twin of the
+    fake-codec `multimodal_frame_sample` byte split."""
+    return video_frame_sample(attach_video(_t(spark, sf_dir, "documents")))
+
+
+@register("multimodal_video_dedup", video_phash_dedup_oracle())
+def q_multimodal_video_dedup(spark, sf_dir):
+    """Perceptual VIDEO near-dup pairs: bucket means over the decoded
+    frame-index stream → circular dHash → banded candidates → Hamming —
+    the video member of the perceptual family, sharing the image/audio
+    JVM tail; re-encoded GIFs (injected extension) hash identically
+    because the hash reads decoded frames."""
+    from ..multimodal.media import phash_dedup_pairs
+
+    return phash_dedup_pairs(attach_video(_t(spark, sf_dir, "documents")))
+
+
 @register("multimodal_phash_dedup", phash_dedup_oracle())
 def q_multimodal_phash_dedup(spark, sf_dir):
     """PERCEPTUAL near-dup pairs over media content (circular 64-bit
@@ -5776,6 +5818,24 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
         "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    vf = REGISTRY["multimodal_video_features"].fn(spark, sf_dir).selectExpr(
+        "'video' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(3, 'n_frames', CAST(n_frames AS DOUBLE), "
+        "'mean_idx', mean_idx, 'motion', motion) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    vfr = REGISTRY["multimodal_video_frames"].fn(spark, sf_dir).selectExpr(
+        "'video_frames' AS section",
+        "concat(CAST(doc_id AS STRING), ':', CAST(frame_no AS STRING)) AS key",
+        "stack(2, 'checksum', CAST(checksum AS DOUBLE), "
+        "'mean_idx', mean_idx) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    vd = REGISTRY["multimodal_video_dedup"].fn(spark, sf_dir).selectExpr(
+        "'video_phash' AS section",
+        "concat(CAST(doc_a AS STRING), ':', CAST(doc_b AS STRING)) AS key",
+        "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
+        "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         fr.unionByName(fe)
         .unionByName(rs)
@@ -5783,6 +5843,9 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(ph)
         .unionByName(au)
         .unionByName(ad)
+        .unionByName(vf)
+        .unionByName(vfr)
+        .unionByName(vd)
     )
 
 
@@ -5795,7 +5858,10 @@ REGISTRY["multimodal_suite"] = QueryDef(
          dd AS ({REGISTRY["multimodal_dedup"].oracle}),
          ph AS MATERIALIZED ({REGISTRY["multimodal_phash_dedup"].oracle}),
          au AS MATERIALIZED ({REGISTRY["multimodal_audio_features"].oracle}),
-         ad AS MATERIALIZED ({REGISTRY["multimodal_audio_dedup"].oracle})
+         ad AS MATERIALIZED ({REGISTRY["multimodal_audio_dedup"].oracle}),
+         vf AS MATERIALIZED ({REGISTRY["multimodal_video_features"].oracle}),
+         vfr AS MATERIALIZED ({REGISTRY["multimodal_video_frames"].oracle}),
+         vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -5834,6 +5900,24 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'audio_phash',
            CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
            'is_dup', CAST(is_dup AS DOUBLE), NULL FROM ad
+    UNION ALL SELECT 'video', CAST(doc_id AS VARCHAR), 'n_frames',
+           CAST(n_frames AS DOUBLE), NULL FROM vf
+    UNION ALL SELECT 'video', CAST(doc_id AS VARCHAR), 'mean_idx',
+           mean_idx, NULL FROM vf
+    UNION ALL SELECT 'video', CAST(doc_id AS VARCHAR), 'motion',
+           motion, NULL FROM vf
+    UNION ALL SELECT 'video_frames',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR),
+           'checksum', CAST(checksum AS DOUBLE), NULL FROM vfr
+    UNION ALL SELECT 'video_frames',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR),
+           'mean_idx', mean_idx, NULL FROM vfr
+    UNION ALL SELECT 'video_phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'hamming', CAST(hamming AS DOUBLE), NULL FROM vd
+    UNION ALL SELECT 'video_phash',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           'is_dup', CAST(is_dup AS DOUBLE), NULL FROM vd
     """,
 )
 
@@ -6911,6 +6995,8 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
         "multimodal_dedup", "multimodal_phash_dedup",
         "multimodal_audio_features", "multimodal_audio_dedup",
+        "multimodal_video_features", "multimodal_video_frames",
+        "multimodal_video_dedup",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",

@@ -23,6 +23,8 @@ PYTHON_OK = {
     "multimodal_suite",  # gate melt of the media kernels above
     "multimodal_phash_dedup",  # bucket means cross Arrow; hashing is JVM
     "multimodal_audio_features",  # WAV decode + feature kernel is Arrow by design
+    "multimodal_video_features",  # GIF decode + feature kernel is Arrow by design
+    "multimodal_video_frames",  # 1:N frame sampling over the GIF decode kernel
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
     "diff_session_recall_suite",  # gate melt includes enrich_cached_peer
