@@ -154,6 +154,10 @@ HEADLINE = [
     # r6 continuation: the video leg over the from-scratch GIF/LZW codec
     "multimodal_video_features",
     "multimodal_video_dedup",
+    # r6 continuation: BFS hop distances, readability, novelty signals
+    "graph_bfs_levels",
+    "text_readability",
+    "text_novelty",
     # r4 extension: governance cascade, inverted index artifact, rolling
     # anomaly scoring, and the calibration page of the model card
     "deletion_impact_report",

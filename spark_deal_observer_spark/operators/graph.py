@@ -812,3 +812,92 @@ def link_prediction_oracle(
                CAST(deg_u * deg_w AS BIGINT) AS pref_attach
         FROM picked WHERE pick <= {topk}
     """
+
+
+# -- single-source BFS levels --------------------------------------------------
+
+BFS_MAX_DEPTH = 8  # oracle unroll bound; co-occurrence diameter measures ~4
+
+
+def bfs_levels(
+    lineitem: DataFrame, cap: int = TRI_BASKET_CAP, max_depth: int = BFS_MAX_DEPTH
+) -> DataFrame:
+    """(node, level): breadth-first distance from the graph's HUB (the
+    max-degree node, min-id tiebreak) over the part co-occurrence graph,
+    up to `max_depth` hops — the reachability / hop-distance primitive
+    under every "related within k hops" product query, and the simplest
+    member of the iterative-frontier family (CC and LPA propagate labels;
+    BFS propagates a frontier).
+
+    Frontier iteration with the house discipline: one equi-join per round
+    (frontier ⋈ adjacency), anti-join against the visited set, lazy
+    localCheckpoint per round with the count riding the materialization,
+    EARLY EXIT on an empty frontier — exact vs the fixed-unroll oracle
+    because an empty frontier is a fixed point (every later round is a
+    no-op). Levels are exact BFS distances for any node within
+    `max_depth`; deeper nodes are omitted by both engines (the bounded
+    semantics the oracle's recursion cap needs — an UNBOUNDED recursive
+    CTE on a cyclic graph would never terminate)."""
+    from .models import published
+
+    edges = part_cooccur_edges(lineitem, cap)
+    return published(
+        edges, "bfs_levels", (max_depth,), lambda: _bfs_run(edges, max_depth)
+    )
+
+
+def _bfs_run(edges: DataFrame, max_depth: int) -> DataFrame:
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    hub = (
+        deg.orderBy(F.col("d").desc(), F.col("u")).limit(1).select("u")
+    )
+    visited = hub.select(
+        F.col("u").alias("node"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).alias("level"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(
+        "node", F.col("level").cast("int").alias("level")
+    ).localCheckpoint(eager=True)
+
+
+def bfs_levels_oracle(
+    cap: int = TRI_BASKET_CAP, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    return f"""
+        WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+                   FROM lineitem),
+        capped AS (SELECT ord, p FROM (
+            SELECT ord, p,
+                   row_number() OVER (PARTITION BY ord ORDER BY p) AS rn
+            FROM b) WHERE rn <= {cap}),
+        e AS MATERIALIZED (SELECT DISTINCT a.p AS u, c.p AS v
+              FROM capped a JOIN capped c ON a.ord = c.ord AND a.p < c.p),
+        sym AS MATERIALIZED (SELECT u, v FROM e
+               UNION ALL SELECT v AS u, u AS v FROM e),
+        hub AS (SELECT u FROM (
+            SELECT u, count(*) AS d FROM sym GROUP BY u
+            ORDER BY d DESC, u LIMIT 1)),
+        walk(node, lvl) AS (
+          SELECT u, 0 FROM hub
+          UNION
+          SELECT s.v, w.lvl + 1 FROM walk w JOIN sym s ON s.u = w.node
+          WHERE w.lvl < {max_depth}
+        )
+        SELECT node, CAST(min(lvl) AS INT) AS level FROM walk GROUP BY node
+    """

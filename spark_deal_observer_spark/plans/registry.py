@@ -3287,6 +3287,19 @@ def q_graph_kcore(spark, sf_dir):
     return kcore(_t(spark, sf_dir, "lineitem"))
 
 
+from ..operators.graph import bfs_levels, bfs_levels_oracle  # noqa: E402
+
+
+@register("graph_bfs_levels", bfs_levels_oracle())
+def q_graph_bfs_levels(spark, sf_dir):
+    """Single-source BFS hop distances from the max-degree hub over the
+    part co-occurrence graph (depth-capped, frontier iteration with
+    empty-frontier early exit vs the oracle's bounded recursive walk) —
+    the reachability primitive under "related within k hops" queries and
+    the simplest iterative-frontier family member."""
+    return bfs_levels(_t(spark, sf_dir, "lineitem"))
+
+
 @register("graph_link_prediction", link_prediction_oracle())
 def q_graph_link_prediction(spark, sf_dir):
     """Link prediction over the part co-occurrence graph: top-k
@@ -3731,6 +3744,123 @@ def _text_metrics_oracle() -> str:
         f"SELECT doc_id, lang, {cols}, "
         f"{lang_id_sql('duckdb', 'text')} AS lang_pred, "
         f"{fingerprint_sql('duckdb', 'text')} AS fingerprint FROM documents"
+    )
+
+
+def _readability_exprs(dialect: str) -> dict[str, str]:
+    """Flesch reading-ease signals: words (whitespace tokens), sentences
+    (runs of terminal punctuation, floor 1), syllables proxied by vowel
+    groups (the standard heuristic). Score = 206.835 − 1.015·(w/s) −
+    84.6·(syl/w) — each quotient is one correctly-rounded division of
+    exact integers and the linear form is evaluated in the identical
+    written order by both engines. Regexes are backslash-free (the
+    Spark-literal escaping rule)."""
+    from ..functions.hashing import tokens_sql
+
+    size_f = "size" if dialect == "spark" else "len"
+    words = f"{size_f}({tokens_sql(dialect, 'text')})"
+    sents = f"greatest({size_f}(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+    syls = f"greatest({size_f}(regexp_extract_all(lower(text), '[aeiouy]+', 0)), 1)"
+    return {
+        "n_words": words,
+        "n_sentences": sents,
+        "n_syllables": syls,
+        "words_per_sentence": f"CAST({words} AS DOUBLE) / {sents}",
+        "syllables_per_word": f"CAST({syls} AS DOUBLE) / {words}",
+        "flesch": (
+            f"206.835 - 1.015 * (CAST({words} AS DOUBLE) / {sents}) "
+            f"- 84.6 * (CAST({syls} AS DOUBLE) / {words})"
+        ),
+    }
+
+
+def _readability_oracle() -> str:
+    e = _readability_exprs("duckdb")
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+        SELECT doc_id,
+               CAST({e['n_words']} AS BIGINT) AS n_words,
+               CAST({e['n_sentences']} AS BIGINT) AS n_sentences,
+               CAST({e['n_syllables']} AS BIGINT) AS n_syllables,
+               {rnd.format(x=e['words_per_sentence'])} AS words_per_sentence,
+               {rnd.format(x=e['syllables_per_word'])} AS syllables_per_word,
+               {rnd.format(x=e['flesch'])} AS flesch
+        FROM documents WHERE length(text) > 0
+    """
+
+
+@register("text_readability", _readability_oracle())
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (vowel-group syllable heuristic)
+    — the classic readability member of the quality family, used as a
+    curriculum/difficulty signal next to `corpus_difficulty_bins`.
+    Zero-shuffle scan-stage projection like the rest of text_metrics."""
+    e = _readability_exprs("spark")
+    docs = _spread(_t(spark, sf_dir, "documents")).where(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_words"]).cast("bigint").alias("n_words"),
+        F.expr(e["n_sentences"]).cast("bigint").alias("n_sentences"),
+        F.expr(e["n_syllables"]).cast("bigint").alias("n_syllables"),
+        F.round(F.expr(e["words_per_sentence"]), 6).alias("words_per_sentence"),
+        F.round(F.expr(e["syllables_per_word"]), 6).alias("syllables_per_word"),
+        F.round(F.expr(e["flesch"]), 6).alias("flesch"),
+    )
+
+
+def _novelty_oracle() -> str:
+    from ..functions.hashing import hashed_shingles_sql
+
+    sh = hashed_shingles_sql("duckdb", "text")
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+        WITH nov_sh AS MATERIALIZED (
+          SELECT doc_id, unnest({sh}) AS h
+          FROM documents WHERE length(text) >= 5),
+        nov_df AS (
+          SELECT h, count(DISTINCT doc_id) AS df FROM nov_sh GROUP BY h)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               {rnd.format(x="sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")}
+                 AS novelty
+        FROM nov_sh s JOIN nov_df d ON d.h = s.h
+        GROUP BY s.doc_id
+    """
+
+
+@register("text_novelty", _novelty_oracle())
+def q_text_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's distinct 5-char
+    shingles seen NOWHERE else in the corpus — the inverse signal of the
+    dedup family (a doc of df=1 shingles is unique content; novelty ≈ 0
+    marks boilerplate or near-duplicates), used as a data-mixing weight.
+    One shuffle on the hashed shingle (df), one per-doc aggregate; rides
+    the same pre-hashed shingle arithmetic as MinHash."""
+    from ..functions.hashing import hashed_shingles_sql
+
+    sh = hashed_shingles_sql("spark", "text")
+    docs = _spread(_t(spark, sf_dir, "documents")).where(F.length("text") >= 5)
+    exploded = docs.select("doc_id", F.explode(F.expr(sh)).alias("h"))
+    df_ = exploded.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        exploded.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
     )
 
 
@@ -5982,9 +6112,23 @@ def q_text_scoring_suite(spark, sf_dir):
         "'bucket', CAST(NULL AS DOUBLE), ppl_bucket) "
         "AS (metric, value_num, value_str)",
     )
+    rd = REGISTRY["text_readability"].fn(spark, sf_dir).selectExpr(
+        "'readability' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(3, 'n_words', CAST(n_words AS DOUBLE), "
+        "'words_per_sentence', words_per_sentence, "
+        "'flesch', flesch) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
+    nv = REGISTRY["text_novelty"].fn(spark, sf_dir).selectExpr(
+        "'novelty' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(2, 'n_novel', CAST(n_novel AS DOUBLE), "
+        "'novelty', novelty) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         ug.unionByName(pii).unionByName(rep).unionByName(topk)
         .unionByName(emb).unionByName(topics).unionByName(ppl)
+        .unionByName(rd).unionByName(nv)
     )
 
 
@@ -5997,7 +6141,9 @@ REGISTRY["text_scoring_suite"] = QueryDef(
          topk AS ({REGISTRY["grouped_topk_docs"].oracle}),
          emb AS ({REGISTRY["doc_embeddings"].oracle}),
          topics AS MATERIALIZED ({REGISTRY["cluster_topic_profile"].oracle}),
-         ppl AS MATERIALIZED ({REGISTRY["lm_perplexity"].oracle})
+         ppl AS MATERIALIZED ({REGISTRY["lm_perplexity"].oracle}),
+         tsrd AS MATERIALIZED ({REGISTRY["text_readability"].oracle}),
+         tsnv AS MATERIALIZED ({REGISTRY["text_novelty"].oracle})
     SELECT 'unigram' AS section, CAST(doc_id AS VARCHAR) AS key,
            'mean_logprob' AS metric, mean_logprob AS value_num,
            CAST(NULL AS VARCHAR) AS value_str FROM ug
@@ -6033,6 +6179,16 @@ REGISTRY["text_scoring_suite"] = QueryDef(
            perplexity, NULL FROM ppl
     UNION ALL SELECT 'ppl', CAST(doc_id AS VARCHAR), 'bucket',
            NULL, ppl_bucket FROM ppl
+    UNION ALL SELECT 'readability', CAST(doc_id AS VARCHAR), 'n_words',
+           CAST(n_words AS DOUBLE), NULL FROM tsrd
+    UNION ALL SELECT 'readability', CAST(doc_id AS VARCHAR),
+           'words_per_sentence', words_per_sentence, NULL FROM tsrd
+    UNION ALL SELECT 'readability', CAST(doc_id AS VARCHAR), 'flesch',
+           flesch, NULL FROM tsrd
+    UNION ALL SELECT 'novelty', CAST(doc_id AS VARCHAR), 'n_novel',
+           CAST(n_novel AS DOUBLE), NULL FROM tsnv
+    UNION ALL SELECT 'novelty', CAST(doc_id AS VARCHAR), 'novelty',
+           novelty, NULL FROM tsnv
     """,
 )
 
@@ -6842,6 +6998,13 @@ def q_graph_suite(spark, sf_dir):
         "CAST(core_degree AS DOUBLE) AS value_num",
         "CAST(NULL AS STRING) AS value_str",
     )
+    bf_ = REGISTRY["graph_bfs_levels"].fn(spark, sf_dir).selectExpr(
+        "'bfs' AS section",
+        "CAST(node AS STRING) AS key",
+        "'level' AS metric",
+        "CAST(level AS DOUBLE) AS value_num",
+        "CAST(NULL AS STRING) AS value_str",
+    )
     lp = REGISTRY["graph_link_prediction"].fn(spark, sf_dir).selectExpr(
         "'link_pred' AS section",
         "concat(CAST(u AS STRING), ':', CAST(w AS STRING)) AS key",
@@ -6857,6 +7020,7 @@ def q_graph_suite(spark, sf_dir):
         .unionByName(tr_c)
         .unionByName(kc)
         .unionByName(lp)
+        .unionByName(bf_)
     )
 
 
@@ -6868,7 +7032,8 @@ REGISTRY["graph_suite"] = QueryDef(
          cop AS MATERIALIZED ({REGISTRY["copurchase_pairs"].oracle}),
          tri AS MATERIALIZED ({REGISTRY["graph_triangles"].oracle}),
          kc AS MATERIALIZED ({REGISTRY["graph_kcore"].oracle}),
-         glp AS MATERIALIZED ({REGISTRY["graph_link_prediction"].oracle})
+         glp AS MATERIALIZED ({REGISTRY["graph_link_prediction"].oracle}),
+         gbfs AS MATERIALIZED ({REGISTRY["graph_bfs_levels"].oracle})
     SELECT 'pagerank' AS section, node AS key, 'pagerank' AS metric,
            pagerank AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM pr
     UNION ALL SELECT 'communities', node, 'community',
@@ -6891,6 +7056,8 @@ REGISTRY["graph_suite"] = QueryDef(
     UNION ALL SELECT 'link_pred',
            CAST(u AS VARCHAR) || ':' || CAST(w AS VARCHAR), 'pref_attach',
            CAST(pref_attach AS DOUBLE), NULL FROM glp
+    UNION ALL SELECT 'bfs', CAST(node AS VARCHAR), 'level',
+           CAST(level AS DOUBLE), NULL FROM gbfs
     """,
 )
 
@@ -7001,7 +7168,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
         "grouped_topk_docs", "doc_embeddings", "cluster_topic_profile",
-        "lm_perplexity",
+        "lm_perplexity", "text_readability", "text_novelty",
     ),
     "corpus_prep_suite": (
         "corpus_decontaminate", "corpus_decontaminate_bloom",
@@ -7026,6 +7193,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
         "graph_triangles", "graph_kcore", "graph_link_prediction",
+        "graph_bfs_levels",
     ),
     "bpe_encode": ("bpe_merges",),
     "dedup_minhash_lsh": ("dedup_minhash_sig",),
