@@ -37,7 +37,14 @@ def main() -> int:
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
     t_all = time.time()
-    for name in DRIVER_ORDER:
+    # DRIVER_ORDER first (the curated ordering), then every registered
+    # query it doesn't list — new operators register before they are
+    # curated into the order, and the sweep's whole point is that NOTHING
+    # hides outside the timed set (the r5 "212 of 213 swept" finding)
+    sweep_names = list(DRIVER_ORDER) + [
+        n for n in REGISTRY if n not in set(DRIVER_ORDER)
+    ]
+    for name in sweep_names:
         t0 = time.time()
         try:
             REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
