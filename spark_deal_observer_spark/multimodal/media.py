@@ -914,9 +914,12 @@ def attach_video(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_cpu(docs.select("doc_id", "text")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    # kernel domain must MATCH the oracles' WHERE length(text) >= 1: an
+    # empty text reaches numpy as a mod-by-zero + empty-index crash in
+    # the executor, where the oracle would just omit the row
+    return spread_cpu(
+        docs.select("doc_id", "text").where(F.length("text") >= 1)
+    ).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 VIDEO_FEATURE_SCHEMA = StructType(

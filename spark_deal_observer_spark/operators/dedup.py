@@ -224,19 +224,7 @@ def minhash_lsh_star_edges(docs: DataFrame) -> DataFrame:
     per bucket instead of O(k²). This is the right input for the clustering
     stage; `minhash_lsh_pairs` remains the right output when the pairs
     themselves are the product (e.g. feeding a verify stage)."""
-    sigs = minhash_signatures(docs)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = _band_rows(docs)
     buckets = exploded.groupBy("band", "key").agg(
         F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
     )
@@ -1814,6 +1802,47 @@ def _star(bands: DataFrame) -> DataFrame:
     )
 
 
+def fold_clusters(
+    delta_edges: DataFrame, prior_labels: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Supernode contraction → delta CC → expand: fold new edges into an
+    established (doc_id, cluster) label map. THE shared construction —
+    the batch `incremental_clusters` and the streaming ClusterMaintSink
+    both call this, so their equality proofs (full-graph CC oracle;
+    streamed-vs-batch test) pin one implementation, not two copies that
+    could drift. Exactness argument: prior labels are component-MIN doc
+    ids, so the contracted fixpoint's min over (labels ∪ new node ids)
+    equals the global component min."""
+    la = prior_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca")
+    )
+    lb = prior_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb")
+    )
+    contracted = (
+        delta_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("ca", "doc_a").alias("doc_a"),
+            F.coalesce("cb", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    delta = _cc_run(contracted, max_iter)
+    reps = delta.select(
+        F.col("doc_id").alias("rep"), F.col("cluster").alias("new_label")
+    )
+    kept = prior_labels.join(
+        reps, prior_labels.cluster == reps.rep, "left"
+    ).select("doc_id", F.coalesce("new_label", "cluster").alias("cluster"))
+    fresh = delta.join(
+        prior_labels.select(F.col("cluster").alias("rep")).distinct(),
+        delta.doc_id == F.col("rep"),
+        "left_anti",
+    ).select("doc_id", "cluster")
+    return kept.unionByName(fresh)
+
+
 def incremental_clusters(
     docs: DataFrame, batch_mod: int = 10, max_iter: int = 25
 ) -> DataFrame:
@@ -1843,6 +1872,8 @@ def incremental_clusters(
     contracted delta graph (rounds bounded by DELTA diameter);
     (5) re-expand: relabel corpus components through the delta fixpoint,
     emit delta-only nodes directly."""
+    from .models import published
+
     bands = _band_rows(docs)
     is_batch = F.col("doc_id") % batch_mod == 0
     corpus_edges = _star(bands.where(~is_batch))
@@ -1850,31 +1881,13 @@ def incremental_clusters(
     batch_keys = bands.where(is_batch).select("band", "key").distinct()
     touched = bands.join(batch_keys, ["band", "key"])
     delta_edges = _star(touched)
-    la = corpus_labels.select(
-        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca")
+    # the final label map is node-sized and read by two consumers (the
+    # registered query and the lifecycle gate suite) — published like
+    # every converged label table
+    return published(
+        bands,
+        "incremental_cluster_labels",
+        (batch_mod, max_iter),
+        lambda: fold_clusters(delta_edges, corpus_labels, max_iter)
+        .localCheckpoint(eager=True),
     )
-    lb = corpus_labels.select(
-        F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb")
-    )
-    contracted = (
-        delta_edges.join(la, "doc_a", "left")
-        .join(lb, "doc_b", "left")
-        .select(
-            F.coalesce("ca", "doc_a").alias("doc_a"),
-            F.coalesce("cb", "doc_b").alias("doc_b"),
-        )
-        .where(F.col("doc_a") != F.col("doc_b"))
-    )
-    delta_cc = connected_components(contracted, max_iter)
-    reps = delta_cc.select(
-        F.col("doc_id").alias("rep"), F.col("cluster").alias("new_label")
-    )
-    corpus_final = corpus_labels.join(
-        reps, corpus_labels.cluster == reps.rep, "left"
-    ).select("doc_id", F.coalesce("new_label", "cluster").alias("cluster"))
-    delta_only = delta_cc.join(
-        corpus_labels.select(F.col("cluster").alias("rep")).distinct(),
-        delta_cc.doc_id == F.col("rep"),
-        "left_anti",
-    ).select("doc_id", "cluster")
-    return corpus_final.unionByName(delta_only)

@@ -429,10 +429,12 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
     (num2 = x[-12] + 2·Σ_{j=-11..+11} x[j] + x[+12]) and the ×48-scaled
     detrended series (48·x − num2) are BIGINTs, so the per-slot seasonal
     index is ONE division of exact integers — no float summation order
-    exists for the engines to disagree on. Lag/lead terms are NOT
-    coalesced: a missing neighbour nulls num2, which IS the classical
-    full-window rule (trend undefined within half a period of either
-    series end). The seasonal index is the plain period average of the
+    exists for the engines to disagree on. The hourly series is
+    DENSIFIED first (missing hours carry their true count, zero), so the
+    row window IS the calendar window; lag/lead terms are then NOT
+    coalesced, and a missing neighbour nulls num2 exactly at the series
+    ends — the classical full-window rule (trend undefined within half a
+    period of either end). The seasonal index is the plain period average of the
     detrended series (uncentered — the remainder is zero-mean per slot by
     construction, and no float mean-of-means enters the plan). Each
     output column rounds exactly once, at 6 dp.
@@ -443,9 +445,38 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
     |types|×hours rows, metadata-sized at any SF."""
     from pyspark.sql.window import Window
 
-    hourly = events.groupBy(
-        "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
-    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    hourly = (
+        events.groupBy("event_type", trunc_ntz("hour", "ts").alias("bucket_ts"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .localCheckpoint(eager=False)  # read twice: span scan + dense join
+    )
+    # DENSIFY before the window: the MA is a calendar construct, and a
+    # row-based window over a gappy series silently averages 25 rows
+    # spanning >25 wall-clock hours — unbalanced hour-of-day weights, a
+    # polluted seasonal index (caught by review; the oracle had the same
+    # row window so parity could not see it). Missing hours have a TRUE
+    # count of zero, so the dense grid is the honest series. Bucket
+    # indices via NTZ integer hours (the trunc_ntz rule).
+    hset = (
+        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
+    ).cast("bigint")
+    span = hourly.groupBy("event_type").agg(
+        F.min(hset).alias("h_lo"), F.max(hset).alias("h_hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(h_lo, h_hi)")).alias("h"),
+    ).select(
+        "event_type",
+        F.timestamp_add("HOUR", F.col("h").cast("int"), F.expr(_UNIX_NTZ)).alias(
+            "bucket_ts"
+        ),
+    )
+    dense = grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
     num2 = None
     for j in range(-SEAS_HALF, SEAS_HALF + 1):
@@ -468,7 +499,7 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
     # and the final join read it, and the slot side's detr48 filter breaks
     # exchange reuse (the DSIR pushdown-fragility class): without the
     # barrier the events scan + hourly aggregate execute twice.
-    ma = hourly.select(
+    ma = dense.select(
         "event_type",
         "bucket_ts",
         "n_events",
@@ -518,13 +549,31 @@ def event_seasonal_decompose_oracle() -> str:
           SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
                  CAST(count(*) AS BIGINT) AS n_events
           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        sd_span AS (
+          SELECT event_type,
+                 min(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                              bucket_ts)) AS h_lo,
+                 max(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                              bucket_ts)) AS h_hi
+          FROM sd_hourly GROUP BY event_type),
+        sd_grid AS (
+          SELECT event_type,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                   + unnest(range(h_lo, h_hi + 1)) * INTERVAL 1 HOUR
+                   AS bucket_ts
+          FROM sd_span),
+        sd_dense AS (
+          SELECT g.event_type, g.bucket_ts,
+                 CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+          FROM sd_grid g LEFT JOIN sd_hourly h
+            ON h.event_type = g.event_type AND h.bucket_ts = g.bucket_ts),
         sd_ma AS (
           SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
                  n_events,
                  CAST(hour(bucket_ts) AS BIGINT) AS hod,
                  CAST({num2} AS BIGINT) AS num2,
                  CAST(48 * n_events - ({num2}) AS BIGINT) AS detr48
-          FROM sd_hourly
+          FROM sd_dense
           WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
         sd_slot AS (
           SELECT event_type, hod, SUM(detr48) AS s48, COUNT(*) AS c

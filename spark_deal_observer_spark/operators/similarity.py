@@ -1367,15 +1367,19 @@ def _dim_ablation_run(
             F.col("cos").desc(), F.col("vec_id")
         )
     )
+    # eager checkpoint: BOTH the truth filter and the hits join read
+    # topk, and without the barrier each branch re-executes the probe
+    # cross-join + 4 prefix-dot-products per pair + the window sort —
+    # the build's dominant stage, twice (the link_prediction `capped`
+    # rationale). Also breaks the self-join lineage ambiguity.
     topk = (
         tiers.select("probe_id", "vec_id", "dim", rn.alias("rn"))
         .where(F.col("rn") <= k)
         .select("probe_id", "vec_id", "dim")
+        .localCheckpoint(eager=True)
     )
-    truth = (
-        topk.where(F.col("dim") == max(dims))
-        .select(F.col("probe_id").alias("tp"), F.col("vec_id").alias("tv"))
-        .localCheckpoint(eager=False)  # breaks the self-join lineage ambiguity
+    truth = topk.where(F.col("dim") == max(dims)).select(
+        F.col("probe_id").alias("tp"), F.col("vec_id").alias("tv")
     )
     hits = topk.join(
         truth, (topk.probe_id == truth.tp) & (topk.vec_id == truth.tv)

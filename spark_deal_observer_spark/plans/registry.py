@@ -3839,10 +3839,18 @@ def q_text_novelty(spark, sf_dir):
     One shuffle on the hashed shingle (df), one per-doc aggregate; rides
     the same pre-hashed shingle arithmetic as MinHash."""
     from ..functions.hashing import hashed_shingles_sql
+    from ..operators.models import disk_checkpoint
 
     sh = hashed_shingles_sql("spark", "text")
     docs = _spread(_t(spark, sf_dir, "documents")).where(F.length("text") >= 5)
-    exploded = docs.select("doc_id", F.explode(F.expr(sh)).alias("h"))
+    # corpus-sized and read by TWO branches (the df aggregate and the
+    # per-doc join) whose different shuffle shapes defeat exchange reuse
+    # — without the barrier the md5-per-shingle scan executes twice
+    # (parquet tier, not localCheckpoint: the 100x OOM rule)
+    exploded = disk_checkpoint(
+        docs.select("doc_id", F.explode(F.expr(sh)).alias("h")),
+        "novelty_shingles",
+    )
     df_ = exploded.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df")
     )

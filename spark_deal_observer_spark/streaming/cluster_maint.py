@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import _cc_run
+from ..operators.dedup import _star, fold_clusters
 from .atomic import SnapshotStore
 from .dedup_ingest import band_keys
 
@@ -96,44 +96,13 @@ class ClusterMaintSink:
         members = prior_bands.join(
             F.broadcast(touched_keys), ["band", "key"], "left_semi"
         ).unionByName(bk)
-        buckets = members.groupBy("band", "key").agg(
-            F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
-        )
-        edges = (
-            buckets.where(F.size("ids") > 1)
-            .select("hub", F.explode("ids").alias("doc_id"))
-            .where(F.col("doc_id") != F.col("hub"))
-            .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        )
-        la = prior_labels.select(
-            F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca")
-        )
-        lb = prior_labels.select(
-            F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb")
-        )
-        contracted = (
-            edges.join(la, "doc_a", "left")
-            .join(lb, "doc_b", "left")
-            .select(
-                F.coalesce("ca", "doc_a").alias("doc_a"),
-                F.coalesce("cb", "doc_b").alias("doc_b"),
-            )
-            .where(F.col("doc_a") != F.col("doc_b"))
-        )
-        delta = _cc_run(contracted, self.max_iter)
-        reps = delta.select(
-            F.col("doc_id").alias("rep"), F.col("cluster").alias("new_label")
-        )
-        kept = prior_labels.join(
-            reps, prior_labels.cluster == reps.rep, "left"
-        ).select("doc_id", F.coalesce("new_label", "cluster").alias("cluster"))
-        fresh = delta.join(
-            prior_labels.select(F.col("cluster").alias("rep")).distinct(),
-            delta.doc_id == F.col("rep"),
-            "left_anti",
-        ).select("doc_id", "cluster")
+        # shared construction (operators/dedup.py): per-bucket star over
+        # the touched members, then contract/fold through the prior label
+        # map — one implementation for the batch twin and this sink, so
+        # the streamed-vs-batch equality can't drift between two copies
+        labels = fold_clusters(_star(members), prior_labels, self.max_iter)
 
-        self._labels.write(kept.unionByName(fresh), batch_id)
+        self._labels.write(labels, batch_id)
         bk.write.mode("overwrite").parquet(self._bands.path(batch_id))
         if self.keep_snapshots is not None:
             self._labels.gc(self.keep_snapshots)

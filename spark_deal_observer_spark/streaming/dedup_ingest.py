@@ -40,25 +40,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import N_BANDS, ROWS_PER_BAND, minhash_signatures
 from .atomic import SnapshotStore
 
 
 def band_keys(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, key) — each document's LSH band bucket keys."""
-    sigs = minhash_signatures(docs)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    """(doc_id, band, key) — each document's LSH band bucket keys.
+
+    Delegates to the ONE band-row builder (operators/dedup.py::_band_rows)
+    the batch star-edge builder and the incremental contraction also use:
+    every path that must land in the SAME buckets shares the construction,
+    so a banding-scheme change cannot desynchronize them."""
+    from ..operators.dedup import _band_rows
+
+    return _band_rows(docs)
 
 
 class NearDupIngestSink:
