@@ -1020,8 +1020,16 @@ def video_features_oracle() -> str:
         WITH {_video_grid_sql()}
         SELECT doc_id, CAST(max(nf) AS INT) AS n_frames,
                {VIDEO_W} AS width, {VIDEO_H} AS height,
-               ROUND(sum(idx) / CAST(count(*) AS DOUBLE), 6) AS mean_idx,
-               ROUND(sum(d) / CAST(count(d) AS DOUBLE), 6) AS motion
+               -- Route both quotients through DECIMAL(18,12) before the
+               -- 6-dp round: the kernel uses exact half-up _round6_ratio
+               -- and nf=10/11 gives den=640 whose 6-dp ties are not
+               -- double-representable — plain ROUND(double) flips ~100 of
+               -- the odd-numerator ties down (r6 ADVICE, verified to match
+               -- _round6_ratio on all den=640 tie cases).
+               CAST(ROUND(CAST(sum(idx) / CAST(count(*) AS DOUBLE)
+                               AS DECIMAL(18,12)), 6) AS DOUBLE) AS mean_idx,
+               CAST(ROUND(CAST(sum(d) / CAST(count(d) AS DOUBLE)
+                               AS DECIMAL(18,12)), 6) AS DOUBLE) AS motion
         FROM (
           SELECT a.doc_id, a.nf, a.idx, abs(b.idx - a.idx) AS d
           FROM vgrid a LEFT JOIN vgrid b
@@ -1066,7 +1074,11 @@ def video_frame_sample(media: DataFrame) -> DataFrame:
                     ids.append(d)
                     fnos.append(f)
                     sums.append(int((px[f] * weights).sum()))
-                    means.append(round(px[f].sum() / (w * h), 6))
+                    # _round6_ratio, not Python round(): banker's rounding
+                    # is safe only while w*h=64 keeps every mean exact at
+                    # 6 dp — this kernel must share extract_video_features'
+                    # half-up tie rule if the geometry ever changes.
+                    means.append(_round6_ratio(int(px[f].sum()), w * h))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

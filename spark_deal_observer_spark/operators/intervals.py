@@ -540,8 +540,11 @@ def event_seasonal_decompose_oracle() -> str:
         wt = 1 if abs(j) == SEAS_HALF else 2
         terms.append(f"{wt} * ({lag})" if wt != 1 else f"({lag})")
     num2 = " + ".join(terms)
-    # quotients round through DECIMAL(18,12) — the exact-decimal-tie rule
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    # quotients round through a wide decimal — the exact-decimal-tie rule.
+    # DECIMAL(28,12), not (18,12): trend ≈ hourly event count, and (18,12)
+    # holds only 6 integer digits, so a corpus with >=10^6 events/hour/type
+    # would overflow the oracle-side cast (r6 ADVICE; Spark side unaffected).
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(28,12)), 6) AS DOUBLE)"
     trend = rnd.format(x="num2 / 48.0")
     seasonal = rnd.format(x="s48 / (48.0 * c)")
     return f"""
