@@ -13,7 +13,6 @@ import json
 import os
 import re
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -179,14 +178,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    from spark_deal_observer_spark import benchkit
     from spark_deal_observer_spark.plans.registry import REGISTRY
     from spark_deal_observer_spark.session import get_spark
 
+    # Refuse-to-silently-measure-on-a-busy-box guard (VERDICT r6 item 1):
+    # wait for the 1-min load to drop below the threshold; if it never
+    # does, proceed (the driver needs AN artifact) but every JSON line
+    # below carries loadavg fields + a `contaminated` flag so the reading
+    # can never again masquerade as an idle measurement.
+    start_load, waited = benchkit.guard_load(label="bench", refuse=False)
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the JVM/codegen paths so per-query numbers reflect steady state.
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    benchkit.warm_session(spark)
 
     from spark_deal_observer_spark.operators import models
 
@@ -202,11 +207,7 @@ def main() -> None:
         # warm-vs-cold distinction the r5 verdict asked the artifact to
         # carry (graph_suite: 0.2 s warm vs ~10 s cold are both real).
         models.clear()
-        runs: list[float] = []
-        for _ in range(RUNS):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
+        runs = [benchkit.time_noop(spark, fn, sf_dir) for _ in range(RUNS)]
         timings[name] = round(min(runs), 3)
         cold[name] = round(runs[0], 3)
         if models._STORE:  # the query published/consumed a trained artifact
@@ -224,6 +225,7 @@ def main() -> None:
     # unparseable (BENCH_r04 "parsed": null). Emit the per-query map
     # FIRST (stdout + a sibling file for full fidelity) and a compact
     # summary line LAST so the final line always survives and parses.
+    stamp = benchkit.loadstamp(start_load, waited_s=waited)
     detail = {
         "metric": "headline_queries_detail",
         "unit": "sec",
@@ -231,6 +233,7 @@ def main() -> None:
         "cold_s": cold,
         "published_artifact": published_artifact,
         "sf": sf,
+        **stamp,
     }
     (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -245,6 +248,7 @@ def main() -> None:
                 "n": len(timings),
                 "sf": sf,
                 "detail_file": "BENCH_DETAIL.json",
+                **stamp,
             }
         )
     )

@@ -30,6 +30,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep_catalog.json"
 
+    from spark_deal_observer_spark import benchkit
     from spark_deal_observer_spark.plans.registry import (
         DRIVER_ORDER,
         REGISTRY,
@@ -37,24 +38,32 @@ def main() -> None:
     )
     from spark_deal_observer_spark.session import get_spark
 
+    # Same measurement path as bench.py/sweep_sf01.py (benchkit): refuse
+    # a loaded box, time via the shared noop-sink runner, stamp the
+    # artifact — so the repo can never again carry two conflicting
+    # numbers for one query with no way to tell which was contaminated.
+    start_load, waited = benchkit.guard_load(label="suite-breakdown", refuse=True)
+
     spark = get_spark("suite-breakdown")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    benchkit.warm_session(spark)
 
     times: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in DRIVER_ORDER:
-        t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, SF).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = round(benchkit.time_noop(spark, REGISTRY[name].fn, SF), 3)
         print(f"DONE {name} {times[name]:.3f}", flush=True)
     total = round(time.perf_counter() - t_all, 1)
     Path(out_json).write_text(
-        json.dumps({"sf_dir": SF, "total_s": total, "times": times}, indent=1)
+        json.dumps(
+            {
+                "sf_dir": SF,
+                "total_s": total,
+                "times": times,
+                **benchkit.loadstamp(start_load, waited_s=waited),
+            },
+            indent=1,
+        )
     )
     print(f"\nswept {len(times)} queries in {total}s -> {out_json}\n")
 

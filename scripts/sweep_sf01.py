@@ -5,10 +5,20 @@ covers only the HEADLINE list, and the 29 s string-array Jaccard verify
 was found by exactly this sweep. Single run per query; queries appearing
 after a same-artifact trainer read the published artifact (warm), which
 matches the sweep's steady-state intent — cold numbers live in
-BENCH_DETAIL.json's cold_s. Never run while another Spark job competes
-for the cores (a contended reading once faked a 3.5× regression).
+BENCH_DETAIL.json's cold_s.
 
-Usage: python scripts/sweep_sf01.py [sf_dir]
+Measurement discipline (VERDICT r6 item 1): a contended reading once
+faked a 3.5× regression, so this script REFUSES to start while the
+1-minute load says another job owns the cores (SPARK_GRAFT_BENCH_FORCE=1
+overrides), and the artifact records the load it ran under.
+
+--warm (VERDICT r6 item 7): after the main pass, re-run just the
+compound suite queries against the now-fully-published artifact registry
+and record `suite_times_warm` + `total_warm_s` alongside the main
+totals — one artifact that separates operator cost (warm suite) from
+training cost (main-pass suite minus warm suite).
+
+Usage: python scripts/sweep_sf01.py [sf_dir] [--warm]
 """
 
 from __future__ import annotations
@@ -21,18 +31,25 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+WARM = "--warm" in sys.argv[1:]
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.1"
 
 
 def main() -> int:
-    from spark_deal_observer_spark.plans.registry import DRIVER_ORDER, REGISTRY
+    from spark_deal_observer_spark import benchkit
+    from spark_deal_observer_spark.plans.registry import (
+        DRIVER_ORDER,
+        REGISTRY,
+        SUITE_COMPONENTS,
+    )
     from spark_deal_observer_spark.session import get_spark
+
+    start_load, waited = benchkit.guard_load(label="sweep", refuse=True)
 
     spark = get_spark("sweep-sf01")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    benchkit.warm_session(spark)
 
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
@@ -45,26 +62,51 @@ def main() -> int:
         n for n in REGISTRY if n not in set(DRIVER_ORDER)
     ]
     for name in sweep_names:
-        t0 = time.time()
         try:
-            REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times[name] = round(time.time() - t0, 3)
+            times[name] = round(
+                benchkit.time_noop(spark, REGISTRY[name].fn, SF_DIR), 3
+            )
         except Exception as e:  # noqa: BLE001
             errs[name] = str(e)[:300]
             print(f"{name}: ERROR {e}", flush=True)
+    total = round(time.time() - t_all, 1)
+
     out = {
         "sf_dir": SF_DIR,
-        "total_s": round(time.time() - t_all, 1),
+        "total_s": total,
         "times": times,
+        **benchkit.loadstamp(start_load, waited_s=waited),
     }
+
+    if WARM:
+        # Every trainable artifact is published by now (main pass), so a
+        # suite re-run pays only its operators, not its training.
+        suite_warm: dict[str, float] = {}
+        for name in SUITE_COMPONENTS:
+            if name not in REGISTRY or name in errs:
+                continue
+            try:
+                suite_warm[name] = round(
+                    benchkit.time_noop(spark, REGISTRY[name].fn, SF_DIR), 3
+                )
+            except Exception as e:  # noqa: BLE001
+                errs[f"warm:{name}"] = str(e)[:300]
+        cold_suite = sum(times.get(n, 0.0) for n in suite_warm)
+        out["suite_times_warm"] = suite_warm
+        out["suite_training_s"] = round(
+            cold_suite - sum(suite_warm.values()), 1
+        )
+        out["total_warm_s"] = round(
+            total - cold_suite + sum(suite_warm.values()), 1
+        )
+
     if errs:
         out["errors"] = errs
     (REPO / "SWEEP_SF01.json").write_text(json.dumps(out, indent=1) + "\n")
-    print(
-        json.dumps({"total_s": out["total_s"], "n": len(times), "errs": len(errs)})
-    )
+    summary = {"total_s": out["total_s"], "n": len(times), "errs": len(errs)}
+    if WARM:
+        summary["total_warm_s"] = out["total_warm_s"]
+    print(json.dumps(summary))
     for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:20]:
         print(f"{k}: {v}", flush=True)
     return 1 if errs else 0
