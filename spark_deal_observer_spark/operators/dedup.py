@@ -630,7 +630,62 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+# Stats of the most recent _cc_run, for the pointer-doubling round-count
+# property tests (tests/test_dedup.py) and the SCALE.md graph decade:
+# {"rounds": total Spark label-update rounds (neighbor-min + flatten jumps,
+# including the final no-op verification rounds), "converged": bool}.
+LAST_CC_STATS: dict[str, object] = {}
+
+
 def _cc_run(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation with min-HOOKING and FULL pointer doubling
+    (VERDICT r6 #3 — provably bounded rounds instead of O(diameter)
+    behind a warning).
+
+    Alternates two label-monotone steps until a hooking pass is a no-op:
+
+    1. **Neighbor-min + hooking (+one fused jump)** — per edge (u,v),
+       candidate ℓ(v) goes to node u (neighbor-min) AND to node ℓ(u)
+       (Shiloach–Vishkin-style hooking: a star's ROOT learns the min of
+       every star adjacent to any of its members). One union-groupBy
+       folds own labels, neighbor candidates and hooked candidates into
+       a single min aggregate, then label ← label's label fuses the
+       first compression jump into the same round.
+    2. **Flatten to fixpoint** — pointer doubling: label ← label[label]
+       repeated until the label forest is flat. Each jump composes the
+       pointer function with itself, so chain length HALVES per jump —
+       the inner loop terminates in ≤ ⌈log2(longest chain)⌉+1 jumps
+       unconditionally (labels are monotone non-increasing, so
+       checksum-unchanged ⇔ fixpoint, up to a 2^-64 hash collision).
+
+    Why hooking is load-bearing: without it, a star rooted at a LOCAL
+    minimum never hears about a smaller label except through one graph
+    hop per round of its members — a spliced chain with an interior
+    local min (test_cc_round_bound_min_in_middle) stalls back to
+    O(diameter) rounds exactly like the pre-r7 loop. With hooking, every
+    round each star adopts the min root among adjacent stars and the
+    flatten composes simultaneous adoptions (a monotone chain of star
+    merges collapses in ONE round), so components contract
+    logarithmically.
+
+    Exactness: if a full pass changes nothing, in particular
+    neighbor-min changed nothing, so for every edge (u,v) both
+    ℓ(u) ≤ ℓ(v) and ℓ(v) ≤ ℓ(u) — labels are constant per component;
+    labels only ever take member-id values and the component-min node
+    keeps labelling itself, so the constant is the component min. The
+    fixpoint IS the answer; no flatness assumption needed.
+
+    Bound: total Spark label-update rounds ≤ ⌈log2(diameter)⌉+2 on chain
+    graphs (tight — equality on power-of-two diameters), small constants
+    on stars and local-min splices. Pinned by the property tests in
+    tests/test_dedup_clusters.py across 3 decades of diameter plus the
+    adversarial shapes; `max_iter` bounds OUTER rounds only and is a
+    never-expected backstop rather than a scaling cliff.
+
+    Each round `localCheckpoint`s to truncate lineage (the classic
+    Spark-iteration trap) and the convergence checksum rides the lazy
+    checkpoint's materialization job, so every round is ONE Spark job.
+    """
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -641,42 +696,72 @@ def _cc_run(pairs: DataFrame, max_iter: int) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # Each round: (1) fused neighbor-min — one join + one union-groupBy
-    # (instead of join→groupBy→second join: the union folds "own label" into
-    # the same aggregate, saving a shuffle); (2) pointer jump — label ←
-    # label's label, the path-compression step that turns O(diameter) rounds
-    # into O(log diameter): a chain of hub-linked buckets halves each round.
-    # Convergence detection is a label-set checksum that rides the same
-    # materialization job (labels only ever decrease, so checksum-unchanged
-    # ⇔ fixpoint, up to a 2^-64 hash collision); the old per-round
-    # changed-count needed the dropped second join to see the prior label.
+
+    def _checksum(lbl: DataFrame):
+        return lbl.agg(  # decimal sum: ANSI mode would overflow a BIGINT sum
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("chk")
+        ).collect()[0][0]
+
+    def _jump(lbl: DataFrame) -> DataFrame:
+        hop = lbl.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        return (
+            lbl.join(hop, lbl.label == hop.pnode, "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+
+    rounds = 0
     prev_chk = None
     converged = False
     for _ in range(max_iter):
-        cand = sym.join(labels, sym.doc_b == labels.node).select(
-            F.col("doc_a").alias("node"), "label"
+        # -- neighbor-min + hooking round (one fused pointer jump) --
+        # Per edge (u,v) with current labels ℓ: candidate ℓ(v) goes to u
+        # (neighbor-min) AND to ℓ(u) (Shiloach–Vishkin-style hooking —
+        # the star ROOT learns its neighborhood's min). Without hooking,
+        # a star rooted at a LOCAL min stalls: the global min creeps one
+        # graph hop per round along its members (O(diameter) rounds —
+        # found by test_cc_round_bound_min_in_middle, which also OOM'd
+        # the planner via ~n compounding stats estimates). With hooking,
+        # every round each star adopts the min root among its adjacent
+        # stars and the flatten composes simultaneous adoptions, so star
+        # chains collapse in one round and components contract
+        # logarithmically.
+        both = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .select("doc_a", F.col("label").alias("lab_b"))
+            .join(labels.select(F.col("node").alias("doc_a"), F.col("label").alias("lab_a")), "doc_a")
+        )
+        cand = both.select(F.col("doc_a").alias("node"), F.col("lab_b").alias("label")).union(
+            both.select(F.col("lab_a").alias("node"), F.col("lab_b").alias("label"))
         )
         stepped = (
             labels.union(cand).groupBy("node").agg(F.min("label").alias("label"))
         )
-        hop = stepped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        labels = (
-            stepped.join(hop, stepped.label == hop.pnode, "left")
-            .select("node", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        chk = labels.agg(  # decimal sum: ANSI mode would overflow a BIGINT sum
-            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("chk")
-        ).collect()[0][0]
+        labels = _jump(stepped)
+        rounds += 1
+        chk = _checksum(labels)
         if chk == prev_chk:
             converged = True
             break
         prev_chk = chk
+        # -- flatten to fixpoint (pointer doubling) --
+        # Chain length halves per jump, so this terminates in
+        # ≤ ⌈log2(n)⌉+1 iterations regardless of graph shape; the range
+        # cap is unreachable paranoia (2^64 nodes), not a tuning knob.
+        for _ in range(64):
+            labels = _jump(labels)
+            rounds += 1
+            chk = _checksum(labels)
+            if chk == prev_chk:
+                break
+            prev_chk = chk
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"rounds": rounds, "converged": converged})
     if not converged:
-        # Loop exhausted max_iter with labels still moving: the result is a
-        # partial clustering (components wider than 2^max_iter hops keep
-        # stale labels). Surface it — silent wrong answers are worse than
-        # noise.
+        # max_iter outer rounds exhausted with labels still moving. With
+        # full flattening this needs a graph no real corpus produces (the
+        # property test pins ⌈log2(diameter)⌉+2 total rounds on chains);
+        # surface it anyway — silent wrong answers are worse than noise.
         import warnings
 
         warnings.warn(
