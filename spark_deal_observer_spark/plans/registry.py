@@ -2571,16 +2571,43 @@ def q_asof_join_last_view(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users", None)  # rows-only: sketches aren't oracle-exact
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event_type — the sketch that
     replaces exact distinct counting when even the salted two-stage form
     (distinct_salted) is too heavy: fixed-size state per group, map-side
-    mergeable, one tiny shuffle of sketches instead of value sets. Accuracy
-    is tolerance-checked against the exact count in tests/test_sketches.py."""
+    mergeable, one tiny shuffle of sketches instead of value sets.
+
+    Tolerance oracle (VERDICT r6 #4): the native estimate can't be
+    value-matched across engines, so the query emits the EXACT count
+    (value-verified against DuckDB's independent COUNT DISTINCT) plus a
+    `within_bound` boolean asserting the sketch sits within 5×rsd = 10%
+    of that very count — the same headroom tests/test_sketches.py uses.
+    The oracle side asserts TRUE, so any sketch excursion past the
+    documented bound breaks the gate hash, not just a pytest."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -2881,23 +2908,57 @@ def q_scd2_deal_history(spark, sf_dir):
     return scd2_merge(deals, updates, ["id"], eff, epoch0)
 
 
-@register("approx_quantiles_by_type", None)  # rows-only: sketches aren't oracle-exact
+@register(
+    "approx_quantiles_by_type",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q50,
+           CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q90,
+           CAST(ROUND(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q99,
+           TRUE AS q50_in_bound, TRUE AS q90_in_bound, TRUE AS q99_in_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_quantiles_by_type(spark, sf_dir):
     """Approximate quantile sketch (Greenwald-Khanna) per event_type — the
     second core sketch next to HLL (approx_distinct_users): fixed-size
     mergeable state per group, map-side combinable, one tiny shuffle of
-    sketches. Accuracy is tolerance-checked against the exact interpolated
-    percentiles in tests/test_sketches.py."""
+    sketches.
+
+    Tolerance oracle (VERDICT r6 #4): the GK estimate is an actual data
+    element, not the interpolated quantile, so it can't be value-matched
+    across engines. The query instead emits the EXACT interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    p·(n−1) linear interpolation, value-verified after the decimal-tie
+    6-dp round) plus per-percentile booleans asserting the sketch value
+    lies within the exact [p−δ, p+δ] quantile envelope, δ = 0.005 —
+    covering the documented rank error ε = 1/accuracy = 1e-4 plus the
+    ≤ 2/n element-vs-interpolation discretization for any n ≥ 500 (the
+    gate corpora have n ≥ 1981 per type). Oracle asserts TRUE, so a
+    sketch excursion breaks the gate hash, not just a pytest."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("qs"))
-        .select(
-            "event_type",
-            F.element_at("qs", 1).alias("q50"),
-            F.element_at("qs", 2).alias("q90"),
-            F.element_at("qs", 3).alias("q99"),
-        )
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)").alias("aq"),
+        F.expr(
+            "percentile(value, array(0.495D, 0.5D, 0.505D, 0.895D, 0.9D, 0.905D,"
+            " 0.985D, 0.99D, 0.995D))"
+        ).alias("ex"),
+    )
+
+    def _in_bound(i: int):  # aq[i] within [ex(p−δ), ex(p+δ)] ± float fuzz
+        lo = F.element_at("ex", 3 * i + 1) - F.lit(1e-9)
+        hi = F.element_at("ex", 3 * i + 3) + F.lit(1e-9)
+        a = F.element_at("aq", i + 1)
+        return (a >= lo) & (a <= hi)
+
+    return agg.select(
+        "event_type",
+        F.round(F.element_at("ex", 2), 6).alias("q50"),
+        F.round(F.element_at("ex", 5), 6).alias("q90"),
+        F.round(F.element_at("ex", 8), 6).alias("q99"),
+        _in_bound(0).alias("q50_in_bound"),
+        _in_bound(1).alias("q90_in_bound"),
+        _in_bound(2).alias("q99_in_bound"),
     )
 
 
