@@ -1,0 +1,322 @@
+"""Cross-modal retrieval: text query → media corpus top-k (VERDICT r6 #5).
+
+The one LLM-pipeline shape the engine lacked: given a TEXT query, rank a
+MEDIA corpus by relevance — the "find the images for this caption" head
+of a multimodal training-data pipeline. The two modalities live in
+incompatible spaces (hashed bag-of-words vs decoded-byte bucket means),
+so retrieval goes through a TRAINED LINEAR MAP — the trained analog of
+the data-independent JL projection in similarity.random_projection:
+
+    W = D⁻¹ · Xᵀ · Y_c        (diagonally-whitened cross-covariance)
+
+where X = text embeddings (ranking.hashed_doc_embeddings, 64-dim), Y_c =
+centered media bucket-mean vectors (media.media_bucket_means, 64
+buckets) over PAIRED training docs (each doc's own media rendering is
+its positive pair), and D = diag(XᵀX). Among the SQL-expressible maps we
+measured at sf0.01, diagonal whitening matches 20-step ridge GD at
+recall@10 (0.286 vs 0.286; raw covariance scores 0.12) while costing ONE
+aggregation pass — see tests/test_crossmodal.py for the pinned floor.
+
+Cross-engine exactness discipline (every aggregate is order-free exact
+integer math; the ONLY rounded division is W itself):
+
+- 6-dp inputs are scaled to ints (×1e6); sums of products accumulate in
+  DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact, order-independent.
+- Centering avoids a mean division entirely: y_c ∝ n·y − Σy (exact
+  ints); cosine is invariant to the uniform n scaling.
+- w6 = ROUND(N/D, 6) is the single cross-engine rounding boundary,
+  via the repo's DECIMAL(28,12) tie template (D is a huge unstructured
+  denominator, so exact 6-dp ties are measure-zero — unlike the dyadic
+  media ratios that bit round 6).
+- Projected queries p_j = Σ_i xq_i·w6_ij are again exact scaled-int
+  sums; the final cosine over (p, y_c) is the established ANN pattern
+  (doubles from exact ints, ordered-array folds, ROUND 6).
+
+Scale shape: training is one X⋈Y join fanning out dim² rows per paired
+doc, map-side combined into a 4096-row W — published once per corpus
+snapshot through operators/models.py (at 100 TB you'd bound the pair
+sample; the train_mod knob is that lever). Retrieval is the brute-force
+tier: queries are a bounded deterministic sample, broadcast against the
+candidate vectors (one corpus scan, TakeOrdered per query); the IVF
+ladder in operators/similarity.py is the drop-in scale path once the
+projected queries live in media space.
+
+Reference parity note: the reference (CheckerNetwork/spark-deal-observer)
+has no media pipeline; this family is part of the brief's
+training-data-pipeline surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+XMODAL_DIM = 64          # both sides: EMBED_DIM text dims and PHASH_BUCKETS
+XMODAL_QUERY_MOD = 10    # query sample: media docs with doc_id % mod == 0
+XMODAL_TRAIN_MOD = 1     # training-pair sample (1 = all paired docs)
+XMODAL_TOPK = 5
+
+_S = 1_000_000  # 6-dp fixed-point scale
+
+
+def _int6(col):
+    """6-dp double → exact scaled BIGINT (ROUND repairs the float fuzz)."""
+    return F.round(col * _S).cast("long")
+
+
+def _text_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, xi_int): the dense exploded text embedding, 0-based i."""
+    from ..operators.ranking import hashed_doc_embeddings
+
+    emb = hashed_doc_embeddings(docs)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "x")
+    ).select("doc_id", "i", _int6(F.col("x")).alias("xi"))
+
+
+def _media_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, j, yi_int): decoded bucket means, published once per
+    corpus snapshot (the Arrow decode pass is the dominant cost)."""
+    from ..operators.models import disk_checkpoint, published
+    from .media import attach_media, media_bucket_means
+
+    def build() -> DataFrame:
+        means = media_bucket_means(attach_media(docs))
+        return disk_checkpoint(
+            means.select(
+                "doc_id",
+                F.col("bucket").cast("int").alias("j"),
+                _int6(F.col("mean")).alias("yi"),
+            ),
+            "xmodal_means",
+        )
+
+    return published(docs, "xmodal_means", (), build)
+
+
+def _centered_media(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ycn rows for ALL media docs, 1-row training-count frame).
+
+    ycn = n·y − Σ_train y in exact scaled ints — centering without a
+    mean division; cosine is invariant to the uniform n factor."""
+    y = _media_rows(docs)
+    train = y.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+    stats = train.groupBy("j").agg(
+        F.sum("yi").alias("sy"), F.count("*").alias("n")
+    )
+    ycn = y.join(F.broadcast(stats), "j").select(
+        "doc_id", "j", (F.col("n") * F.col("yi") - F.col("sy")).alias("ycn")
+    )
+    return ycn, stats.select("n").limit(1)
+
+
+def crossmodal_projection(docs: DataFrame) -> DataFrame:
+    """The published 4096-row linear map: (i, j, w6) with
+    w6 = ROUND(Σ_train xi·ycn_j / Σ_train xi², 6)."""
+    from ..operators.models import published
+
+    def build() -> DataFrame:
+        x = _text_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+        ycn, _ = _centered_media(docs)
+        ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+        # Restrict both sides to PAIRED docs (media exists only for
+        # len ≥ 64 docs); the inner join enforces it for N, and D must
+        # sum over the same doc set or the ratio skews.
+        paired = ytrain.select("doc_id").distinct()
+        n_tab = (
+            x.join(ytrain, "doc_id")
+            .groupBy("i", "j")
+            .agg(
+                F.sum((F.col("xi") * F.col("ycn")).cast("decimal(38,0)")).alias("num")
+            )
+        )
+        d_tab = (
+            x.join(F.broadcast(paired), "doc_id")
+            .groupBy("i")
+            .agg(F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("den"))
+        )
+        w = n_tab.join(d_tab, "i").select(
+            "i",
+            "j",
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+            )
+            .alias("w6"),
+        )
+        return w.localCheckpoint()  # node-sized: dim² rows
+
+    return published(docs, "xmodal_w", (XMODAL_TRAIN_MOD,), build)
+
+
+def _vec(df: DataFrame, key: str, pos: str, val: str, out: str) -> DataFrame:
+    """Assemble (key, ordered array<double>) — array order IS the fold
+    order, which is what makes the cosine bit-identical across engines."""
+    return df.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(val).alias("v")))),
+            lambda s: s["v"].cast("double"),
+        ).alias(out)
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> p * q), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def crossmodal_retrieval(
+    docs: DataFrame, k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
+) -> DataFrame:
+    """Top-`k` media docs per sampled text query by cosine in media
+    space: (query_doc, media_doc, rank, cos). Self-retrieval quality is
+    pinned by tests/test_crossmodal.py (recall floor vs the measured
+    0.286 @10 ceiling of SQL-expressible linear maps)."""
+    w = crossmodal_projection(docs)
+    # Queries are CENTERED against the paired-training-doc mean before
+    # projecting (measured: 0.163 recall@5 vs 0.060 uncentered at
+    # sf0.01 — the raw bag-of-words vector is dominated by the corpus-
+    # common direction, which projects onto the corpus-mean media vector
+    # for every query). Same no-division trick as the media side:
+    # xcn = m·x − Σ_train x in exact scaled ints; cosine is invariant to
+    # the uniform m factor.
+    x = _text_rows(docs)
+    ycn_all, _ = _centered_media(docs)
+    paired = ycn_all.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0).select(
+        "doc_id"
+    ).distinct()
+    xstats = (
+        x.join(F.broadcast(paired), "doc_id")
+        .groupBy("i")
+        .agg(F.sum("xi").alias("sx"), F.count("*").alias("m"))
+    )
+    xq = (
+        x.where(F.col("doc_id") % query_mod == 0)
+        .join(F.broadcast(xstats), "i")
+        .select(
+            "doc_id", "i", (F.col("m") * F.col("xi") - F.col("sx")).alias("xcn")
+        )
+    )
+    # p_{q,j} = Σ_i xcn_i · w6_ij in exact scaled ints (decimal sums).
+    p = (
+        xq.join(
+            F.broadcast(w.select("i", "j", _int6(F.col("w6")).alias("wi"))), "i"
+        )
+        .groupBy(F.col("doc_id").alias("query_doc"), "j")
+        .agg(F.sum((F.col("xcn") * F.col("wi")).cast("decimal(38,0)")).alias("p"))
+    )
+    pvec = _vec(p, "query_doc", "j", "p", "pv")
+    yvec = _vec(ycn_all, "doc_id", "j", "ycn", "yv")
+    # Queries are a bounded sample → broadcast; one scan of candidates.
+    cos = F.expr(
+        f"ROUND({_dot('pv', 'yv')} / "
+        f"(sqrt({_dot('pv', 'pv')}) * sqrt({_dot('yv', 'yv')})), 6)"
+    )
+    scored = yvec.crossJoin(F.broadcast(pvec)).select(
+        "query_doc", F.col("doc_id").alias("media_doc"), cos.alias("cos")
+    )
+    # Queries without media (never: queries sample media docs' ids, but a
+    # text doc below the 64-byte media floor can be sampled) still emit
+    # their top-k — retrieval is defined for any embedded text.
+    rk = Window.partitionBy("query_doc").orderBy(
+        F.col("cos").desc(), F.col("media_doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_doc", "media_doc", "rank", "cos")
+    )
+
+
+def crossmodal_retrieval_oracle(
+    k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
+) -> str:
+    """DuckDB twin: identical scaled-int pipeline (HUGEINT sums), the
+    DECIMAL(28,12) tie template at the single W rounding boundary, and
+    the ordered list fold for the cosine."""
+    from ..operators.ranking import hashed_doc_embeddings_oracle
+
+    nb = XMODAL_DIM
+    dot = (
+        "list_sum(list_transform(generate_series(1, {n}), "
+        "n_ -> {a}[n_] * {b}[n_]))"
+    )
+
+    def d(a: str, b: str) -> str:
+        return dot.format(n=nb, a=a, b=b)
+
+    return f"""
+        WITH emb AS MATERIALIZED ({hashed_doc_embeddings_oracle()}),
+        xrows AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(ROUND(unnest(embedding) * {_S}) AS BIGINT) AS xi
+          FROM emb),
+        pdocs AS (SELECT doc_id, text, length(text) AS len FROM documents
+                  WHERE length(text) >= {nb}),
+        chars AS (
+          SELECT doc_id, len, generate_subscripts(cs, 1) AS pos, unnest(cs) AS ch
+          FROM (SELECT doc_id, len, str_split(text, '') AS cs FROM pdocs) t),
+        yrows AS MATERIALIZED (
+          SELECT doc_id, CAST(((pos - 1) * {nb}) // len AS INT) AS j,
+                 CAST(ROUND(ROUND(avg(CAST(ascii(ch) AS DOUBLE)), 6) * {_S})
+                      AS BIGINT) AS yi
+          FROM chars GROUP BY doc_id, ((pos - 1) * {nb}) // len),
+        ytrain AS (SELECT * FROM yrows WHERE doc_id % {XMODAL_TRAIN_MOD} = 0),
+        stats AS (SELECT j, SUM(yi) AS sy, COUNT(*) AS n FROM ytrain GROUP BY j),
+        ycn AS MATERIALIZED (
+          SELECT y.doc_id, y.j, s.n * y.yi - s.sy AS ycn
+          FROM yrows y JOIN stats s ON y.j = s.j),
+        ycn_train AS (SELECT * FROM ycn WHERE doc_id % {XMODAL_TRAIN_MOD} = 0),
+        xtrain AS (SELECT * FROM xrows WHERE doc_id % {XMODAL_TRAIN_MOD} = 0),
+        ntab AS (
+          SELECT x.i, y.j, SUM(CAST(x.xi AS HUGEINT) * y.ycn) AS num
+          FROM xtrain x JOIN ycn_train y ON x.doc_id = y.doc_id
+          GROUP BY x.i, y.j),
+        dtab AS (
+          SELECT x.i, SUM(CAST(x.xi AS HUGEINT) * x.xi) AS den
+          FROM xtrain x
+          WHERE x.doc_id IN (SELECT DISTINCT doc_id FROM ycn_train)
+          GROUP BY x.i),
+        w AS MATERIALIZED (
+          SELECT n_.i, n_.j,
+                 CASE WHEN d_.den = 0 THEN 0.0
+                      ELSE CAST(ROUND(CAST(CAST(n_.num AS DOUBLE) / CAST(d_.den AS DOUBLE)
+                           AS DECIMAL(28,12)), 6) AS DOUBLE) END AS w6
+          FROM ntab n_ JOIN dtab d_ ON n_.i = d_.i),
+        xstats AS (
+          SELECT i, SUM(xi) AS sx, COUNT(*) AS m
+          FROM xrows
+          WHERE doc_id IN (SELECT DISTINCT doc_id FROM ycn_train)
+          GROUP BY i),
+        xq AS (
+          SELECT x.doc_id, x.i, s.m * x.xi - s.sx AS xcn
+          FROM xrows x JOIN xstats s ON x.i = s.i
+          WHERE x.doc_id % {query_mod} = 0),
+        p AS (
+          SELECT x.doc_id AS query_doc, w.j,
+                 SUM(CAST(x.xcn AS HUGEINT) * CAST(ROUND(w.w6 * {_S}) AS BIGINT)) AS p
+          FROM xq x JOIN w ON x.i = w.i
+          GROUP BY x.doc_id, w.j),
+        pvec AS (
+          SELECT query_doc,
+                 list(CAST(p AS DOUBLE) ORDER BY j) AS pv
+          FROM p GROUP BY query_doc),
+        yvec AS (
+          SELECT doc_id, list(CAST(ycn AS DOUBLE) ORDER BY j) AS yv
+          FROM ycn GROUP BY doc_id),
+        scored AS (
+          SELECT q.query_doc, y.doc_id AS media_doc,
+                 ROUND({d('q.pv', 'y.yv')} /
+                       (sqrt({d('q.pv', 'q.pv')}) * sqrt({d('y.yv', 'y.yv')})), 6)
+                   AS cos
+          FROM yvec y CROSS JOIN pvec q),
+        ranked AS (
+          SELECT query_doc, media_doc, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                      ORDER BY cos DESC, media_doc ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_doc, media_doc, rank, cos
+        FROM ranked WHERE rank <= {k}
+    """

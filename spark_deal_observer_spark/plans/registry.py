@@ -5961,6 +5961,24 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
 )
 
 
+from ..multimodal.crossmodal import (  # noqa: E402
+    crossmodal_retrieval,
+    crossmodal_retrieval_oracle,
+)
+
+
+@register("crossmodal_retrieval", crossmodal_retrieval_oracle())
+def q_crossmodal_retrieval(spark, sf_dir):
+    """Cross-modal retrieval: text query → media corpus top-k through a
+    TRAINED linear map (diagonally-whitened cross-covariance, the trained
+    analog of the JL projection) joining the text family's hashed
+    embeddings to the media family's decoded bucket-mean space. Training
+    is one dim²-fanout join published per corpus snapshot; retrieval is
+    a bounded broadcast query sample against one candidate scan. Recall
+    floor vs the linear-map ceiling pinned in tests/test_crossmodal.py."""
+    return crossmodal_retrieval(_t(spark, sf_dir, "documents"))
+
+
 @register("multimodal_suite", None)  # oracle assembled below
 def q_multimodal_suite(spark, sf_dir):
     """Multimodal family in one gate slot: the 1:N Arrow frame-sample
@@ -6035,6 +6053,12 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
         "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    xm = REGISTRY["crossmodal_retrieval"].fn(spark, sf_dir).selectExpr(
+        "'crossmodal' AS section",
+        "concat(CAST(query_doc AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
+        "'cos', cos) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         fr.unionByName(fe)
         .unionByName(rs)
@@ -6045,6 +6069,7 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(vf)
         .unionByName(vfr)
         .unionByName(vd)
+        .unionByName(xm)
     )
 
 
@@ -6060,7 +6085,8 @@ REGISTRY["multimodal_suite"] = QueryDef(
          ad AS MATERIALIZED ({REGISTRY["multimodal_audio_dedup"].oracle}),
          vf AS MATERIALIZED ({REGISTRY["multimodal_video_features"].oracle}),
          vfr AS MATERIALIZED ({REGISTRY["multimodal_video_frames"].oracle}),
-         vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle})
+         vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle}),
+         xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -6117,6 +6143,12 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'video_phash',
            CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
            'is_dup', CAST(is_dup AS DOUBLE), NULL FROM vd
+    UNION ALL SELECT 'crossmodal',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'media_doc', CAST(media_doc AS DOUBLE), NULL FROM xm
+    UNION ALL SELECT 'crossmodal',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'cos', cos, NULL FROM xm
     """,
 )
 
@@ -7232,7 +7264,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_dedup", "multimodal_phash_dedup",
         "multimodal_audio_features", "multimodal_audio_dedup",
         "multimodal_video_features", "multimodal_video_frames",
-        "multimodal_video_dedup",
+        "multimodal_video_dedup", "crossmodal_retrieval",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -7351,6 +7383,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "event_transition_matrix",  # Markov path-analysis matrix
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
+    "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
