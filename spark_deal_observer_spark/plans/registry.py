@@ -3900,18 +3900,17 @@ def q_text_novelty(spark, sf_dir):
     One shuffle on the hashed shingle (df), one per-doc aggregate; rides
     the same pre-hashed shingle arithmetic as MinHash."""
     from ..functions.hashing import hashed_shingles_sql
-    from ..operators.models import disk_checkpoint
 
     sh = hashed_shingles_sql("spark", "text")
     docs = _spread(_t(spark, sf_dir, "documents")).where(F.length("text") >= 5)
-    # corpus-sized and read by TWO branches (the df aggregate and the
-    # per-doc join) whose different shuffle shapes defeat exchange reuse
-    # — without the barrier the md5-per-shingle scan executes twice
-    # (parquet tier, not localCheckpoint: the 100x OOM rule)
-    exploded = disk_checkpoint(
-        docs.select("doc_id", F.explode(F.expr(sh)).alias("h")),
-        "novelty_shingles",
-    )
+    # The two consumers (df aggregate, per-doc join) each re-execute the
+    # md5-per-shingle scan — DELIBERATELY: the r6 disk_checkpoint barrier
+    # here measured a reproducible 0.2 s SLOWER at sf0.1 (idle A/B,
+    # SCALE.md §5) because writing the exploded shingle table to parquet
+    # costs more than recomputing it from the (much smaller) documents
+    # scan, and both sides scale linearly so the balance holds at 100×.
+    # Plan-count discipline (1 scan) lost to the stopwatch here.
+    exploded = docs.select("doc_id", F.explode(F.expr(sh)).alias("h"))
     df_ = exploded.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df")
     )
