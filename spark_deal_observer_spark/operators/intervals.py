@@ -588,3 +588,187 @@ def event_seasonal_decompose_oracle() -> str:
         FROM sd_ma m LEFT JOIN sd_slot s
           ON s.event_type = m.event_type AND s.hod = m.hod
     """
+
+
+# -- CUSUM changepoint detection --------------------------------------------
+
+CUSUM_K_HALF_SIGMA = True  # slack k = σ/2 (the standard tabular choice)
+CUSUM_H_SIGMA = 4  # alarm threshold h = 4σ
+
+
+def event_cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Tabular CUSUM level-shift detector over the dense hourly event
+    counts per type: (event_type, bucket_ts, n_events, cusum_pos,
+    cusum_neg, alarm_pos, alarm_neg) — the TEMPORAL drift monitor next
+    to the distributional one (source_drift_psi watches composition;
+    this watches the rate). Reference analog: the observer's telemetry
+    counters (spark-evaluate-deals.js:21-34) are exactly the series an
+    operator alarms on.
+
+    Declarative form instead of the textbook recursion: the recursion
+    S⁺_t = max(0, S⁺_{t-1} + d_t) has the closed form
+    S⁺_t = C_t − min_{0≤j≤t} C_j with C the running sum of deviations
+    d_i = x_i − μ − kσ (proof by induction in tests/test_cusum.py's
+    header) — so the whole operator is two window passes (running sum,
+    running min), never an iterative loop or a stateful UDF.
+
+    Exactness discipline: μ and σ round ONCE to 6 dp (σ from the exact
+    integer moments: σ = sqrt(n·Σx² − (Σx)²)/n, both engines evaluate
+    the identical expression over identical exact integers), then the
+    deviations are EXACT scaled ints d2 = 2·10⁶·x − 2·μ_int − σ_int
+    (scale 2·10⁶ so that k = σ/2 needs no further rounding), the
+    running sum/min windows are integer arithmetic no summation order
+    can perturb, and the outputs divide once by the scale — the same
+    rational → double division in both engines, bit-identical. Alarm
+    comparisons happen in the integer domain (S⁺ > h·σ ⇔
+    s2 > 2·h·σ_int).
+
+    Plan: one corpus shuffle to the hourly rollup; the dense grid,
+    moments, and both windows are |types|×hours metadata-sized rows at
+    any SF."""
+    from pyspark.sql.window import Window
+
+    hourly = events.groupBy(
+        "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    # dense calendar grid: a row-ordered CUSUM over a gappy series skips
+    # hours whose true count is ZERO — exactly the dropouts a rate
+    # monitor exists to catch (the seasonal-decompose densify rule).
+    hset = (
+        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
+    ).cast("bigint")
+    span = hourly.groupBy("event_type").agg(
+        F.min(hset).alias("h_lo"), F.max(hset).alias("h_hi")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.expr("sequence(h_lo, h_hi)")).alias("h")
+    ).select(
+        "event_type",
+        F.timestamp_add("HOUR", F.col("h").cast("int"), F.expr(_UNIX_NTZ)).alias(
+            "bucket_ts"
+        ),
+    )
+    dense = grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    moments = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    mu6 = F.round(F.col("sx").cast("double") / F.col("n"), 6)
+    sigma6 = F.round(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        / F.col("n"),
+        6,
+    )
+    params = moments.select(
+        "event_type",
+        F.round(mu6 * 1_000_000).cast("long").alias("mu_i"),
+        F.round(sigma6 * 1_000_000).cast("long").alias("sig_i"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = dense.join(F.broadcast(params), "event_type").select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        (
+            F.lit(2_000_000) * F.col("n_events")
+            - 2 * F.col("mu_i")
+            - F.col("sig_i")
+        ).alias("d2"),
+        (
+            2 * F.col("mu_i")
+            - F.lit(2_000_000) * F.col("n_events")
+            - F.col("sig_i")
+        ).alias("e2"),
+        F.col("sig_i"),
+    )
+    cum = dev.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "sig_i",
+        F.sum("d2").over(run).alias("cp"),
+        F.sum("e2").over(run).alias("cn"),
+    )
+    sp = F.col("cp") - F.least(F.lit(0), F.min("cp").over(run))
+    sn = F.col("cn") - F.least(F.lit(0), F.min("cn").over(run))
+    thr = F.lit(2 * CUSUM_H_SIGMA) * F.col("sig_i")
+    return cum.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        (sp.cast("double") / 2_000_000).alias("cusum_pos"),
+        (sn.cast("double") / 2_000_000).alias("cusum_neg"),
+        (sp > thr).alias("alarm_pos"),
+        (sn > thr).alias("alarm_neg"),
+    )
+
+
+def event_cusum_changepoint_oracle() -> str:
+    """DuckDB twin: identical dense grid, identical exact-integer scaled
+    deviations and windows; the only float ops (μ, σ rounding and the
+    final /2e6) are structurally identical expressions over identical
+    exact inputs."""
+    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    mu6 = rnd.format(x="CAST(sx AS DOUBLE) / n")
+    sig6 = rnd.format(x="sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n")
+    return f"""
+        WITH cu_hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        cu_span AS (
+          SELECT event_type,
+                 min(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                              bucket_ts)) AS h_lo,
+                 max(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                              bucket_ts)) AS h_hi
+          FROM cu_hourly GROUP BY event_type),
+        cu_grid AS (
+          SELECT event_type,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                   + unnest(range(h_lo, h_hi + 1)) * INTERVAL 1 HOUR
+                   AS bucket_ts
+          FROM cu_span),
+        cu_dense AS (
+          SELECT g.event_type, CAST(g.bucket_ts AS TIMESTAMP) AS bucket_ts,
+                 CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+          FROM cu_grid g LEFT JOIN cu_hourly h
+            ON h.event_type = g.event_type AND h.bucket_ts = g.bucket_ts),
+        cu_params AS (
+          SELECT event_type,
+                 CAST(ROUND(({mu6}) * 1000000) AS BIGINT) AS mu_i,
+                 CAST(ROUND(({sig6}) * 1000000) AS BIGINT) AS sig_i
+          FROM (SELECT event_type, COUNT(*) AS n, SUM(n_events) AS sx,
+                       SUM(n_events * n_events) AS sxx
+                FROM cu_dense GROUP BY event_type) m),
+        cu_dev AS (
+          SELECT d.event_type, d.bucket_ts, d.n_events, p.sig_i,
+                 2000000 * d.n_events - 2 * p.mu_i - p.sig_i AS d2,
+                 2 * p.mu_i - 2000000 * d.n_events - p.sig_i AS e2
+          FROM cu_dense d JOIN cu_params p ON d.event_type = p.event_type),
+        cu_cum AS (
+          SELECT event_type, bucket_ts, n_events, sig_i,
+                 CAST(SUM(d2) OVER w AS BIGINT) AS cp,
+                 CAST(SUM(e2) OVER w AS BIGINT) AS cn
+          FROM cu_dev
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, bucket_ts, n_events,
+               CAST(cp - LEAST(0, MIN(cp) OVER w) AS DOUBLE) / 2000000
+                 AS cusum_pos,
+               CAST(cn - LEAST(0, MIN(cn) OVER w) AS DOUBLE) / 2000000
+                 AS cusum_neg,
+               cp - LEAST(0, MIN(cp) OVER w) > 2 * {CUSUM_H_SIGMA} * sig_i
+                 AS alarm_pos,
+               cn - LEAST(0, MIN(cn) OVER w) > 2 * {CUSUM_H_SIGMA} * sig_i
+                 AS alarm_neg
+        FROM cu_cum
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS UNBOUNDED PRECEDING)
+    """

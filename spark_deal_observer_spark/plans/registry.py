@@ -3578,6 +3578,17 @@ def q_event_ewma_forecast(spark, sf_dir):
     return iv.event_ewma_forecast(_t(spark, sf_dir, "events"))
 
 
+@register("event_cusum_changepoint", iv.event_cusum_changepoint_oracle())
+def q_event_cusum_changepoint(spark, sf_dir):
+    """Tabular CUSUM level-shift detector over the dense hourly counts:
+    the TEMPORAL drift alarm next to the distributional one
+    (source_drift_psi). The textbook recursion is replaced by its closed
+    form S+ = C - min(0, running-min C), so the whole operator is two
+    window passes over exact scaled-int deviations - no loop, no state,
+    and the outputs are bit-identical across engines by construction."""
+    return iv.event_cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
 @register("event_seasonal_decompose", iv.event_seasonal_decompose_oracle())
 def q_event_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition of the hourly event-count series:
@@ -5001,6 +5012,13 @@ def q_event_analytics_suite(spark, sf_dir):
         "stack(3, 'trend', trend, 'seasonal', seasonal, "
         "'remainder', remainder) AS (metric, value)",
     )
+    cu_m = REGISTRY["event_cusum_changepoint"].fn(spark, sf_dir).selectExpr(
+        "'cusum' AS section",
+        "concat(event_type, ':', CAST(bucket_ts AS STRING)) AS key",
+        "stack(4, 'cusum_pos', cusum_pos, 'cusum_neg', cusum_neg, "
+        "'alarm_pos', CAST(CAST(alarm_pos AS INT) AS DOUBLE), "
+        "'alarm_neg', CAST(CAST(alarm_neg AS INT) AS DOUBLE)) AS (metric, value)",
+    )
     return (
         rt_m.unionByName(pr_m)
         .unionByName(cv_m)
@@ -5010,6 +5028,7 @@ def q_event_analytics_suite(spark, sf_dir):
         .unionByName(tm_m)
         .unionByName(ew_m)
         .unionByName(sd_m)
+        .unionByName(cu_m)
     )
 
 
@@ -5071,7 +5090,8 @@ REGISTRY["event_analytics_suite"] = QueryDef(
          anm AS MATERIALIZED ({REGISTRY["event_anomaly_zscore"].oracle}),
          trm AS MATERIALIZED ({REGISTRY["event_transition_matrix"].oracle}),
          ewm AS MATERIALIZED ({REGISTRY["event_ewma_forecast"].oracle}),
-         sdm AS MATERIALIZED ({REGISTRY["event_seasonal_decompose"].oracle})
+         sdm AS MATERIALIZED ({REGISTRY["event_seasonal_decompose"].oracle}),
+         cum_ AS MATERIALIZED ({REGISTRY["event_cusum_changepoint"].oracle})
     SELECT 'running' AS section,
            CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
            'running_total' AS metric, running_total AS value FROM rt
@@ -5120,6 +5140,14 @@ REGISTRY["event_analytics_suite"] = QueryDef(
            'seasonal', seasonal FROM sdm
     UNION ALL SELECT 'seasonal', event_type || ':' || CAST(bucket_ts AS VARCHAR),
            'remainder', remainder FROM sdm
+    UNION ALL SELECT 'cusum', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'cusum_pos', cusum_pos FROM cum_
+    UNION ALL SELECT 'cusum', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'cusum_neg', cusum_neg FROM cum_
+    UNION ALL SELECT 'cusum', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'alarm_pos', CAST(CAST(alarm_pos AS INT) AS DOUBLE) FROM cum_
+    UNION ALL SELECT 'cusum', event_type || ':' || CAST(bucket_ts AS VARCHAR),
+           'alarm_neg', CAST(CAST(alarm_neg AS INT) AS DOUBLE) FROM cum_
     """,
 )
 REGISTRY["sketch_suite"] = QueryDef(
@@ -7221,7 +7249,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "running_totals", "percentile_rank_orders", "constraint_violations",
         "cohort_retention", "funnel_conversion", "event_anomaly_zscore",
         "event_transition_matrix", "event_ewma_forecast",
-        "event_seasonal_decompose",
+        "event_seasonal_decompose", "event_cusum_changepoint",
     ),
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
@@ -7383,6 +7411,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
+    "event_cusum_changepoint",  # temporal level-shift alarm (melted above)
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
