@@ -1399,3 +1399,216 @@ def cluster_split_oracle(val_pct: int = DEFAULT_VAL_PCT) -> str:
                CASE WHEN {bucket} < {val_pct} THEN 'val' ELSE 'train' END AS split
         FROM csp_grp
     """
+
+
+# -- corpus statistical laws: Heaps' vocabulary growth + Zipf rank-frequency -
+
+ZIPF_TOP_N = 1000  # rank-frequency fit over the top-N tokens
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps'-law raw material: per document in doc_id order,
+    (doc_id, n_tokens, tokens_cum, new_types, vocab_cum) — how the
+    distinct-token vocabulary grows as the corpus is consumed. The
+    mixture-design diagnostic behind dedup and sampling decisions: a
+    vocabulary that stops growing marks a corpus gone repetitive; one
+    growing linearly marks noise/IDs masquerading as text.
+
+    Everything is EXACT integers (fully hash-verifiable): token counts
+    from the scan stage, first-occurrence doc per type via one
+    (token → min(doc_id)) aggregate, and both cumulative columns through
+    operators/prefix.py::global_prefix_sum — range-partitioned two-phase
+    scans, never a single-partition `SUM() OVER (ORDER BY)` (the
+    plan-sweep rule; the oracle, a single-node engine, uses the plain
+    window form of the same arithmetic)."""
+    from .prefix import global_prefix_sum
+
+    toks = F.expr(tokens_sql("spark", "text"))
+    per_doc = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    first = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    base = per_doc.join(first, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    cum1 = global_prefix_sum(
+        base, [F.col("doc_id")], "n_tokens", out_col="tokens_cum"
+    )
+    cum2 = global_prefix_sum(
+        cum1, [F.col("doc_id")], "new_types", out_col="vocab_cum"
+    )
+    return cum2.select(
+        "doc_id",
+        "n_tokens",
+        F.col("tokens_cum").cast("bigint").alias("tokens_cum"),
+        "new_types",
+        F.col("vocab_cum").cast("bigint").alias("vocab_cum"),
+    )
+
+
+def vocab_growth_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    return f"""
+        WITH vg_docs AS (
+          SELECT doc_id, {toks} AS toks FROM documents),
+        vg_per_doc AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM vg_docs),
+        vg_first AS (
+          SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+          FROM (SELECT token, MIN(doc_id) AS first_doc
+                FROM (SELECT doc_id, unnest(toks) AS token FROM vg_docs) t
+                GROUP BY token) f
+          GROUP BY first_doc)
+        SELECT p.doc_id, p.n_tokens,
+               CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+               CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+               CAST(SUM(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+        FROM vg_per_doc p LEFT JOIN vg_first f ON p.doc_id = f.doc_id
+        WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    """
+
+
+def _loglog_fit_spark(
+    points: DataFrame, n_out: str, slope_out: str, icept_out: str
+) -> DataFrame:
+    """One-row OLS fit over 1e6-scaled integer log points (xi, yi): all
+    sums are exact DECIMAL(38,0) (no float summation order), the slope
+    is ONE rounded division of exact integers, and the intercept is one
+    fixed expression over the rounded slope and exact sums — the
+    crossmodal-W exactness discipline applied to regression."""
+    agg = points.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yi").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    slope = F.round(num.cast("double") / den.cast("double"), 6)
+    intercept = F.round(
+        (
+            F.col("sy").cast("double") / 1_000_000
+            - slope * (F.col("sx").cast("double") / 1_000_000)
+        )
+        / F.col("n"),
+        6,
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias(n_out),
+        slope.alias(slope_out),
+        intercept.alias(icept_out),
+    )
+
+
+_LOGLOG_ORACLE = """
+        SELECT CAST(n AS BIGINT) AS {n_out},
+               CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                    AS DECIMAL(28,12)), 6) AS DOUBLE) AS {slope_out},
+               CAST(ROUND(CAST((CAST(sy AS DOUBLE) / 1000000
+                    - CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          AS DECIMAL(28,12)), 6) AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / 1000000)) / n
+                    AS DECIMAL(28,12)), 6) AS DOUBLE) AS {icept_out}
+        FROM (SELECT COUNT(*) AS n,
+                     SUM(CAST(xi AS HUGEINT)) AS sx,
+                     SUM(CAST(yi AS HUGEINT)) AS sy,
+                     SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
+                     SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+                     COUNT(*) * SUM(CAST(xi AS HUGEINT) * yi)
+                       - SUM(CAST(xi AS HUGEINT)) * SUM(CAST(yi AS HUGEINT)) AS num,
+                     COUNT(*) * SUM(CAST(xi AS HUGEINT) * xi)
+                       - SUM(CAST(xi AS HUGEINT)) * SUM(CAST(xi AS HUGEINT)) AS den
+              FROM ({points}) pts) agg
+"""
+
+
+def heaps_zipf_fit(docs: DataFrame) -> DataFrame:
+    """One-row corpus-law report: Heaps' V(n) = K·n^β fitted over the
+    vocabulary growth curve (log-log OLS: heaps_beta = β,
+    heaps_logk = ln K) and Zipf's f(r) ∝ r^s fitted over the top-1000
+    token rank-frequency curve (zipf_slope = s, ≈ −1 for natural text,
+    zipf_logc = ln C).
+
+    The growth curve rides vocab_growth (exact ints); the Zipf curve is
+    TakeOrdered top-N + a rank window over the BOUNDED N rows (the
+    hybrid_rrf single-partition exception: list-sized, never
+    corpus-sized). Log points round once to 1e-6 (the ln-rounding rule
+    every LM query uses); the OLS sums are exact scaled-int decimals, so
+    the fits are reproducible to the last bit across engines."""
+    growth = vocab_growth(docs).where(
+        (F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    )
+    hp = growth.select(
+        F.round(F.log("tokens_cum") * 1_000_000).cast("long").alias("xi"),
+        F.round(F.log("vocab_cum") * 1_000_000).cast("long").alias("yi"),
+    )
+    heaps = _loglog_fit_spark(hp, "heaps_points", "heaps_beta", "heaps_logk")
+
+    toks = F.expr(tokens_sql("spark", "text"))
+    top = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(ZIPF_TOP_N)
+    )
+    from pyspark.sql.window import Window
+
+    rk = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    zp = top.select(
+        F.round(F.log(F.row_number().over(rk)) * 1_000_000)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.log("freq") * 1_000_000).cast("long").alias("yi"),
+    )
+    zipf = _loglog_fit_spark(zp, "zipf_points", "zipf_slope", "zipf_logc")
+    return heaps.crossJoin(zipf)
+
+
+def heaps_zipf_fit_oracle() -> str:
+    toks = tokens_sql("duckdb", "text")
+    growth = vocab_growth_oracle()
+    hp_points = f"""
+        SELECT CAST(ROUND(ln(tokens_cum) * 1000000) AS BIGINT) AS xi,
+               CAST(ROUND(ln(vocab_cum) * 1000000) AS BIGINT) AS yi
+        FROM ({growth}) g WHERE tokens_cum > 0 AND vocab_cum > 0
+    """
+    zp_points = f"""
+        SELECT CAST(ROUND(ln(ROW_NUMBER() OVER
+                 (ORDER BY freq DESC, token)) * 1000000) AS BIGINT) AS xi,
+               CAST(ROUND(ln(freq) * 1000000) AS BIGINT) AS yi
+        FROM (SELECT token, COUNT(*) AS freq
+              FROM (SELECT unnest({toks}) AS token FROM documents) t
+              GROUP BY token
+              ORDER BY freq DESC, token LIMIT {ZIPF_TOP_N}) top
+    """
+    heaps = _LOGLOG_ORACLE.format(
+        points=hp_points,
+        n_out="heaps_points",
+        slope_out="heaps_beta",
+        icept_out="heaps_logk",
+    )
+    zipf = _LOGLOG_ORACLE.format(
+        points=zp_points,
+        n_out="zipf_points",
+        slope_out="zipf_slope",
+        icept_out="zipf_logc",
+    )
+    return f"""
+        SELECT h.heaps_points, h.heaps_beta, h.heaps_logk,
+               z.zipf_points, z.zipf_slope, z.zipf_logc
+        FROM ({heaps}) h CROSS JOIN ({zipf}) z
+    """

@@ -4828,6 +4828,28 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@register("corpus_vocab_growth", cp.vocab_growth_oracle())
+def q_corpus_vocab_growth(spark, sf_dir):
+    """Heaps'-law raw material: per document in corpus order, the token
+    count, cumulative tokens, first-occurrence type count, and cumulative
+    vocabulary — exact integers end to end. The cumulative columns go
+    through operators/prefix.py's range-partitioned two-phase prefix sum
+    (never a single-partition ORDER BY window); the single-node oracle
+    uses the plain window form of the same arithmetic."""
+    return cp.vocab_growth(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_heaps_zipf", cp.heaps_zipf_fit_oracle())
+def q_corpus_heaps_zipf(spark, sf_dir):
+    """One-row corpus-law report: Heaps' V(n)=K·n^β over the vocabulary
+    growth curve and Zipf's f(r)∝r^s over the top-1000 rank-frequency
+    curve — the sanity panel a mixture designer reads before trusting a
+    source (natural text: β≈0.5-0.8, s≈-1; IDs/noise break both). OLS in
+    exact scaled-int sums (log points round once to 1e-6), one rounded
+    division per fit — bit-reproducible across engines."""
+    return cp.heaps_zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "profile_suite",
     f"""
@@ -4837,7 +4859,9 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
          ed AS MATERIALIZED ({pf.embedding_source_drift_oracle()}),
          ka AS ({pf.k_anonymity_audit_oracle()}),
          skw AS ({_skew_oracle()}),
-         dlr AS MATERIALIZED ({REGISTRY["deletion_impact_report"].oracle})
+         dlr AS MATERIALIZED ({REGISTRY["deletion_impact_report"].oracle}),
+         vg AS MATERIALIZED ({cp.vocab_growth_oracle()}),
+         hz AS ({cp.heaps_zipf_fit_oracle()})
     SELECT 'profile' AS section, "column" AS key, 'n_rows' AS metric,
            CAST(n_rows AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM tp
     UNION ALL SELECT 'profile', "column", 'n_nulls', CAST(n_nulls AS DOUBLE), NULL FROM tp
@@ -4869,6 +4893,22 @@ def q_dedup_pair_verify_suite(spark, sf_dir):
     UNION ALL SELECT 'skew', key_value, 'share', share, NULL FROM skw
     UNION ALL SELECT 'skew', key_value, 'x_avg', x_avg, NULL FROM skw
     UNION ALL SELECT 'del_' || section, key, metric, value_num, NULL FROM dlr
+    UNION ALL SELECT 'vocab', CAST(doc_id AS VARCHAR), 'n_tokens',
+           CAST(n_tokens AS DOUBLE), NULL FROM vg
+    UNION ALL SELECT 'vocab', CAST(doc_id AS VARCHAR), 'tokens_cum',
+           CAST(tokens_cum AS DOUBLE), NULL FROM vg
+    UNION ALL SELECT 'vocab', CAST(doc_id AS VARCHAR), 'new_types',
+           CAST(new_types AS DOUBLE), NULL FROM vg
+    UNION ALL SELECT 'vocab', CAST(doc_id AS VARCHAR), 'vocab_cum',
+           CAST(vocab_cum AS DOUBLE), NULL FROM vg
+    UNION ALL SELECT 'corpus_laws', 'fit', 'heaps_points',
+           CAST(heaps_points AS DOUBLE), NULL FROM hz
+    UNION ALL SELECT 'corpus_laws', 'fit', 'heaps_beta', heaps_beta, NULL FROM hz
+    UNION ALL SELECT 'corpus_laws', 'fit', 'heaps_logk', heaps_logk, NULL FROM hz
+    UNION ALL SELECT 'corpus_laws', 'fit', 'zipf_points',
+           CAST(zipf_points AS DOUBLE), NULL FROM hz
+    UNION ALL SELECT 'corpus_laws', 'fit', 'zipf_slope', zipf_slope, NULL FROM hz
+    UNION ALL SELECT 'corpus_laws', 'fit', 'zipf_logc', zipf_logc, NULL FROM hz
     """,
 )
 def q_profile_suite(spark, sf_dir):
@@ -4937,9 +4977,29 @@ def q_profile_suite(spark, sf_dir):
         "value_num",
         "CAST(NULL AS STRING) AS value_str",
     )
+    vg_m = REGISTRY["corpus_vocab_growth"].fn(spark, sf_dir).selectExpr(
+        "'vocab' AS section",
+        "CAST(doc_id AS STRING) AS key",
+        "stack(4, 'n_tokens', CAST(n_tokens AS DOUBLE), "
+        "'tokens_cum', CAST(tokens_cum AS DOUBLE), "
+        "'new_types', CAST(new_types AS DOUBLE), "
+        "'vocab_cum', CAST(vocab_cum AS DOUBLE)) AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
+    hz_m = REGISTRY["corpus_heaps_zipf"].fn(spark, sf_dir).selectExpr(
+        "'corpus_laws' AS section",
+        "'fit' AS key",
+        "stack(6, 'heaps_points', CAST(heaps_points AS DOUBLE), "
+        "'heaps_beta', heaps_beta, 'heaps_logk', heaps_logk, "
+        "'zipf_points', CAST(zipf_points AS DOUBLE), "
+        "'zipf_slope', zipf_slope, 'zipf_logc', zipf_logc) "
+        "AS (metric, value_num)",
+        "CAST(NULL AS STRING) AS value_str",
+    )
     return (
         tp_m.unionByName(co_m).unionByName(wi_m).unionByName(ed_m)
         .unionByName(ka_m).unionByName(sk_m).unionByName(dl_m)
+        .unionByName(vg_m).unionByName(hz_m)
     )
 
 
@@ -7244,6 +7304,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "table_profile", "column_correlations", "winsorized_stats",
         "embedding_source_drift", "privacy_kanon_audit",
         "join_key_skew_report", "deletion_impact_report",
+        "corpus_vocab_growth", "corpus_heaps_zipf",
     ),
     "event_analytics_suite": (
         "running_totals", "percentile_rank_orders", "constraint_violations",
@@ -7412,6 +7473,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)
+    "corpus_vocab_growth",      # Heaps-law growth curve (melted above)
+    "corpus_heaps_zipf",        # corpus-law fits (melted above)
     "corpus_decontaminate",  # corpus_prep_suite melts these two above
     "corpus_pack_manifest",
     "dedup_exact",           # exact-dedup semantics also in dedup_insert/dedup_9col rows
