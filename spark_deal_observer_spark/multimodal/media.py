@@ -98,9 +98,14 @@ def decode_media(payload: bytes, codec: str) -> bytes:
         from .gif import decode_gif
 
         return decode_gif(payload)[0]
+    if codec in ("image/qoi", "qoi"):
+        from .qoi import decode_qoi
+
+        return decode_qoi(payload)[0]
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg) are not installed; "
-        "only fake/*, image/png, audio/wav and video/gif are supported here"
+        "only fake/*, image/png, image/qoi, audio/wav and video/gif are "
+        "supported here"
     )
 
 
@@ -1141,4 +1146,114 @@ def video_phash_dedup_oracle() -> str:
         JOIN pbands ka ON ka.doc_id = c.doc_a
         JOIN pbands kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
         GROUP BY c.doc_a, c.doc_b
+    """
+
+
+# -- still-image leg: PNG/QOI renderings + cross-codec dedup -----------------
+
+IMG_W, IMG_H = 64, 8  # grayscale-as-RGB strip, 512 pixels
+IMG_PIXELS = IMG_W * IMG_H
+
+
+def attach_image(docs: DataFrame, codec: str) -> DataFrame:
+    """Wrap documents as a STILL-IMAGE media table under a REAL codec:
+    `codec` ∈ {"png", "qoi"} selects the from-scratch encoder
+    (multimodal/png.py RFC 2083 or multimodal/qoi.py). Pixel p of the
+    64×8 RGB strip is synthesized deterministically from the text —
+    value (ascii(text[p mod n])·131 + p·7) mod 256 on all three channels
+    — so every downstream kernel's DuckDB twin can recompute the pixels
+    from the text column alone, and the SAME pixels go through BOTH
+    codecs: the cross-codec dedup proof (multimodal_cross_codec_dedup)
+    that dedup operates on decoded content, not payload bytes."""
+    from ..operators.dedup import spread_cpu
+
+    if codec not in ("png", "qoi"):
+        raise ValueError(f"attach_image codec must be png or qoi, got {codec!r}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .png import encode_png
+        from .qoi import encode_qoi
+
+        p_idx = np.arange(IMG_PIXELS, dtype=np.int64)
+        for pdf in it:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(codes)
+                px = ((codes[p_idx % n] * 131 + p_idx * 7) % 256).astype(np.uint8)
+                rgb = bytes(np.repeat(px, 3))
+                ids.append(d)
+                if codec == "png":
+                    payloads.append(encode_png(rgb, IMG_W, IMG_H, 3))
+                else:
+                    payloads.append(encode_qoi(rgb, IMG_W, IMG_H, 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "codec": pd.Series([f"image/{codec}"] * len(ids)),
+                    "width": pd.Series([IMG_W] * len(ids), dtype="int32"),
+                    "height": pd.Series([IMG_H] * len(ids), dtype="int32"),
+                }
+            )
+
+    return spread_cpu(
+        docs.select("doc_id", "text").where(F.length("text") >= 1)
+    ).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def cross_codec_dedup(docs: DataFrame, n_buckets: int = PHASH_BUCKETS) -> DataFrame:
+    """(doc_id, bucket, mean_png, mean_qoi, means_match): the decoded
+    bucket means of the SAME synthesized image through the PNG and the
+    QOI encoder. Content-level dedup demands means_match everywhere —
+    the payloads differ byte-for-byte (different container, different
+    entropy coding), the decoded pixels must not. The oracle recomputes
+    the means from the text pixel formula, so value parity proves BOTH
+    real codecs end-to-end at corpus scale (the video-oracle discipline,
+    doubled). Plan: two Arrow encode+decode passes, one (doc_id, bucket)
+    equi-join of 64-row-per-doc tables."""
+    png = media_bucket_means(attach_image(docs, "png"), n_buckets).select(
+        "doc_id", "bucket", F.col("mean").alias("mean_png")
+    )
+    qoi = media_bucket_means(attach_image(docs, "qoi"), n_buckets).select(
+        "doc_id", "bucket", F.col("mean").alias("mean_qoi")
+    )
+    return png.join(qoi, ["doc_id", "bucket"]).select(
+        "doc_id",
+        "bucket",
+        "mean_png",
+        "mean_qoi",
+        (F.col("mean_png") == F.col("mean_qoi")).alias("means_match"),
+    )
+
+
+def cross_codec_dedup_oracle(n_buckets: int = PHASH_BUCKETS) -> str:
+    """DuckDB twin: pixels from the text formula (3 identical channels →
+    byte-stream bucket means reduce to pixel-index means over p//8 when
+    n_buckets=64 and IMG_PIXELS=512; stated generally below via the byte
+    position so the mapping stays literal)."""
+    return f"""
+        WITH cc_docs AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 1),
+        cc_bytes AS (
+          SELECT doc_id,
+                 CAST((p * 3 + c) * {n_buckets} // {3 * IMG_PIXELS} AS INT)
+                   AS bucket,
+                 CAST((ascii(text[(p % n) + 1]) * 131 + p * 7) % 256
+                      AS DOUBLE) AS val
+          FROM cc_docs,
+               (SELECT unnest(range(0, {IMG_PIXELS})) AS p) ps,
+               (SELECT unnest(range(0, 3)) AS c) chans),
+        cc_means AS (
+          SELECT doc_id, bucket, ROUND(avg(val), 6) AS mean
+          FROM cc_bytes GROUP BY doc_id, bucket)
+        SELECT doc_id, bucket, mean AS mean_png, mean AS mean_qoi,
+               TRUE AS means_match
+        FROM cc_means
     """

@@ -6052,6 +6052,21 @@ from ..multimodal.crossmodal import (  # noqa: E402
     crossmodal_retrieval,
     crossmodal_retrieval_oracle,
 )
+from ..multimodal.media import (  # noqa: E402
+    cross_codec_dedup,
+    cross_codec_dedup_oracle,
+)
+
+
+@register("multimodal_cross_codec_dedup", cross_codec_dedup_oracle())
+def q_multimodal_cross_codec_dedup(spark, sf_dir):
+    """Cross-codec content dedup proof: the SAME synthesized image
+    rendered through TWO from-scratch real codecs (PNG and QOI) must
+    produce identical decoded bucket means — dedup operates on decoded
+    content, never payload bytes (the payloads differ byte-for-byte).
+    The oracle recomputes the means from the text pixel formula, so
+    value parity proves BOTH codecs end-to-end at corpus scale."""
+    return cross_codec_dedup(_t(spark, sf_dir, "documents"))
 
 
 @register("crossmodal_retrieval", crossmodal_retrieval_oracle())
@@ -6140,6 +6155,13 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'hamming', CAST(hamming AS DOUBLE), "
         "'is_dup', CAST(is_dup AS DOUBLE)) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    cc = REGISTRY["multimodal_cross_codec_dedup"].fn(spark, sf_dir).selectExpr(
+        "'cross_codec' AS section",
+        "concat(CAST(doc_id AS STRING), ':', CAST(bucket AS STRING)) AS key",
+        "stack(3, 'mean_png', mean_png, 'mean_qoi', mean_qoi, "
+        "'means_match', CAST(CAST(means_match AS INT) AS DOUBLE)) "
+        "AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     xm = REGISTRY["crossmodal_retrieval"].fn(spark, sf_dir).selectExpr(
         "'crossmodal' AS section",
         "concat(CAST(query_doc AS STRING), ':', CAST(rank AS STRING)) AS key",
@@ -6156,6 +6178,7 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(vf)
         .unionByName(vfr)
         .unionByName(vd)
+        .unionByName(cc)
         .unionByName(xm)
     )
 
@@ -6173,7 +6196,8 @@ REGISTRY["multimodal_suite"] = QueryDef(
          vf AS MATERIALIZED ({REGISTRY["multimodal_video_features"].oracle}),
          vfr AS MATERIALIZED ({REGISTRY["multimodal_video_frames"].oracle}),
          vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle}),
-         xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle})
+         xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle}),
+         ccd AS MATERIALIZED ({REGISTRY["multimodal_cross_codec_dedup"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -6236,6 +6260,15 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'crossmodal',
            CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
            'cos', cos, NULL FROM xm
+    UNION ALL SELECT 'cross_codec',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
+           'mean_png', mean_png, NULL FROM ccd
+    UNION ALL SELECT 'cross_codec',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
+           'mean_qoi', mean_qoi, NULL FROM ccd
+    UNION ALL SELECT 'cross_codec',
+           CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
+           'means_match', CAST(CAST(means_match AS INT) AS DOUBLE), NULL FROM ccd
     """,
 )
 
@@ -7353,6 +7386,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_audio_features", "multimodal_audio_dedup",
         "multimodal_video_features", "multimodal_video_frames",
         "multimodal_video_dedup", "crossmodal_retrieval",
+        "multimodal_cross_codec_dedup",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -7472,6 +7506,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
+    "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)
     "corpus_vocab_growth",      # Heaps-law growth curve (melted above)
     "corpus_heaps_zipf",        # corpus-law fits (melted above)

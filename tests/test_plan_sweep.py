@@ -25,6 +25,7 @@ PYTHON_OK = {
     "multimodal_audio_features",  # WAV decode + feature kernel is Arrow by design
     "multimodal_video_features",  # GIF decode + feature kernel is Arrow by design
     "multimodal_video_frames",  # 1:N frame sampling over the GIF decode kernel
+    "multimodal_cross_codec_dedup",  # PNG + QOI encode/decode kernels are Arrow
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
     "diff_session_recall_suite",  # gate melt includes enrich_cached_peer
