@@ -626,14 +626,16 @@ def event_cusum_changepoint(events: DataFrame) -> DataFrame:
     Plan: one corpus shuffle to the hourly rollup; the dense grid,
     moments, and both windows are |types|×hours metadata-sized rows at
     any SF."""
-    from pyspark.sql.window import Window
-
-    hourly = events.groupBy(
+    return score_hourly_cusum(densify_hourly(events.groupBy(
         "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
-    ).agg(F.count("*").cast("bigint").alias("n_events"))
-    # dense calendar grid: a row-ordered CUSUM over a gappy series skips
-    # hours whose true count is ZERO — exactly the dropouts a rate
-    # monitor exists to catch (the seasonal-decompose densify rule).
+    ).agg(F.count("*").cast("bigint").alias("n_events"))))
+
+
+def densify_hourly(hourly: DataFrame) -> DataFrame:
+    """Dense calendar grid over an (event_type, bucket_ts, n_events)
+    hourly table: a row-ordered statistic over a gappy series skips
+    hours whose true count is ZERO — exactly the dropouts a rate
+    monitor exists to catch (the seasonal-decompose densify rule)."""
     hset = (
         F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
     ).cast("bigint")
@@ -648,11 +650,21 @@ def event_cusum_changepoint(events: DataFrame) -> DataFrame:
             "bucket_ts"
         ),
     )
-    dense = grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
+    return grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
         "event_type",
         "bucket_ts",
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+def score_hourly_cusum(dense: DataFrame) -> DataFrame:
+    """The CUSUM windows over any DENSE (event_type, bucket_ts,
+    n_events) table — shared by the batch query above and the streaming
+    monitor (streaming/cusum.py), which re-scores the incrementally
+    maintained rollup with identical arithmetic (the forecast monitor's
+    pattern), so streamed == batch is definitional."""
+    from pyspark.sql.window import Window
+
     moments = dense.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("n_events").alias("sx"),
