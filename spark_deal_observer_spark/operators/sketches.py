@@ -523,3 +523,144 @@ def hll_set_ops_audit_oracle() -> str:
         JOIN ttrue ta ON ta.event_type = u.a
         JOIN ttrue tb ON tb.event_type = u.b
     """
+
+
+def histogram_merge_audit(events: DataFrame) -> DataFrame:
+    """(type_a, type_b, n_merged, hist_med, exact_med, abs_err): the
+    UNION median of every event-type pair estimated from MERGED
+    histograms — counter ADDITION over shared global bins is the
+    histogram's sketch merge, completing the mergeable-sketch story next
+    to hll_set_ops_audit (HLL: max-merge; histogram: sum-merge; CMS:
+    sum-merge by construction). The precondition the per-type audit
+    doesn't need: merging demands a SHARED bin grid, so bounds here are
+    corpus-global (one broadcast row), not per-type.
+
+    The oracle recomputes the merged histogram by REBUILDING over the
+    union — counter addition and union rebuild must agree to the last
+    count, so value parity proves merge ≡ union, and the exact
+    interpolated median bounds the estimate (abs_err ≤ bin width,
+    pinned in tests/test_sketches.py).
+
+    Plan shape: one global (lo, hi) aggregate, one binning pass, the
+    pair expansion joins the ≤ |types|·256-counter histogram to a
+    broadcast 2·|pairs|-row membership table (equi-join), and the
+    read-off walks 256-row-per-pair cumulative counts — the merge never
+    rescans the corpus; only the audit's exact side does (at 100 TB you
+    keep the merge and audit on a sample)."""
+    from pyspark.sql import Window
+
+    vals = events.where(F.col("value").isNotNull())
+    bounds = vals.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).selectExpr(
+        "event_type",
+        f"CASE WHEN hi = lo THEN 0 ELSE "
+        f"LEAST(CAST(floor((value - lo) * {HIST_BINS} / (hi - lo)) AS INT), "
+        f"{HIST_BINS - 1}) END AS bucket",
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(F.count("*").alias("cnt"))
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.selectExpr("event_type AS type_a")
+        .join(types.selectExpr("event_type AS type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    member = pairs.selectExpr(
+        "type_a", "type_b", "type_a AS event_type"
+    ).unionByName(pairs.selectExpr("type_a", "type_b", "type_b AS event_type"))
+    merged = (
+        hist.join(F.broadcast(member), "event_type")
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("bucket")
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("type_a", "type_b"))
+    )
+    hit = (
+        cum.where(F.col("cum") >= 0.5 * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("type_a", "type_b").orderBy("bucket")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    exact = (
+        vals.join(F.broadcast(member), "event_type")
+        .groupBy("type_a", "type_b")
+        .agg(F.expr("percentile(value, 0.5D)").alias("exact_med"))
+    )
+    est = (
+        "lo + (bucket + (0.5 * n - (cum - cnt)) / cnt) "
+        f"* (hi - lo) / {HIST_BINS}"
+    )
+    return (
+        hit.crossJoin(F.broadcast(bounds))
+        .join(exact, ["type_a", "type_b"])
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "CAST(n AS BIGINT) AS n_merged",
+            f"ROUND({est}, 6) AS hist_med",
+            "ROUND(exact_med, 6) AS exact_med",
+            f"ROUND(abs(({est}) - exact_med), 6) AS abs_err",
+        )
+    )
+
+
+def histogram_merge_audit_oracle() -> str:
+    est = (
+        f"lo + (bucket + (0.5 * n - (cum - cnt)) / cnt) * (hi - lo) / {HIST_BINS}"
+    )
+    return f"""
+        WITH hm_bounds AS (
+          SELECT min(value) AS lo, max(value) AS hi
+          FROM events WHERE value IS NOT NULL),
+        hm_pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM events) a,
+               (SELECT DISTINCT event_type FROM events) b
+          WHERE a.event_type < b.event_type),
+        hm_member AS (
+          SELECT type_a, type_b, type_a AS event_type FROM hm_pairs
+          UNION ALL
+          SELECT type_a, type_b, type_b AS event_type FROM hm_pairs),
+        hm_merged AS (
+          -- REBUILD over the union: must equal Spark's counter addition
+          SELECT m.type_a, m.type_b,
+                 CASE WHEN b.hi = b.lo THEN 0 ELSE
+                   LEAST(CAST(floor((e.value - b.lo) * {HIST_BINS} / (b.hi - b.lo))
+                              AS INT), {HIST_BINS - 1}) END AS bucket,
+                 count(*) AS cnt
+          FROM events e
+          JOIN hm_member m ON e.event_type = m.event_type
+          CROSS JOIN hm_bounds b
+          WHERE e.value IS NOT NULL
+          GROUP BY 1, 2, 3),
+        hm_cum AS (
+          SELECT type_a, type_b, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY type_a, type_b
+                                ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY type_a, type_b) AS n
+          FROM hm_merged),
+        hm_hit AS (
+          SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                       ORDER BY bucket) AS rn
+          FROM hm_cum WHERE cum >= 0.5 * n),
+        hm_exact AS (
+          SELECT m.type_a, m.type_b,
+                 quantile_cont(e.value, 0.5) AS exact_med
+          FROM events e JOIN hm_member m ON e.event_type = m.event_type
+          WHERE e.value IS NOT NULL GROUP BY m.type_a, m.type_b)
+        SELECT h.type_a, h.type_b, CAST(h.n AS BIGINT) AS n_merged,
+               ROUND({est}, 6) AS hist_med,
+               ROUND(x.exact_med, 6) AS exact_med,
+               ROUND(abs(({est}) - x.exact_med), 6) AS abs_err
+        FROM hm_hit h
+        CROSS JOIN hm_bounds
+        JOIN hm_exact x ON h.type_a = x.type_a AND h.type_b = x.type_b
+        WHERE h.rn = 1
+    """

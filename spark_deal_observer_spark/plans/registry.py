@@ -4344,6 +4344,17 @@ def q_histogram_quantile_audit(spark, sf_dir):
     return sk.histogram_quantile_audit(_t(spark, sf_dir, "events"))
 
 
+@register("histogram_merge_audit", sk.histogram_merge_audit_oracle())
+def q_histogram_merge_audit(spark, sf_dir):
+    """UNION median per event-type pair from MERGED histograms (counter
+    addition over shared global bins) — the histogram's sketch merge,
+    completing the mergeable-sketch story next to hll_set_ops_audit. The
+    oracle REBUILDS the merged histogram over the union, so value parity
+    proves merge == union; the exact interpolated median bounds the
+    estimate (abs_err <= bin width, pinned in tests/test_sketches.py)."""
+    return sk.histogram_merge_audit(_t(spark, sf_dir, "events"))
+
+
 @register("hll_set_ops_audit", sk.hll_set_ops_audit_oracle())
 def q_hll_set_ops_audit(spark, sf_dir):
     """Distinct-user UNION and INTERSECTION estimates for every
@@ -5131,9 +5142,17 @@ def q_sketch_suite(spark, sf_dir):
         "'inter_true', CAST(inter_true AS DOUBLE), "
         "'inter_est', inter_est, 'rel_err', rel_err) AS (metric, value)",
     )
+    hm_m = REGISTRY["histogram_merge_audit"].fn(spark, sf_dir).selectExpr(
+        "'hist_merge' AS section",
+        "concat(type_a, ':', type_b) AS key",
+        "stack(4, 'n_merged', CAST(n_merged AS DOUBLE), "
+        "'hist_med', hist_med, 'exact_med', exact_med, "
+        "'abs_err', abs_err) AS (metric, value)",
+    )
     return (
         cms_m.unionByName(hh_m).unionByName(dr_m)
         .unionByName(hl_m).unionByName(hq_m).unionByName(ho_m)
+        .unionByName(hm_m)
     )
 
 
@@ -5218,7 +5237,8 @@ REGISTRY["sketch_suite"] = QueryDef(
          dr AS ({REGISTRY["source_drift_psi"].oracle}),
          hl AS MATERIALIZED ({REGISTRY["hll_distinct_audit"].oracle}),
          hq AS MATERIALIZED ({REGISTRY["histogram_quantile_audit"].oracle}),
-         ho AS MATERIALIZED ({REGISTRY["hll_set_ops_audit"].oracle})
+         ho AS MATERIALIZED ({REGISTRY["hll_set_ops_audit"].oracle}),
+         hm AS MATERIALIZED ({REGISTRY["histogram_merge_audit"].oracle})
     SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
            CAST(true_cnt AS BIGINT) AS value FROM cms
     UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
@@ -5241,6 +5261,14 @@ REGISTRY["sketch_suite"] = QueryDef(
            CAST(inter_true AS DOUBLE) FROM ho
     UNION ALL SELECT 'hll_ops', pair, 'inter_est', inter_est FROM ho
     UNION ALL SELECT 'hll_ops', pair, 'rel_err', rel_err FROM ho
+    UNION ALL SELECT 'hist_merge', type_a || ':' || type_b, 'n_merged',
+           CAST(n_merged AS DOUBLE) FROM hm
+    UNION ALL SELECT 'hist_merge', type_a || ':' || type_b, 'hist_med',
+           hist_med FROM hm
+    UNION ALL SELECT 'hist_merge', type_a || ':' || type_b, 'exact_med',
+           exact_med FROM hm
+    UNION ALL SELECT 'hist_merge', type_a || ':' || type_b, 'abs_err',
+           abs_err FROM hm
     """,
 )
 
@@ -7348,7 +7376,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "sketch_suite": (
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
         "hll_distinct_audit", "histogram_quantile_audit",
-        "hll_set_ops_audit",
+        "hll_set_ops_audit", "histogram_merge_audit",
     ),
     "diff_session_recall_suite": (
         "snapshot_diff", "session_window_stats", "view_click_attribution",
@@ -7507,6 +7535,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)
+    "histogram_merge_audit",    # sum-merge quantile sketch (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)
     "corpus_vocab_growth",      # Heaps-law growth curve (melted above)
     "corpus_heaps_zipf",        # corpus-law fits (melted above)

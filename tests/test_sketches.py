@@ -151,3 +151,25 @@ def test_histogram_quantile_degenerate_group(spark):
     # PLUS one adjacent-value gap (here gap=1.0 dominates); the dense-data
     # one-bin-width bound is asserted by the events-table accuracy test
     assert rows[("spread", "q50")]["abs_err"] <= 1.0 + 19.0 / 256 + 1e-9
+
+
+def test_histogram_merge_within_bin_width(spark):
+    """Merged-histogram union medians must sit within one (global) bin
+    width of the exact interpolated median — the histogram error bound,
+    now proven for the MERGED form (counter addition over shared bins),
+    not just the per-type sketch."""
+    from conftest import SF_ORACLE
+
+    from spark_deal_observer_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["histogram_merge_audit"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 10  # C(5 types, 2)
+    lo, hi = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .selectExpr("min(value)", "max(value)")
+        .collect()[0]
+    )
+    bin_width = (hi - lo) / 256
+    for r in rows:
+        assert r["n_merged"] > 0
+        assert r["abs_err"] <= bin_width + 1e-9, (r, bin_width)
