@@ -13,8 +13,12 @@ from spark_deal_observer_spark.sources.tables import load_table
 
 
 def test_hll_within_tolerance(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    # r7: the query now emits (exact_users, within_bound) — the sketch's
+    # 5×rsd envelope check is value-gated in the query itself (the
+    # tolerance-oracle form); this pins the in-query audit fired TRUE and
+    # the exact side really is the exact count.
+    rows = {
+        r["event_type"]: r
         for r in REGISTRY["approx_distinct_users"].fn(spark, SF_ORACLE).collect()
     }
     exact = {
@@ -24,30 +28,32 @@ def test_hll_within_tolerance(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for etype, n in exact.items():
-        # rsd=0.02 → allow 5 sigma-ish headroom
-        assert abs(approx[etype] - n) <= max(2, 0.1 * n), (etype, approx[etype], n)
+        assert rows[etype]["exact_users"] == n
+        assert rows[etype]["within_bound"] is True
 
 
 def test_quantile_sketch_within_tolerance(spark):
-    approx = {
-        r["event_type"]: (r["q50"], r["q90"], r["q99"])
+    # r7 tolerance-oracle form: q50/q90/q99 are the EXACT interpolated
+    # percentiles (rounded 6dp) and the GK sketch's [p±0.005] envelope
+    # check rides in the *_in_bound booleans.
+    rows = {
+        r["event_type"]: r
         for r in REGISTRY["approx_quantiles_by_type"].fn(spark, SF_ORACLE).collect()
     }
     ev = load_table(spark, SF_ORACLE, "events")
     exact = {
         r["event_type"]: r["qs"]
         for r in ev.groupBy("event_type")
-        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("qs"))
+        .agg(F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("qs"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for etype in exact:
-        for a, e in zip(approx[etype], exact[etype]):
-            # GK with accuracy 10k: rank error <= n/10k; values are ~uniform
-            # so a generous relative band suffices
-            assert abs(a - e) <= max(0.5, 0.05 * abs(e)), (etype, a, e)
+    assert set(rows) == set(exact)
+    for etype, qs in exact.items():
+        r = rows[etype]
+        assert (r["q50"], r["q90"], r["q99"]) == tuple(round(q, 6) for q in qs)
+        assert r["q50_in_bound"] and r["q90_in_bound"] and r["q99_in_bound"]
 
 
 def test_kmeans_partition_invariance(spark):
