@@ -127,13 +127,21 @@ def crossmodal_projection(docs: DataFrame) -> DataFrame:
             x.join(ytrain, "doc_id")
             .groupBy("i", "j")
             .agg(
-                F.sum((F.col("xi") * F.col("ycn")).cast("decimal(38,0)")).alias("num")
+                F.sum(
+                    F.col("xi").cast("decimal(38,0)")
+                    * F.col("ycn").cast("decimal(38,0)")
+                ).alias("num")
             )
         )
         d_tab = (
             x.join(F.broadcast(paired), "doc_id")
             .groupBy("i")
-            .agg(F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("den"))
+            .agg(
+                F.sum(
+                    F.col("xi").cast("decimal(38,0)")
+                    * F.col("xi").cast("decimal(38,0)")
+                ).alias("den")
+            )
         )
         w = n_tab.join(d_tab, "i").select(
             "i",
@@ -205,7 +213,16 @@ def crossmodal_retrieval(
             F.broadcast(w.select("i", "j", _int6(F.col("w6")).alias("wi"))), "i"
         )
         .groupBy(F.col("doc_id").alias("query_doc"), "j")
-        .agg(F.sum((F.col("xcn") * F.col("wi")).cast("decimal(38,0)")).alias("p"))
+        # cast each FACTOR to decimal: the long*long product overflows at
+        # sf0.1 (xcn ~ m*1e6 deviations x wi ~ 1e13) BEFORE an outer cast
+        # could widen it - caught by scripts/verify_gate_sf01.py, the
+        # scale-dependent-value-bug gate
+        .agg(
+            F.sum(
+                F.col("xcn").cast("decimal(38,0)")
+                * F.col("wi").cast("decimal(38,0)")
+            ).alias("p")
+        )
     )
     pvec = _vec(p, "query_doc", "j", "p", "pv")
     yvec = _vec(ycn_all, "doc_id", "j", "ycn", "yv")
