@@ -1421,37 +1421,47 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     scans, never a single-partition `SUM() OVER (ORDER BY)` (the
     plan-sweep rule; the oracle, a single-node engine, uses the plain
     window form of the same arithmetic)."""
+    from .models import disk_checkpoint, published
     from .prefix import global_prefix_sum
 
-    toks = F.expr(tokens_sql("spark", "text"))
-    per_doc = docs.select(
-        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
-    )
-    first = (
-        docs.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("token")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(F.col("first_doc").alias("doc_id"))
-        .agg(F.count("*").cast("bigint").alias("new_types"))
-    )
-    base = per_doc.join(first, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
-    )
-    cum1 = global_prefix_sum(
-        base, [F.col("doc_id")], "n_tokens", out_col="tokens_cum"
-    )
-    cum2 = global_prefix_sum(
-        cum1, [F.col("doc_id")], "new_types", out_col="vocab_cum"
-    )
-    return cum2.select(
-        "doc_id",
-        "n_tokens",
-        F.col("tokens_cum").cast("bigint").alias("tokens_cum"),
-        "new_types",
-        F.col("vocab_cum").cast("bigint").alias("vocab_cum"),
-    )
+    def build() -> DataFrame:
+        toks = F.expr(tokens_sql("spark", "text"))
+        per_doc = docs.select(
+            "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+        )
+        first = (
+            docs.select("doc_id", F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .groupBy(F.col("first_doc").alias("doc_id"))
+            .agg(F.count("*").cast("bigint").alias("new_types"))
+        )
+        base = per_doc.join(first, "doc_id", "left").select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        cum1 = global_prefix_sum(
+            base, [F.col("doc_id")], "n_tokens", out_col="tokens_cum"
+        )
+        cum2 = global_prefix_sum(
+            cum1, [F.col("doc_id")], "new_types", out_col="vocab_cum"
+        )
+        # published: the registered query, the Heaps/Zipf fit, and the
+        # profile_suite melt all read this table — re-deriving it per
+        # consumer re-pays the token explode + type aggregate each time
+        return disk_checkpoint(
+            cum2.select(
+                "doc_id",
+                "n_tokens",
+                F.col("tokens_cum").cast("bigint").alias("tokens_cum"),
+                "new_types",
+                F.col("vocab_cum").cast("bigint").alias("vocab_cum"),
+            ),
+            "vocab_growth",
+        )
+
+    return published(docs, "vocab_growth", (), build)
 
 
 def vocab_growth_oracle() -> str:
