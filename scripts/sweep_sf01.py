@@ -61,11 +61,21 @@ def main() -> int:
     sweep_names = list(DRIVER_ORDER) + [
         n for n in REGISTRY if n not in set(DRIVER_ORDER)
     ]
+    suite_warm: dict[str, float] = {}
     for name in sweep_names:
         try:
             times[name] = round(
                 benchkit.time_noop(spark, REGISTRY[name].fn, SF_DIR), 3
             )
+            if WARM and name in SUITE_COMPONENTS:
+                # Warm re-run IMMEDIATELY, while this suite's published
+                # artifacts are live — a deferred warm pass at the end of
+                # the 240-query sweep found them LRU-EVICTED and silently
+                # re-measured training (graph_suite "warm" read 31 s vs
+                # its true 0.8 s warm).
+                suite_warm[name] = round(
+                    benchkit.time_noop(spark, REGISTRY[name].fn, SF_DIR), 3
+                )
         except Exception as e:  # noqa: BLE001
             errs[name] = str(e)[:300]
             print(f"{name}: ERROR {e}", flush=True)
@@ -79,25 +89,15 @@ def main() -> int:
     }
 
     if WARM:
-        # Every trainable artifact is published by now (main pass), so a
-        # suite re-run pays only its operators, not its training.
-        suite_warm: dict[str, float] = {}
-        for name in SUITE_COMPONENTS:
-            if name not in REGISTRY or name in errs:
-                continue
-            try:
-                suite_warm[name] = round(
-                    benchkit.time_noop(spark, REGISTRY[name].fn, SF_DIR), 3
-                )
-            except Exception as e:  # noqa: BLE001
-                errs[f"warm:{name}"] = str(e)[:300]
+        # total_s includes the extra warm re-runs; the two derived totals
+        # separate operator cost (warm suites) from training cost.
         cold_suite = sum(times.get(n, 0.0) for n in suite_warm)
         out["suite_times_warm"] = suite_warm
         out["suite_training_s"] = round(
             cold_suite - sum(suite_warm.values()), 1
         )
         out["total_warm_s"] = round(
-            total - cold_suite + sum(suite_warm.values()), 1
+            sum(times.values()) - cold_suite + sum(suite_warm.values()), 1
         )
 
     if errs:
