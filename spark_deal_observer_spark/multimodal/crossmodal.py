@@ -9,13 +9,16 @@ the data-independent JL projection in similarity.random_projection:
 
     W = D⁻¹ · Xᵀ · Y_c        (diagonally-whitened cross-covariance)
 
-where X = text embeddings (ranking.hashed_doc_embeddings, 64-dim), Y_c =
-centered media bucket-mean vectors (media.media_bucket_means, 64
-buckets) over PAIRED training docs (each doc's own media rendering is
-its positive pair), and D = diag(XᵀX). Among the SQL-expressible maps we
-measured at sf0.01, diagonal whitening matches 20-step ridge GD at
-recall@10 (0.286 vs 0.286; raw covariance scores 0.12) while costing ONE
-aggregation pass — see tests/test_crossmodal.py for the pinned floor.
+where X = text embeddings (ranking.hashed_doc_embeddings at
+XMODAL_TEXT_DIM = 256 — widened from 64 in r8, see the constant's
+docstring for the measured ladder), Y_c = centered media bucket-mean
+vectors (media.media_bucket_means, 64 buckets) over PAIRED training docs
+(each doc's own media rendering is its positive pair), and D =
+diag(XᵀX). Among the SQL-expressible maps measured at sf0.01 on the
+full paired panel (n=486), diagonal whitening at 256-dim input reaches
+recall@10 0.288 — tying closed-form ridge at any λ/dim (the linear-map
+ceiling here) while costing ONE aggregation pass; raw covariance scores
+0.12 — see tests/test_crossmodal.py for the pinned floor.
 
 Cross-engine exactness discipline (every aggregate is order-free exact
 integer math; the ONLY rounded division is W itself):
@@ -25,7 +28,7 @@ integer math; the ONLY rounded division is W itself):
 - Centering avoids a mean division entirely: y_c ∝ n·y − Σy (exact
   ints); cosine is invariant to the uniform n scaling.
 - w6 = ROUND(N/D, 6) is the single cross-engine rounding boundary,
-  via the repo's DECIMAL(28,12) tie template (D is a huge unstructured
+  via the shortest-repr round template (D is a huge unstructured
   denominator, so exact 6-dp ties are measure-zero — unlike the dyadic
   media ratios that bit round 6).
 - Projected queries p_j = Σ_i xq_i·w6_ij are again exact scaled-int
@@ -51,13 +54,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-XMODAL_DIM = 64          # both sides: EMBED_DIM text dims and PHASH_BUCKETS
+from ..functions.rounding import round6_sql
+
+XMODAL_DIM = 64          # media side: PHASH_BUCKETS bucket-mean dims
+# Text-side input dim for the trained map. r8 (VERDICT r7 #3a): widening
+# the hashed-BOW input from 64 → 256 is the one linear-map upgrade that
+# measured above the diag-whitening floor on the FULL paired panel
+# (n=486, sf0.01): r@10 0.251 → 0.288, r@5 0.195 → 0.212, mrr 0.165 →
+# 0.182. Closed-form ridge (any λ, any dim) tied 0.288 r@10 — not worth
+# a 256×256 solve the SQL can't express; 20/40-step GD diverged in the
+# experiment and was dropped (recorded negative result). Cost: W grows
+# to 256×64 rows (still broadcast-trivial) and the one-off training join
+# fans 4× (256·64 terms/paired doc) — retrieval cost is unchanged since
+# cosine stays in 64-dim media space.
+XMODAL_TEXT_DIM = 256
 XMODAL_QUERY_MOD = 10    # query sample: media docs with doc_id % mod == 0
 XMODAL_QUERY_CAP = 500   # ...restricted to doc_id < cap: the query set is a
                          # FIXED 50-doc panel at every SF, so retrieval cost
                          # scales with the corpus only on the candidate side
 XMODAL_TRAIN_MOD = 1     # training-pair sample (1 = all paired docs)
 XMODAL_TOPK = 5
+XMODAL_IVF_CELLS = 8     # coarse cells over the media corpus (IVF tier)
+XMODAL_IVF_PROBE = 2     # cells probed per query → scan probe/n_cells
 
 _S = 1_000_000  # 6-dp fixed-point scale
 
@@ -68,10 +86,14 @@ def _int6(col):
 
 
 def _text_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, i, xi_int): the dense exploded text embedding, 0-based i."""
+    """(doc_id, i, xi_int): the dense exploded text embedding, 0-based i.
+
+    XMODAL_TEXT_DIM (256) is a crossmodal-only artifact next to the ANN
+    family's 64-dim table — `published` keys on (input plan, dim), so the
+    two never alias."""
     from ..operators.ranking import hashed_doc_embeddings
 
-    emb = hashed_doc_embeddings(docs)
+    emb = hashed_doc_embeddings(docs, dim=XMODAL_TEXT_DIM)
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "x")
     ).select("doc_id", "i", _int6(F.col("x")).alias("xi"))
@@ -184,13 +206,12 @@ def _dot(a: str, b: str) -> str:
     )
 
 
-def crossmodal_retrieval(
-    docs: DataFrame, k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
-) -> DataFrame:
-    """Top-`k` media docs per sampled text query by cosine in media
-    space: (query_doc, media_doc, rank, cos). Self-retrieval quality is
-    pinned by tests/test_crossmodal.py (recall floor vs the measured
-    0.286 @10 ceiling of SQL-expressible linear maps)."""
+def _pvec_yvec(
+    docs: DataFrame, query_mod: int = XMODAL_QUERY_MOD
+) -> tuple[DataFrame, DataFrame]:
+    """The shared retrieval inputs: projected query vectors
+    (query_doc, pv, pn) and candidate media vectors (doc_id, yv, yn) —
+    used by both the brute-force tier and the IVF tier."""
     w = crossmodal_projection(docs)
     # Queries are CENTERED against the paired-training-doc mean before
     # projecting (measured: 0.163 recall@5 vs 0.060 uncentered at
@@ -247,8 +268,26 @@ def crossmodal_retrieval(
     yvec = _vec(ycn_all, "doc_id", "j", "ycn", "yv").withColumn(
         "yn", F.expr(f"sqrt({_dot('yv', 'yv')})")
     )
+    return pvec, yvec
+
+
+def crossmodal_retrieval(
+    docs: DataFrame, k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
+) -> DataFrame:
+    """Top-`k` media docs per sampled text query by cosine in media
+    space: (query_doc, media_doc, rank, cos). Self-retrieval quality is
+    pinned by tests/test_crossmodal.py (recall floor vs the measured
+    0.288 @10 ceiling of SQL-expressible linear maps at 256-dim input)."""
+    pvec, yvec = _pvec_yvec(docs, query_mod)
     # Queries are a bounded sample → broadcast; one scan of candidates.
-    cos = F.expr(f"ROUND({_dot('pv', 'yv')} / (pn * yn), 6)")
+    # Zero-norm guard: a degenerate corpus (single paired training doc →
+    # ycn ≡ 0, or an all-zero projected query) makes pn*yn = 0, and
+    # Spark/DuckDB double ÷0 semantics differ — emit 0.0 on both engines,
+    # mirroring crossmodal_projection's den == 0 branch.
+    cos = F.expr(
+        f"CASE WHEN pn * yn = 0.0D THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE ROUND({_dot('pv', 'yv')} / (pn * yn), 6) END"
+    )
     scored = yvec.crossJoin(F.broadcast(pvec)).select(
         "query_doc", F.col("doc_id").alias("media_doc"), cos.alias("cos")
     )
@@ -265,25 +304,23 @@ def crossmodal_retrieval(
     )
 
 
-def crossmodal_retrieval_oracle(
-    k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
-) -> str:
-    """DuckDB twin: identical scaled-int pipeline (HUGEINT sums), the
-    DECIMAL(28,12) tie template at the single W rounding boundary, and
-    the ordered list fold for the cosine."""
+def _oracle_dot(a: str, b: str) -> str:
+    """Ordered list fold over the 64 media-space dims (DuckDB twin of
+    `_dot`)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {XMODAL_DIM}), "
+        f"n_ -> {a}[n_] * {b}[n_]))"
+    )
+
+
+def _xmodal_body_sql(query_mod: int = XMODAL_QUERY_MOD) -> str:
+    """The shared WITH-body (embeddings → trained W → projected pvec +
+    candidate yvec) both retrieval-tier oracles build on — the exact
+    SQL twin of `_pvec_yvec`."""
     from ..operators.ranking import hashed_doc_embeddings_oracle
 
     nb = XMODAL_DIM
-    dot = (
-        "list_sum(list_transform(generate_series(1, {n}), "
-        "n_ -> {a}[n_] * {b}[n_]))"
-    )
-
-    def d(a: str, b: str) -> str:
-        return dot.format(n=nb, a=a, b=b)
-
-    return f"""
-        WITH emb AS MATERIALIZED ({hashed_doc_embeddings_oracle()}),
+    return f"""emb AS MATERIALIZED ({hashed_doc_embeddings_oracle(XMODAL_TEXT_DIM)}),
         xrows AS MATERIALIZED (
           SELECT doc_id, generate_subscripts(embedding, 1) - 1 AS i,
                  CAST(ROUND(unnest(embedding) * {_S}) AS BIGINT) AS xi
@@ -317,8 +354,7 @@ def crossmodal_retrieval_oracle(
         w AS MATERIALIZED (
           SELECT n_.i, n_.j,
                  CASE WHEN d_.den = 0 THEN 0.0
-                      ELSE CAST(ROUND(CAST(CAST(n_.num AS DOUBLE) / CAST(d_.den AS DOUBLE)
-                           AS DECIMAL(28,12)), 6) AS DOUBLE) END AS w6
+                      ELSE {round6_sql("CAST(n_.num AS DOUBLE) / CAST(d_.den AS DOUBLE)")} END AS w6
           FROM ntab n_ JOIN dtab d_ ON n_.i = d_.i),
         xstats AS (
           SELECT i, SUM(xi) AS sx, COUNT(*) AS m
@@ -341,13 +377,156 @@ def crossmodal_retrieval_oracle(
           FROM p GROUP BY query_doc),
         yvec AS (
           SELECT doc_id, list(CAST(ycn AS DOUBLE) ORDER BY j) AS yv
-          FROM ycn GROUP BY doc_id),
+          FROM ycn GROUP BY doc_id)"""
+
+
+def crossmodal_retrieval_oracle(
+    k: int = XMODAL_TOPK, query_mod: int = XMODAL_QUERY_MOD
+) -> str:
+    """DuckDB twin: identical scaled-int pipeline (HUGEINT sums), the
+    shortest-repr round template at the single W rounding boundary, and
+    the ordered list fold for the cosine."""
+    d = _oracle_dot
+    return f"""
+        WITH {_xmodal_body_sql(query_mod)},
         scored AS (
           SELECT q.query_doc, y.doc_id AS media_doc,
-                 ROUND({d('q.pv', 'y.yv')} /
-                       (sqrt({d('q.pv', 'q.pv')}) * sqrt({d('y.yv', 'y.yv')})), 6)
-                   AS cos
+                 CASE WHEN sqrt({d('q.pv', 'q.pv')}) * sqrt({d('y.yv', 'y.yv')}) = 0
+                      THEN 0.0
+                      ELSE ROUND({d('q.pv', 'y.yv')} /
+                           (sqrt({d('q.pv', 'q.pv')}) * sqrt({d('y.yv', 'y.yv')})), 6)
+                 END AS cos
           FROM yvec y CROSS JOIN pvec q),
+        ranked AS (
+          SELECT query_doc, media_doc, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                      ORDER BY cos DESC, media_doc ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_doc, media_doc, rank, cos
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def crossmodal_ivf_retrieval(
+    docs: DataFrame,
+    k: int = XMODAL_TOPK,
+    query_mod: int = XMODAL_QUERY_MOD,
+    n_cells: int = XMODAL_IVF_CELLS,
+    probe: int = XMODAL_IVF_PROBE,
+) -> DataFrame:
+    """The IVF scale tier of cross-modal retrieval (VERDICT r7 #3b): the
+    projected text queries run through coarse cells over the MEDIA
+    corpus instead of a full scan.
+
+    Build side (once per corpus): centroids = the `n_cells`
+    lowest-doc_id media vectors (the deterministic seed the IVF family
+    uses, similarity.ivf_centroid_topk); every candidate assigns to its
+    max-affinity cell — one broadcast join + per-doc argmax window, the
+    same partition-prunable layout as the ANN IVF build. Query side:
+    each projected query probes its `probe` nearest cells and ranks
+    exact cosine INSIDE those cells only — the scan shrinks to
+    probe/n_cells of the corpus, and at 100 TB the cell assignment is
+    the partition key so pruning happens at the file level.
+
+    Affinities round to 6 dp (the iterative-op rounding rule) with
+    cell-doc tie-breaks, so assignment is deterministic on both engines;
+    recall vs the brute-force tier is pinned in tests/test_crossmodal.py.
+    """
+    pvec, yvec = _pvec_yvec(docs, query_mod)
+    cents = (
+        yvec.orderBy("doc_id")
+        .limit(n_cells)
+        .select(
+            F.col("doc_id").alias("cell_doc"),
+            F.col("yv").alias("cvec"),
+            F.col("yn").alias("cn_"),
+        )
+    )
+
+    def aff(vec: str, nrm: str) -> str:
+        return (
+            f"CASE WHEN {nrm} * cn_ = 0.0D THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE ROUND({_dot(vec, 'cvec')} / ({nrm} * cn_), 6) END"
+        )
+
+    wa = Window.partitionBy("doc_id").orderBy(
+        F.col("aff").desc(), F.col("cell_doc").asc()
+    )
+    assigned = (
+        yvec.crossJoin(F.broadcast(cents))
+        .select("doc_id", "yv", "yn", "cell_doc", F.expr(aff("yv", "yn")).alias("aff"))
+        .withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") == 1)
+        .select("doc_id", "yv", "yn", "cell_doc")
+    )
+    wq = Window.partitionBy("query_doc").orderBy(
+        F.col("aff").desc(), F.col("cell_doc").asc()
+    )
+    probed = (
+        pvec.crossJoin(F.broadcast(cents))
+        .select("query_doc", "pv", "pn", "cell_doc", F.expr(aff("pv", "pn")).alias("aff"))
+        .withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= probe)
+        .select("query_doc", "pv", "pn", "cell_doc")
+    )
+    cos = F.expr(
+        f"CASE WHEN pn * yn = 0.0D THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE ROUND({_dot('pv', 'yv')} / (pn * yn), 6) END"
+    )
+    scored = assigned.join(F.broadcast(probed), "cell_doc").select(
+        "query_doc", F.col("doc_id").alias("media_doc"), cos.alias("cos")
+    )
+    rk = Window.partitionBy("query_doc").orderBy(
+        F.col("cos").desc(), F.col("media_doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_doc", "media_doc", "rank", "cos")
+    )
+
+
+def crossmodal_ivf_retrieval_oracle(
+    k: int = XMODAL_TOPK,
+    query_mod: int = XMODAL_QUERY_MOD,
+    n_cells: int = XMODAL_IVF_CELLS,
+    probe: int = XMODAL_IVF_PROBE,
+) -> str:
+    """DuckDB twin of the IVF tier — same body, same rounded affinities,
+    same deterministic tie-breaks."""
+    d = _oracle_dot
+
+    def aff(vec: str, nrm: str) -> str:
+        return (
+            f"CASE WHEN {nrm} * c.cn_ = 0 THEN 0.0 "
+            f"ELSE ROUND({d(vec, 'c.cvec')} / ({nrm} * c.cn_), 6) END"
+        )
+
+    return f"""
+        WITH {_xmodal_body_sql(query_mod)},
+        yn_ AS (SELECT doc_id, yv, sqrt({d('yv', 'yv')}) AS yn FROM yvec),
+        pn_ AS (SELECT query_doc, pv, sqrt({d('pv', 'pv')}) AS pn FROM pvec),
+        cents AS (
+          SELECT doc_id AS cell_doc, yv AS cvec, yn AS cn_
+          FROM yn_ ORDER BY doc_id LIMIT {n_cells}),
+        assigned AS (
+          SELECT doc_id, yv, yn, cell_doc FROM (
+            SELECT y.doc_id, y.yv, y.yn, c.cell_doc,
+                   ROW_NUMBER() OVER (PARTITION BY y.doc_id
+                       ORDER BY {aff('y.yv', 'y.yn')} DESC, c.cell_doc ASC) AS arn
+            FROM yn_ y CROSS JOIN cents c) t WHERE arn = 1),
+        probed AS (
+          SELECT query_doc, pv, pn, cell_doc FROM (
+            SELECT q.query_doc, q.pv, q.pn, c.cell_doc,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_doc
+                       ORDER BY {aff('q.pv', 'q.pn')} DESC, c.cell_doc ASC) AS qrn
+            FROM pn_ q CROSS JOIN cents c) t WHERE qrn <= {probe}),
+        scored AS (
+          SELECT q.query_doc, a.doc_id AS media_doc,
+                 CASE WHEN q.pn * a.yn = 0 THEN 0.0
+                      ELSE ROUND({d('q.pv', 'a.yv')} / (q.pn * a.yn), 6)
+                 END AS cos
+          FROM assigned a JOIN probed q ON a.cell_doc = q.cell_doc),
         ranked AS (
           SELECT query_doc, media_doc, cos,
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_doc

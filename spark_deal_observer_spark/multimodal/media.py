@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.rounding import round6_sql
+
 if TYPE_CHECKING:
     import pandas as pd
 
@@ -946,10 +948,17 @@ def _round6_ratio(num: int, den: int) -> float:
     routine — num/den = 7.6640625 rounds DOWN under banker's while both
     engines' ROUND goes up (the exact-decimal-tie class from the sf0.1
     gate, now on the kernel side)."""
-    q, r = divmod(num * 10**6, den)
+    if den < 0:
+        num, den = -num, -den
+    sign = -1 if num < 0 else 1
+    # divmod on the ABSOLUTE value: floor semantics would round negative
+    # ties toward zero (HALF_DOWN), while both engines' ROUND is half
+    # AWAY FROM ZERO. Current callers only pass nonnegative pixel sums;
+    # the fuzz harness (tests/test_round_fuzz.py) sweeps both signs.
+    q, r = divmod(abs(num) * 10**6, den)
     if 2 * r >= den:
         q += 1
-    return q / 1e6
+    return sign * q / 1e6
 
 
 def extract_video_features(media: DataFrame) -> DataFrame:
@@ -1025,16 +1034,14 @@ def video_features_oracle() -> str:
         WITH {_video_grid_sql()}
         SELECT doc_id, CAST(max(nf) AS INT) AS n_frames,
                {VIDEO_W} AS width, {VIDEO_H} AS height,
-               -- Route both quotients through DECIMAL(18,12) before the
-               -- 6-dp round: the kernel uses exact half-up _round6_ratio
+               -- Route both quotients through the shortest-repr round
+               -- template: the kernel uses exact half-up _round6_ratio
                -- and nf=10/11 gives den=640 whose 6-dp ties are not
                -- double-representable — plain ROUND(double) flips ~100 of
                -- the odd-numerator ties down (r6 ADVICE, verified to match
                -- _round6_ratio on all den=640 tie cases).
-               CAST(ROUND(CAST(sum(idx) / CAST(count(*) AS DOUBLE)
-                               AS DECIMAL(18,12)), 6) AS DOUBLE) AS mean_idx,
-               CAST(ROUND(CAST(sum(d) / CAST(count(d) AS DOUBLE)
-                               AS DECIMAL(18,12)), 6) AS DOUBLE) AS motion
+               {round6_sql(f"sum(idx) / CAST(count(*) AS DOUBLE)")} AS mean_idx,
+               {round6_sql(f"sum(d) / CAST(count(d) AS DOUBLE)")} AS motion
         FROM (
           SELECT a.doc_id, a.nf, a.idx, abs(b.idx - a.idx) AS d
           FROM vgrid a LEFT JOIN vgrid b

@@ -68,15 +68,14 @@ _DOT_DUCK = (
 def _signal_exprs(dialect: str) -> list[str]:
     """The three engineered signals, identical formulas in both dialects.
 
-    mean_len's oracle twin rounds through DECIMAL(18,12): `len/n_tokens`
-    is a small-integer ratio, and when n_tokens is a power of two the
-    /10-scaled value is an EXACT decimal 6-dp tie (sf0.1 doc 3349:
-    333/64/10 = 0.5203125). Spark's ROUND goes through BigDecimal's
-    shortest decimal representation (sees the tie, HALF_UP → …13) while
-    DuckDB rounds the raw double (1 ulp below the tie → …12) — caught by
-    the sf0.1 gate harness. The decimal cast recovers the exact tie
-    before rounding; away from ties (true value ≥1e-11 from a boundary
-    for these small denominators) the two-stage round is value-identical."""
+    mean_len's oracle twin rounds through the shortest-repr template
+    (functions/rounding.py): `len/n_tokens` is a small-integer ratio, and
+    when n_tokens is a power of two the /10-scaled value is an EXACT
+    decimal 6-dp tie (sf0.1 doc 3349: 333/64/10 = 0.5203125). Spark's
+    ROUND goes through BigDecimal's shortest decimal representation (sees
+    the tie, HALF_UP → …13) while DuckDB rounds the raw double (1 ulp
+    below the tie → …12) — caught by the sf0.1 gate harness. The template
+    rounds the double's own shortest repr, tie-exact at any magnitude."""
     q = quality_sql(dialect, "text")
     toks = tokens_sql(dialect, "text")
     size_f = "size" if dialect == "spark" else "len"
@@ -84,7 +83,9 @@ def _signal_exprs(dialect: str) -> list[str]:
     if dialect == "spark":
         mean_len = f"ROUND({ratio}, 6)"
     else:
-        mean_len = f"CAST(ROUND(CAST({ratio} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+        from ..functions.rounding import round6_sql
+
+        mean_len = round6_sql(ratio)
     return [mean_len, q["stopword_ratio"], q["punct_ratio"]]
 
 

@@ -35,6 +35,7 @@ from ..functions.hashing import (
     token_ngrams_sql,
     tokens_sql,
 )
+from ..functions.rounding import round6_sql
 from ..functions.text import lang_id_sql, quality_sql
 
 DEFAULT_VAL_PCT = 5
@@ -1523,15 +1524,18 @@ def _loglog_fit_spark(
     )
 
 
-_LOGLOG_ORACLE = """
-        SELECT CAST(n AS BIGINT) AS {n_out},
-               CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                    AS DECIMAL(28,12)), 6) AS DOUBLE) AS {slope_out},
-               CAST(ROUND(CAST((CAST(sy AS DOUBLE) / 1000000
-                    - CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                          AS DECIMAL(28,12)), 6) AS DOUBLE)
-                      * (CAST(sx AS DOUBLE) / 1000000)) / n
-                    AS DECIMAL(28,12)), 6) AS DOUBLE) AS {icept_out}
+# slope = num/den rounded 6-dp; intercept re-uses the ROUNDED slope (both
+# engines), all through the shortest-repr template (functions/rounding.py).
+_LOGLOG_SLOPE6 = round6_sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")
+_LOGLOG_ICEPT6 = round6_sql(
+    f"(CAST(sy AS DOUBLE) / 1000000"
+    f" - {_LOGLOG_SLOPE6} * (CAST(sx AS DOUBLE) / 1000000)) / n"
+)
+
+_LOGLOG_ORACLE = f"""
+        SELECT CAST(n AS BIGINT) AS {{n_out}},
+               {_LOGLOG_SLOPE6} AS {{slope_out}},
+               {_LOGLOG_ICEPT6} AS {{icept_out}}
         FROM (SELECT COUNT(*) AS n,
                      SUM(CAST(xi AS HUGEINT)) AS sx,
                      SUM(CAST(yi AS HUGEINT)) AS sy,
@@ -1541,7 +1545,7 @@ _LOGLOG_ORACLE = """
                        - SUM(CAST(xi AS HUGEINT)) * SUM(CAST(yi AS HUGEINT)) AS num,
                      COUNT(*) * SUM(CAST(xi AS HUGEINT) * xi)
                        - SUM(CAST(xi AS HUGEINT)) * SUM(CAST(xi AS HUGEINT)) AS den
-              FROM ({points}) pts) agg
+              FROM ({{points}}) pts) agg
 """
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6_sql
+
 DAMPING = 0.85
 N_ITER = 2
 ROUND_DP = 9  # inter-round rounding: pins summation-order drift on both engines
@@ -807,8 +809,7 @@ def link_prediction_oracle(
         picked AS (SELECT *, row_number() OVER (PARTITION BY u
                             ORDER BY cn DESC, w) AS pick FROM scored)
         SELECT u, w, cn, deg_u, deg_w,
-               CAST(ROUND(CAST(cn / (deg_u + deg_w - cn) AS DECIMAL(18,12)),
-                          6) AS DOUBLE) AS jaccard,
+               {round6_sql("cn / (deg_u + deg_w - cn)")} AS jaccard,
                CAST(deg_u * deg_w AS BIGINT) AS pref_attach
         FROM picked WHERE pick <= {topk}
     """

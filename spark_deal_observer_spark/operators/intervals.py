@@ -540,11 +540,11 @@ def event_seasonal_decompose_oracle() -> str:
         wt = 1 if abs(j) == SEAS_HALF else 2
         terms.append(f"{wt} * ({lag})" if wt != 1 else f"({lag})")
     num2 = " + ".join(terms)
-    # quotients round through a wide decimal — the exact-decimal-tie rule.
-    # DECIMAL(28,12), not (18,12): trend ≈ hourly event count, and (18,12)
-    # holds only 6 integer digits, so a corpus with >=10^6 events/hour/type
-    # would overflow the oracle-side cast (r6 ADVICE; Spark side unaffected).
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    # quotients round through the shortest-repr template (r8): trend ≈
+    # hourly event count, and the legacy DECIMAL(w,12) cast both needed a
+    # per-site width (the r6 overflow) and loses 6-dp ties past ~1e6
+    # magnitude — functions/rounding.py holds the full history.
+    from ..functions.rounding import ROUND6_SHORTEST as rnd
     trend = rnd.format(x="num2 / 48.0")
     seasonal = rnd.format(x="s48 / (48.0 * c)")
     return f"""
@@ -665,14 +665,26 @@ def score_hourly_cusum(dense: DataFrame) -> DataFrame:
     pattern), so streamed == batch is definitional."""
     from pyspark.sql.window import Window
 
+    # Sigma moments in DECIMAL(38,0): the oracle promotes to HUGEINT, and
+    # past ~3e9 events per type sx*sx (and the per-row square) exceed LONG
+    # range — same scale-dependent class as crossmodal's p aggregation, so
+    # cast every FACTOR before it multiplies.
     moments = dense.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("n_events").alias("sx"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+        F.sum(
+            F.col("n_events").cast("decimal(38,0)")
+            * F.col("n_events").cast("decimal(38,0)")
+        ).alias("sxx"),
     )
     mu6 = F.round(F.col("sx").cast("double") / F.col("n"), 6)
     sigma6 = F.round(
-        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        F.sqrt(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")
+            ).cast("double")
+        )
         / F.col("n"),
         6,
     )
@@ -726,7 +738,7 @@ def event_cusum_changepoint_oracle() -> str:
     deviations and windows; the only float ops (μ, σ rounding and the
     final /2e6) are structurally identical expressions over identical
     exact inputs."""
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    from ..functions.rounding import ROUND6_SHORTEST as rnd
     mu6 = rnd.format(x="CAST(sx AS DOUBLE) / n")
     sig6 = rnd.format(x="sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n")
     return f"""

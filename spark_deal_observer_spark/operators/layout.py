@@ -373,7 +373,7 @@ def zonemap_pruning_report_oracle() -> str:
             f"CAST({shi if shi is not None else 1 << 40} AS BIGINT) AS s_hi"
         )
     preds = " UNION ALL ".join(pred_rows)
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    from ..functions.rounding import ROUND6_SHORTEST as rnd
     return f"""
         WITH zm_src AS (SELECT {day} AS d, l_suppkey AS s, l_orderkey
                         FROM lineitem),

@@ -328,14 +328,23 @@ def hashed_doc_embeddings_oracle(dim: int = EMBED_DIM) -> str:
         f"CAST(sum(CASE WHEN d = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
         for i in range(dim)
     )
-    sq = " + ".join(f"c{i} * c{i}" for i in range(dim))
-    comps = ", ".join(f"ROUND(c{i} / sqrt({sq}), 6)" for i in range(dim))
+    # norm factored into its own CTE level: inlining sqrt(Σc²) into every
+    # component made the SQL O(dim²) in text size — noticeable at the
+    # crossmodal map's 256-dim input. sqrt once, divide per component:
+    # value-identical doubles either way.
+    allc = ", ".join(f"c{i}" for i in range(dim))
+    # list_sum over a FLAT list literal, not a `+` chain: DuckDB's binder
+    # recurses per binary op and hits its depth cap (128) at dim 256.
+    # c_i are integer-valued doubles, so any summation order is exact.
+    sq = "list_sum([" + ", ".join(f"c{i} * c{i}" for i in range(dim)) + "])"
+    comps = ", ".join(f"ROUND(c{i} / emb_nrm, 6)" for i in range(dim))
     return f"""
         WITH dims AS (
           SELECT doc_id, {hash32_sql('token', 'duckdb')} % {dim} AS d
           FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)),
-        sums AS (SELECT doc_id, {cases} FROM dims GROUP BY doc_id)
-        SELECT doc_id, [{comps}] AS embedding FROM sums
+        sums AS (SELECT doc_id, {cases} FROM dims GROUP BY doc_id),
+        emb_nrmd AS (SELECT doc_id, {allc}, sqrt({sq}) AS emb_nrm FROM sums)
+        SELECT doc_id, [{comps}] AS embedding FROM emb_nrmd
     """
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.epoch import EPOCH_SECONDS, GENESIS_UNIX, epoch_to_timestamp, timestamp_to_epoch
+from ..functions.rounding import ROUND6_SHORTEST, round6_sql
 from ..operators.merge import DEAL_KEY, dedup_insert, first_per_key, mark_submitted, merge_update
 from ..sources.tables import load_table, register_views
 from .deals import (
@@ -2910,11 +2911,11 @@ def q_scd2_deal_history(spark, sf_dir):
 
 @register(
     "approx_quantiles_by_type",
-    """
+    f"""
     SELECT event_type,
-           CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q50,
-           CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q90,
-           CAST(ROUND(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,12)), 6) AS DOUBLE) AS q99,
+           {round6_sql("quantile_cont(value, 0.5)")} AS q50,
+           {round6_sql("quantile_cont(value, 0.9)")} AS q90,
+           {round6_sql("quantile_cont(value, 0.99)")} AS q99,
            TRUE AS q50_in_bound, TRUE AS q90_in_bound, TRUE AS q99_in_bound
     FROM events GROUP BY event_type
     """,
@@ -3848,7 +3849,7 @@ def _readability_exprs(dialect: str) -> dict[str, str]:
 
 def _readability_oracle() -> str:
     e = _readability_exprs("duckdb")
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    rnd = ROUND6_SHORTEST
     return f"""
         SELECT doc_id,
                CAST({e['n_words']} AS BIGINT) AS n_words,
@@ -3884,7 +3885,7 @@ def _novelty_oracle() -> str:
     from ..functions.hashing import hashed_shingles_sql
 
     sh = hashed_shingles_sql("duckdb", "text")
-    rnd = "CAST(ROUND(CAST({x} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    rnd = ROUND6_SHORTEST
     return f"""
         WITH nov_sh AS MATERIALIZED (
           SELECT doc_id, unnest({sh}) AS h
@@ -5149,10 +5150,31 @@ def q_sketch_suite(spark, sf_dir):
         "'hist_med', hist_med, 'exact_med', exact_med, "
         "'abs_err', abs_err) AS (metric, value)",
     )
+    # r8 (VERDICT r7 #6): the two NATIVE sketches (HLL++ distinct, GK
+    # quantiles) ride the gate through their tolerance oracles — the
+    # exact side is value-matched, the native estimate is asserted
+    # within its documented bound as a melted 0/1 metric, so the
+    # driver's 50-slot artifact now covers 240/240 registered queries.
+    ad_m = REGISTRY["approx_distinct_users"].fn(spark, sf_dir).selectExpr(
+        "'hll_native' AS section",
+        "event_type AS key",
+        "stack(2, 'exact_users', CAST(exact_users AS DOUBLE), "
+        "'within_bound', CAST(CAST(within_bound AS INT) AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+    aq_m = REGISTRY["approx_quantiles_by_type"].fn(spark, sf_dir).selectExpr(
+        "'gk_native' AS section",
+        "event_type AS key",
+        "stack(6, 'q50', q50, 'q90', q90, 'q99', q99, "
+        "'q50_in_bound', CAST(CAST(q50_in_bound AS INT) AS DOUBLE), "
+        "'q90_in_bound', CAST(CAST(q90_in_bound AS INT) AS DOUBLE), "
+        "'q99_in_bound', CAST(CAST(q99_in_bound AS INT) AS DOUBLE)) "
+        "AS (metric, value)",
+    )
     return (
         cms_m.unionByName(hh_m).unionByName(dr_m)
         .unionByName(hl_m).unionByName(hq_m).unionByName(ho_m)
-        .unionByName(hm_m)
+        .unionByName(hm_m).unionByName(ad_m).unionByName(aq_m)
     )
 
 
@@ -5238,7 +5260,9 @@ REGISTRY["sketch_suite"] = QueryDef(
          hl AS MATERIALIZED ({REGISTRY["hll_distinct_audit"].oracle}),
          hq AS MATERIALIZED ({REGISTRY["histogram_quantile_audit"].oracle}),
          ho AS MATERIALIZED ({REGISTRY["hll_set_ops_audit"].oracle}),
-         hm AS MATERIALIZED ({REGISTRY["histogram_merge_audit"].oracle})
+         hm AS MATERIALIZED ({REGISTRY["histogram_merge_audit"].oracle}),
+         adn AS ({REGISTRY["approx_distinct_users"].oracle}),
+         aqn AS ({REGISTRY["approx_quantiles_by_type"].oracle})
     SELECT 'cms' AS section, token AS key, 'true_cnt' AS metric,
            CAST(true_cnt AS BIGINT) AS value FROM cms
     UNION ALL SELECT 'cms', token, 'cms_est', CAST(cms_est AS BIGINT) FROM cms
@@ -5269,6 +5293,19 @@ REGISTRY["sketch_suite"] = QueryDef(
            exact_med FROM hm
     UNION ALL SELECT 'hist_merge', type_a || ':' || type_b, 'abs_err',
            abs_err FROM hm
+    UNION ALL SELECT 'hll_native', event_type, 'exact_users',
+           CAST(exact_users AS DOUBLE) FROM adn
+    UNION ALL SELECT 'hll_native', event_type, 'within_bound',
+           CAST(CAST(within_bound AS INT) AS DOUBLE) FROM adn
+    UNION ALL SELECT 'gk_native', event_type, 'q50', q50 FROM aqn
+    UNION ALL SELECT 'gk_native', event_type, 'q90', q90 FROM aqn
+    UNION ALL SELECT 'gk_native', event_type, 'q99', q99 FROM aqn
+    UNION ALL SELECT 'gk_native', event_type, 'q50_in_bound',
+           CAST(CAST(q50_in_bound AS INT) AS DOUBLE) FROM aqn
+    UNION ALL SELECT 'gk_native', event_type, 'q90_in_bound',
+           CAST(CAST(q90_in_bound AS INT) AS DOUBLE) FROM aqn
+    UNION ALL SELECT 'gk_native', event_type, 'q99_in_bound',
+           CAST(CAST(q99_in_bound AS INT) AS DOUBLE) FROM aqn
     """,
 )
 
@@ -6077,6 +6114,8 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
 
 
 from ..multimodal.crossmodal import (  # noqa: E402
+    crossmodal_ivf_retrieval,
+    crossmodal_ivf_retrieval_oracle,
     crossmodal_retrieval,
     crossmodal_retrieval_oracle,
 )
@@ -6107,6 +6146,17 @@ def q_crossmodal_retrieval(spark, sf_dir):
     a bounded broadcast query sample against one candidate scan. Recall
     floor vs the linear-map ceiling pinned in tests/test_crossmodal.py."""
     return crossmodal_retrieval(_t(spark, sf_dir, "documents"))
+
+
+@register("crossmodal_ivf_retrieval", crossmodal_ivf_retrieval_oracle())
+def q_crossmodal_ivf_retrieval(spark, sf_dir):
+    """The IVF scale tier of cross-modal retrieval (VERDICT r7 #3b):
+    projected queries probe 2 of 8 coarse media cells instead of
+    scanning the corpus — the drop-in the brute-force tier's docstring
+    promised, now oracle-checked end-to-end (cell build, probe, in-cell
+    exact rank). Recall vs the brute tier pinned in
+    tests/test_crossmodal.py."""
+    return crossmodal_ivf_retrieval(_t(spark, sf_dir, "documents"))
 
 
 @register("multimodal_suite", None)  # oracle assembled below
@@ -6196,6 +6246,12 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
         "'cos', cos) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    xi = REGISTRY["crossmodal_ivf_retrieval"].fn(spark, sf_dir).selectExpr(
+        "'crossmodal_ivf' AS section",
+        "concat(CAST(query_doc AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
+        "'cos', cos) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     return (
         fr.unionByName(fe)
         .unionByName(rs)
@@ -6208,6 +6264,7 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(vd)
         .unionByName(cc)
         .unionByName(xm)
+        .unionByName(xi)
     )
 
 
@@ -6225,6 +6282,7 @@ REGISTRY["multimodal_suite"] = QueryDef(
          vfr AS MATERIALIZED ({REGISTRY["multimodal_video_frames"].oracle}),
          vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle}),
          xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle}),
+         xmi AS MATERIALIZED ({REGISTRY["crossmodal_ivf_retrieval"].oracle}),
          ccd AS MATERIALIZED ({REGISTRY["multimodal_cross_codec_dedup"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
@@ -6288,6 +6346,12 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'crossmodal',
            CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
            'cos', cos, NULL FROM xm
+    UNION ALL SELECT 'crossmodal_ivf',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'media_doc', CAST(media_doc AS DOUBLE), NULL FROM xmi
+    UNION ALL SELECT 'crossmodal_ivf',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'cos', cos, NULL FROM xmi
     UNION ALL SELECT 'cross_codec',
            CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
            'mean_png', mean_png, NULL FROM ccd
@@ -7414,7 +7478,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_audio_features", "multimodal_audio_dedup",
         "multimodal_video_features", "multimodal_video_frames",
         "multimodal_video_dedup", "crossmodal_retrieval",
-        "multimodal_cross_codec_dedup",
+        "crossmodal_ivf_retrieval", "multimodal_cross_codec_dedup",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -7534,6 +7598,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_frame_sample",  # multimodal_suite melts it above
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
+    "crossmodal_ivf_retrieval",  # its 2-of-8-cell IVF scale tier (melted above)
     "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)
     "histogram_merge_audit",    # sum-merge quantile sketch (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)

@@ -59,3 +59,45 @@ def test_loadstamp_idle_is_clean(monkeypatch):
     stamp = benchkit.loadstamp(0.2, waited_s=0.0)
     assert stamp["contaminated"] is False
     assert stamp["load_1m_end"] == 0.3
+
+
+# ---------------------------------------------------------------------------
+# Per-query foreign-CPU metering (VERDICT r7 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_cpu_snapshot_monotone():
+    import time as _t
+
+    b1 = benchkit.cpu_snapshot()
+    t0 = _t.process_time()
+    while _t.process_time() - t0 < 0.2:  # burn ~0.2 s in THIS process
+        pass
+    b2 = benchkit.cpu_snapshot()
+    assert b2[0] >= b1[0] and b2[1] >= b1[1]
+    # own burn is in the tree, so foreign stays near zero
+    assert b2[1] - b1[1] >= 0.15
+
+
+def test_own_subprocess_is_not_foreign():
+    """A busy CHILD (like the Spark JVM / pyspark workers) must be
+    attributed to the own tree, not to foreign contention."""
+    import subprocess
+
+    before = benchkit.cpu_snapshot()
+    subprocess.run(
+        ["python", "-c",
+         "import time;t0=time.process_time()\n"
+         "while time.process_time()-t0<0.5: pass"],
+        check=True,
+    )
+    after = benchkit.cpu_snapshot()
+    foreign = benchkit.foreign_between(before, after)
+    own = after[1] - before[1]
+    assert own >= 0.4, own  # the child's burn landed in the tree
+    # kernel noise only; on a 32-core box 5% capacity over ~1 s is 1.6 s
+    assert foreign < 0.05 * (benchkit.os.cpu_count() or 1) * 1.0, foreign
+
+
+def test_foreign_between_floors_at_zero():
+    assert benchkit.foreign_between((10.0, 4.0), (10.5, 5.0)) == 0.0

@@ -28,11 +28,14 @@ def test_recall_floor_self_retrieval(spark):
     top1 = {r.query_doc for r in rows if r.media_doc == r.query_doc and r.rank == 1}
     assert len(queries) >= 20
     recall5 = len(hits) / len(queries)
-    # measured 0.10 @5 and 0.04 top-1 at sf0.01 (deterministic); random
-    # baseline is k/|corpus| ≈ 0.01. Floors leave ~25% headroom for
-    # corpus drift, not for flake.
+    # measured 0.10 @5 and 0.06 top-1 at sf0.01 with the 256-dim text
+    # input (r8; the 50-query panel is too coarse to resolve the full
+    # r@10 0.251→0.288 gain measured on the n=486 paired panel —
+    # crossmodal.py's constant docstring records that experiment).
+    # Random baseline is k/|corpus| ≈ 0.01. Floors leave headroom for
+    # corpus drift, not for flake (the pipeline is deterministic).
     assert recall5 >= 0.08, f"recall@5 {recall5:.3f} below floor"
-    assert len(top1) / len(queries) >= 0.02
+    assert len(top1) / len(queries) >= 0.04
 
 
 def test_topk_contract(spark):
@@ -47,3 +50,28 @@ def test_topk_contract(spark):
         cs = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
         assert all(-1.000001 <= c <= 1.000001 for c in cs), (q, cs)
         assert cs == sorted(cs, reverse=True), (q, cs)
+
+
+def test_ivf_tier_recall_vs_brute(spark):
+    """The IVF tier (2 of 8 cells probed) must stay close to the
+    brute-force tier: every IVF hit is a real cosine (subset of the full
+    scan), and recall@5 vs the brute top-5 list is pinned. Measured
+    0.536 at sf0.01 — 2.1× the 25% probe fraction, i.e. the trained-map
+    geometry genuinely concentrates matches in few cells; the floor
+    leaves drift headroom (deterministic pipeline, no flake)."""
+    brute = {
+        (r.query_doc, r.media_doc)
+        for r in _rows(spark)
+    }
+    ivf_rows = REGISTRY["crossmodal_ivf_retrieval"].fn(spark, SF_ORACLE).collect()
+    ivf = {(r.query_doc, r.media_doc) for r in ivf_rows}
+    queries = {q for q, _ in brute}
+    assert {q for q, _ in ivf} == queries  # every query still answered
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.35, f"IVF recall vs brute {recall:.3f} below floor"
+    # IVF cosines are exact cosines of a candidate subset: every (q, m)
+    # pair in both lists must carry the identical score
+    bcos = {(r.query_doc, r.media_doc): r.cos for r in _rows(spark)}
+    for r in ivf_rows:
+        if (r.query_doc, r.media_doc) in bcos:
+            assert r.cos == bcos[(r.query_doc, r.media_doc)]

@@ -15,6 +15,7 @@ form, the densify, or the scaled-int discipline shows as a value diff.
 from __future__ import annotations
 
 from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
 
 from conftest import SF_SMALL
 
@@ -44,9 +45,22 @@ def test_closed_form_equals_recursion(spark):
         xs = [r.n_events for r in rs]
         n = len(xs)
         sx, sxx = sum(xs), sum(x * x for x in xs)
-        mu6 = round(sx / n, 6)
-        sig6 = round((n * sxx - sx * sx) ** 0.5 / n, 6)
-        mu_i, sig_i = round(mu6 * 1_000_000), round(sig6 * 1_000_000)
+        # HALF_UP like Spark's F.round (BigDecimal.valueOf(double) sees the
+        # shortest decimal repr, same as Python repr) — Python round() is
+        # banker's and would spuriously fail on an exact 6-dp half-tie.
+        def _r6(v: float) -> float:
+            return float(
+                Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        mu6 = _r6(sx / n)
+        sig6 = _r6((n * sxx - sx * sx) ** 0.5 / n)
+        mu_i = int(
+            Decimal(repr(mu6 * 1_000_000)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+        sig_i = int(
+            Decimal(repr(sig6 * 1_000_000)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
         sp = sn = 0
         for r, x in zip(rs, xs):
             d2 = 2_000_000 * x - 2 * mu_i - sig_i
