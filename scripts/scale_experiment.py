@@ -417,6 +417,48 @@ def cluster_probe_decade(spark) -> None:
         print(f"| {label} | {b:.2f} | {t:.2f} | {n0} | {n1} |")
 
 
+PUBLISH_QUERIES = [
+    "dedup_incremental",
+    "dedup_clusters_incremental",
+    "dedup_setsim_incremental",
+]
+
+
+def publish_decade(spark) -> None:
+    """--publish-decade (VERDICT r7 #5): the COLD publish passes of the
+    heaviest suite's incremental family across 1×/10× at CONSTANT
+    duplicate density (lowdup corpora — the id-shifted protocol is wrong
+    for pair ops, §4). Cold = cleared artifact registry, so the wall IS
+    the training/publish pipeline (signature store, contracted CC
+    labels, prefix index) plus one probe — the actual 100 TB ingest
+    story the warm decades don't cover. Warm re-runs immediately after
+    (artifacts live, the r7 warm-sweep rule) so the table separates
+    publish growth from probe growth."""
+    from spark_deal_observer_spark.operators import models
+    from spark_deal_observer_spark.plans.registry import REGISTRY
+
+    rows = []
+    for name in PUBLISH_QUERIES:
+        per = {}
+        for label, d in (("1x", SRC), ("10x", DST_LD10)):
+            models.clear()
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+            cold = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+            warm = time.perf_counter() - t1
+            per[label] = (cold, warm)
+            print(f"DONE publish {name} {label} cold={cold:.2f} warm={warm:.2f}", flush=True)
+        rows.append((name, per))
+    print("\n| query | 1x cold | 10x cold | cold ratio | 1x warm | 10x warm |")
+    print("|---|---|---|---|---|---|")
+    for name, per in rows:
+        c1, w1 = per["1x"]
+        c10, w10 = per["10x"]
+        print(f"| {name} | {c1:.2f} | {c10:.2f} | {c10 / c1:.1f} | {w1:.2f} | {w10:.2f} |")
+
+
 def main() -> None:
     import duckdb
 
@@ -427,10 +469,11 @@ def main() -> None:
     probe = "--probe" in args
     setsim = "--setsim-probe" in args
     cluster = "--cluster-probe" in args
+    publish = "--publish-decade" in args
     args = [
         a
         for a in args
-        if a not in ("--skew", "--x100", "--lowdup", "--probe", "--setsim-probe", "--cluster-probe")
+        if a not in ("--skew", "--x100", "--lowdup", "--probe", "--setsim-probe", "--cluster-probe", "--publish-decade")
     ]
     if lowdup:
         names = args or LOWDUP_QUERIES
@@ -439,7 +482,9 @@ def main() -> None:
             SKEW_QUERIES if skew else (X100_QUERIES if x100 else DEFAULT_QUERIES)
         )
     con = duckdb.connect()
-    if not lowdup:
+    if publish:
+        synthesize(con, DST_LD10, 10, salt=True)
+    elif not lowdup:
         synthesize(con)
     if skew:
         synthesize_skew(con)
@@ -465,6 +510,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    if publish:
+        publish_decade(spark)
+        return
     if probe:
         probe_decade(spark)
         return
