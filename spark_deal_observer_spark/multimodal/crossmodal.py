@@ -211,7 +211,28 @@ def _pvec_yvec(
 ) -> tuple[DataFrame, DataFrame]:
     """The shared retrieval inputs: projected query vectors
     (query_doc, pv, pn) and candidate media vectors (doc_id, yv, yn) —
-    used by both the brute-force tier and the IVF tier."""
+    used by both the brute-force tier and the IVF tier, so both are
+    PUBLISHED (yvec corpus-sized → disk; pvec panel-sized → memory):
+    running the two tiers in one suite pays the xstats corpus aggregate
+    and the yvec assembly once, not twice."""
+    from ..operators.models import disk_checkpoint, published
+
+    def _build() -> tuple[DataFrame, DataFrame]:
+        return _pvec_yvec_plan(docs, query_mod)
+
+    pvec = published(
+        docs, "xmodal_pvec", (query_mod,), lambda: _build()[0].localCheckpoint()
+    )
+    yvec = published(
+        docs, "xmodal_yvec", (), lambda: disk_checkpoint(_build()[1], "xmodal_yvec")
+    )
+    return pvec, yvec
+
+
+def _pvec_yvec_plan(
+    docs: DataFrame, query_mod: int = XMODAL_QUERY_MOD
+) -> tuple[DataFrame, DataFrame]:
+    """The unpublished plan builders (plan-shape tests point here)."""
     w = crossmodal_projection(docs)
     # Queries are CENTERED against the paired-training-doc mean before
     # projecting (measured: 0.163 recall@5 vs 0.060 uncentered at
@@ -304,6 +325,35 @@ def crossmodal_retrieval(
     )
 
 
+def crossmodal_moments_oracle() -> str:
+    """DuckDB twin of streaming/crossmodal_maint.batch_moments: the five
+    abelian raw-moment families as exact HUGEINT sums, emitted as STRINGS
+    so any magnitude compares exactly across engines."""
+    return f"""
+        WITH {_xmodal_rows_sql()},
+        xmo_paired AS (SELECT DISTINCT doc_id FROM ytrain),
+        xmo_xp AS (
+          SELECT x.* FROM xrows x
+          WHERE x.doc_id % {XMODAL_TRAIN_MOD} = 0
+            AND x.doc_id IN (SELECT doc_id FROM xmo_paired))
+        SELECT 'S' AS kind, x.i, y.j,
+               CAST(SUM(CAST(x.xi AS HUGEINT) * y.yi) AS VARCHAR) AS v_str
+        FROM xmo_xp x JOIN ytrain y ON x.doc_id = y.doc_id
+        GROUP BY x.i, y.j
+        UNION ALL
+        SELECT 'T', i, -1, CAST(SUM(CAST(xi AS HUGEINT)) AS VARCHAR)
+        FROM xmo_xp GROUP BY i
+        UNION ALL
+        SELECT 'D', i, -1, CAST(SUM(CAST(xi AS HUGEINT) * xi) AS VARCHAR)
+        FROM xmo_xp GROUP BY i
+        UNION ALL
+        SELECT 'sy', -1, j, CAST(SUM(CAST(yi AS HUGEINT)) AS VARCHAR)
+        FROM ytrain GROUP BY j
+        UNION ALL
+        SELECT 'n', -1, -1, CAST(COUNT(*) AS VARCHAR) FROM xmo_paired
+    """
+
+
 def _oracle_dot(a: str, b: str) -> str:
     """Ordered list fold over the 64 media-space dims (DuckDB twin of
     `_dot`)."""
@@ -313,10 +363,9 @@ def _oracle_dot(a: str, b: str) -> str:
     )
 
 
-def _xmodal_body_sql(query_mod: int = XMODAL_QUERY_MOD) -> str:
-    """The shared WITH-body (embeddings → trained W → projected pvec +
-    candidate yvec) both retrieval-tier oracles build on — the exact
-    SQL twin of `_pvec_yvec`."""
+def _xmodal_rows_sql() -> str:
+    """The raw-rows CTE prefix (text xrows + media yrows + ytrain) shared
+    by the retrieval oracles and the moments oracle."""
     from ..operators.ranking import hashed_doc_embeddings_oracle
 
     nb = XMODAL_DIM
@@ -335,7 +384,14 @@ def _xmodal_body_sql(query_mod: int = XMODAL_QUERY_MOD) -> str:
                  CAST(ROUND(ROUND(avg(CAST(ascii(ch) AS DOUBLE)), 6) * {_S})
                       AS BIGINT) AS yi
           FROM chars GROUP BY doc_id, ((pos - 1) * {nb}) // len),
-        ytrain AS (SELECT * FROM yrows WHERE doc_id % {XMODAL_TRAIN_MOD} = 0),
+        ytrain AS (SELECT * FROM yrows WHERE doc_id % {XMODAL_TRAIN_MOD} = 0)"""
+
+
+def _xmodal_body_sql(query_mod: int = XMODAL_QUERY_MOD) -> str:
+    """The shared WITH-body (embeddings → trained W → projected pvec +
+    candidate yvec) both retrieval-tier oracles build on — the exact
+    SQL twin of `_pvec_yvec`."""
+    return f"""{_xmodal_rows_sql()},
         stats AS (SELECT j, SUM(yi) AS sy, COUNT(*) AS n FROM ytrain GROUP BY j),
         ycn AS MATERIALIZED (
           SELECT y.doc_id, y.j, s.n * y.yi - s.sy AS ycn

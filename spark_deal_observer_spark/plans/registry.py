@@ -6116,6 +6116,7 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
 from ..multimodal.crossmodal import (  # noqa: E402
     crossmodal_ivf_retrieval,
     crossmodal_ivf_retrieval_oracle,
+    crossmodal_moments_oracle,
     crossmodal_retrieval,
     crossmodal_retrieval_oracle,
 )
@@ -6157,6 +6158,22 @@ def q_crossmodal_ivf_retrieval(spark, sf_dir):
     exact rank). Recall vs the brute tier pinned in
     tests/test_crossmodal.py."""
     return crossmodal_ivf_retrieval(_t(spark, sf_dir, "documents"))
+
+
+@register("crossmodal_moments", crossmodal_moments_oracle())
+def q_crossmodal_moments(spark, sf_dir):
+    """The five abelian raw-moment families the trained cross-modal map
+    is a pure function of (num_ij = n·S_ij − T_i·sy_j, den_i = D_i) —
+    the state the streaming maintainer (streaming/crossmodal_maint.py)
+    sum-merges per tick, value-gated here as exact integers (emitted as
+    strings: S_ij exceeds BIGINT at sf0.1 magnitudes, and string digits
+    compare exactly at any width). tests/test_streaming_crossmodal.py
+    pins streamed ≡ batch W bit-identity on top of these moments."""
+    from ..streaming.crossmodal_maint import batch_moments
+
+    return batch_moments(_t(spark, sf_dir, "documents")).select(
+        "kind", "i", "j", F.col("v").cast("string").alias("v_str")
+    )
 
 
 @register("multimodal_suite", None)  # oracle assembled below
@@ -7599,6 +7616,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "crossmodal_ivf_retrieval",  # its 2-of-8-cell IVF scale tier (melted above)
+    "crossmodal_moments",       # the streaming maintainer's abelian state
     "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)
     "histogram_merge_audit",    # sum-merge quantile sketch (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)

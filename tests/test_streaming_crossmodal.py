@@ -1,0 +1,42 @@
+"""Streaming crossmodal-map maintenance: streamed ≡ batch, bit-exactly.
+
+The trained map is a pure function of five abelian raw moments, so the
+incrementally-maintained W must equal the batch trainer's W exactly —
+not within tolerance (every moment is an exact scaled-int DECIMAL sum,
+and the single rounding boundary divides the identical integers).
+Replay-idempotence and restart recovery follow the house sink contract.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from spark_deal_observer_spark.sources.tables import load_table
+from spark_deal_observer_spark.streaming.crossmodal_maint import CrossmodalMomentSink
+
+
+def _w_of(df):
+    return {(r.i, r.j): r.w6 for r in df.collect()}
+
+
+def test_streamed_map_equals_batch(spark, tmp_path):
+    from spark_deal_observer_spark.multimodal.crossmodal import crossmodal_projection
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sink = CrossmodalMomentSink(spark, str(tmp_path / "xm"))
+    sink.process_batch(docs.where("doc_id % 2 = 0"), 0)
+    sink.process_batch(docs.where("doc_id % 2 = 1"), 1)
+    streamed = _w_of(sink.read_w())
+    batch = _w_of(crossmodal_projection(docs))
+    assert streamed == batch  # bit-identical, every (i, j)
+
+    # replay of an already-applied batch must not move the state
+    sink.process_batch(docs.where("doc_id % 2 = 0"), 0)
+    assert _w_of(sink.read_w()) == batch
+
+    # restart: a new sink over the same path resumes at the snapshot
+    sink2 = CrossmodalMomentSink(spark, str(tmp_path / "xm"))
+    assert _w_of(sink2.read_w()) == batch
+    # ...and treats old ids as applied
+    sink2.process_batch(docs.where("doc_id % 2 = 1"), 1)
+    assert _w_of(sink2.read_w()) == batch
