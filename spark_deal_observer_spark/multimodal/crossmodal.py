@@ -141,7 +141,15 @@ def crossmodal_projection(docs: DataFrame) -> DataFrame:
     from ..operators.models import published
 
     def build() -> DataFrame:
-        x = _text_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+        # Zero x-components contribute exactly 0 to num and den, and the
+        # 256-dim hashed BOW is ~91% zeros at sf0.1 — dropping them cuts
+        # the dim²-fanout training join ~12×. A dim whose EVERY paired
+        # component is zero leaves W entirely (both factors 0); the
+        # retrieval oracle keeps the dense sums because the dropped rows
+        # are w6 = 0 and contribute nothing to any projected query.
+        x = _text_rows(docs).where(
+            (F.col("doc_id") % XMODAL_TRAIN_MOD == 0) & (F.col("xi") != 0)
+        )
         ycn, _ = _centered_media(docs)
         ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
         # Restrict both sides to PAIRED docs (media exists only for
@@ -335,6 +343,7 @@ def crossmodal_moments_oracle() -> str:
         xmo_xp AS (
           SELECT x.* FROM xrows x
           WHERE x.doc_id % {XMODAL_TRAIN_MOD} = 0
+            AND x.xi <> 0  -- zero terms add nothing; rowset matches Spark
             AND x.doc_id IN (SELECT doc_id FROM xmo_paired))
         SELECT 'S' AS kind, x.i, y.j,
                CAST(SUM(CAST(x.xi AS HUGEINT) * y.yi) AS VARCHAR) AS v_str

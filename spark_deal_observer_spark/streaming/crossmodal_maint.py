@@ -49,7 +49,12 @@ def batch_moments(docs: DataFrame) -> DataFrame:
     x = _text_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
     y = _media_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
     paired = y.select("doc_id").distinct()
-    xp = x.join(F.broadcast(paired), "doc_id")
+    # zero components contribute exactly 0 to every x-moment (S, T, D are
+    # integer sums), and the 256-dim hashed BOW is ~91% zeros at sf0.1 —
+    # dropping them cuts the S join's 256×64-per-doc fanout ~12× with
+    # bit-identical values (the oracle keeps the dense sums; n is counted
+    # from the y side and unaffected).
+    xp = x.where(F.col("xi") != 0).join(F.broadcast(paired), "doc_id")
 
     s = (
         xp.join(y, "doc_id")
