@@ -219,3 +219,73 @@ def test_round6_usage_inventoried():
         "round6 template sites changed — update ROUND6_INVENTORY with a "
         f"domain note. found={found} inventoried={expected}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. transcendental parity (negative result, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_transcendental_round6_parity(spark):
+    """ln/exp/pow are NOT guaranteed correctly-rounded in either engine
+    (Java Math.log vs libm), yet 26 oracles lean on bit-identical
+    ROUND(ln(x)·1e6) scaled ints. An r8 probe over 20k integers (the
+    token-freq/rank domain), decade-spaced magnitudes to 1e14, and 1.4k
+    rationals found ZERO mismatches — this test pins that negative
+    result on a trimmed domain so a JDK/libm upgrade that breaks the
+    agreement localizes here instead of as a value-gate hash diff."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = list(range(1, 5001)) + [10**k + d for k in range(5, 15) for d in (-1, 0, 7)]
+    rats = [(p, q) for q in (3, 7, 64, 640, 999983) for p in range(1, 120)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    s = {
+        r.id: (r.l, r.e, r.p)
+        for r in df.select(
+            "id",
+            F.round(F.log(F.col("v").cast("double")) * 1e6).cast("long").alias("l"),
+            F.round(F.exp(1.0 / F.col("v")) * 1e6).cast("long").alias("e"),
+            F.round(F.pow(F.col("v").cast("double"), F.lit(0.5)) * 1e6)
+            .cast("long")
+            .alias("p"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    d = {
+        i: (l, e, p)
+        for i, l, e, p in con.execute(
+            "SELECT id, CAST(ROUND(ln(CAST(v AS DOUBLE))*1e6) AS BIGINT),"
+            " CAST(ROUND(exp(1.0/v)*1e6) AS BIGINT),"
+            " CAST(ROUND(pow(CAST(v AS DOUBLE), 0.5)*1e6) AS BIGINT) FROM t"
+        ).fetchall()
+    }
+    bad = [(vals[i], s[i], d[i]) for i in s if s[i] != d[i]]
+    assert not bad, f"transcendental drift: {bad[:5]}"
+
+    df2 = spark.createDataFrame(
+        [(i, p, q) for i, (p, q) in enumerate(rats)], "id long, p long, q long"
+    )
+    s2 = {
+        r.id: r.l
+        for r in df2.select(
+            "id",
+            F.round(F.log(F.col("p").cast("double") / F.col("q")) * 1e6)
+            .cast("long")
+            .alias("l"),
+        ).collect()
+    }
+    con.execute("CREATE TABLE r (id BIGINT, p BIGINT, q BIGINT)")
+    con.executemany(
+        "INSERT INTO r VALUES (?, ?, ?)", [(i, p, q) for i, (p, q) in enumerate(rats)]
+    )
+    d2 = {
+        i: l
+        for i, l in con.execute(
+            "SELECT id, CAST(ROUND(ln(CAST(p AS DOUBLE)/q)*1e6) AS BIGINT) FROM r"
+        ).fetchall()
+    }
+    bad2 = [(rats[i], s2[i], d2[i]) for i in s2 if s2[i] != d2[i]]
+    assert not bad2, f"rational ln drift: {bad2[:5]}"
