@@ -1435,3 +1435,113 @@ def dim_ablation_oracle(
                ROUND(count(*) / CAST({k * n_probes} AS DOUBLE), 6) AS recall_at_k
         FROM abl_hits GROUP BY dim
     """
+
+
+# -- contrastive hard-negative mining ----------------------------------------
+
+HARDNEG_QUERY_MOD = 40
+HARDNEG_QUERY_CAP = 2000  # fixed panel: same ≤50 queries at every SF
+HARDNEG_K = 5
+
+
+def hard_negatives(
+    docs: DataFrame,
+    k: int = HARDNEG_K,
+    query_mod: int = HARDNEG_QUERY_MOD,
+    cap: int = HARDNEG_QUERY_CAP,
+) -> DataFrame:
+    """Contrastive hard-negative mining over the documents corpus:
+    (query_doc, neg_doc, rank, cosine) — the top-`k` most-similar docs
+    that are NOT near-duplicates of the query. The op a contrastive /
+    embedding-training pipeline runs to build its negative pairs: random
+    negatives are too easy, true duplicates are false negatives, the
+    valuable negatives sit just below the duplicate boundary.
+
+    Composition of two published artifacts (nothing retrains):
+    similarity = exact cosine over the hashed embedding table (the ANN
+    family's brute tier — fixed broadcast panel × ONE candidate scan);
+    the duplicate EXCLUSION is the MinHash LSH candidate relation
+    (dedup.py::_band_rows — shares every banding constant with the dedup
+    family, so "not a near-duplicate" here means exactly what the dedup
+    pipeline would dedup). The exclusion join is panel-bands ⋈ corpus
+    bands on (band, key) — banded, never all-pairs — and lands as a
+    broadcast left-anti on the scored scan. At 100 TB: panel is bounded,
+    both artifacts are the ones the ANN/dedup families already maintain,
+    and the scan is the same single pass the brute ANN tier costs.
+
+    No reference counterpart (training-data surface, SURVEY §2 extension
+    family), oracle-checked like the rest of the catalog.
+    """
+    from .dedup import _band_rows
+    from .ranking import hashed_doc_embeddings
+
+    emb = hashed_doc_embeddings(docs)
+    q = emb.where(
+        (F.col("doc_id") % query_mod == 0) & (F.col("doc_id") < cap)
+    ).select(F.col("doc_id").alias("query_doc"), F.col("embedding").alias("qvec"))
+
+    bands = _band_rows(docs)
+    qbands = bands.where(
+        (F.col("doc_id") % query_mod == 0) & (F.col("doc_id") < cap)
+    ).select(F.col("doc_id").alias("query_doc"), "band", "key")
+    excluded = (
+        bands.join(F.broadcast(qbands), ["band", "key"])
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .select("query_doc", F.col("doc_id").alias("neg_doc"))
+        .distinct()
+    )
+
+    cos = F.expr(cosine_spark("embedding", "qvec"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .select("query_doc", F.col("doc_id").alias("neg_doc"), cos.alias("cosine"))
+        .join(F.broadcast(excluded), ["query_doc", "neg_doc"], "left_anti")
+    )
+    from pyspark.sql.window import Window
+
+    rk = Window.partitionBy("query_doc").orderBy(
+        F.col("cosine").desc(), F.col("neg_doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_doc", "neg_doc", "rank", "cosine")
+    )
+
+
+def hard_negatives_oracle(
+    k: int = HARDNEG_K,
+    query_mod: int = HARDNEG_QUERY_MOD,
+    cap: int = HARDNEG_QUERY_CAP,
+) -> str:
+    from .dedup import _band_selects_sql, minhash_signatures_oracle
+    from .ranking import hashed_doc_embeddings_oracle
+
+    cos = cosine_duck("e.embedding", "q.qvec")
+    return f"""
+        WITH emb AS MATERIALIZED ({hashed_doc_embeddings_oracle()}),
+        sigs AS MATERIALIZED ({minhash_signatures_oracle()}),
+        bands AS MATERIALIZED ({_band_selects_sql()}),
+        hn_q AS (SELECT doc_id AS query_doc, embedding AS qvec FROM emb
+                 WHERE doc_id % {query_mod} = 0 AND doc_id < {cap}),
+        hn_excl AS (
+          SELECT DISTINCT qb.doc_id AS query_doc, cb.doc_id AS neg_doc
+          FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.key = cb.key
+          WHERE qb.doc_id % {query_mod} = 0 AND qb.doc_id < {cap}
+            AND cb.doc_id != qb.doc_id),
+        hn_scored AS (
+          SELECT q.query_doc, e.doc_id AS neg_doc, {cos} AS cosine
+          FROM emb e CROSS JOIN hn_q q
+          WHERE e.doc_id != q.query_doc
+            AND NOT EXISTS (SELECT 1 FROM hn_excl x
+                            WHERE x.query_doc = q.query_doc
+                              AND x.neg_doc = e.doc_id)),
+        hn_ranked AS (
+          SELECT query_doc, neg_doc, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                      ORDER BY cosine DESC, neg_doc ASC) AS INT) AS rank
+          FROM hn_scored)
+        SELECT query_doc, neg_doc, rank, cosine
+        FROM hn_ranked WHERE rank <= {k}
+    """

@@ -6160,6 +6160,17 @@ def q_crossmodal_ivf_retrieval(spark, sf_dir):
     return crossmodal_ivf_retrieval(_t(spark, sf_dir, "documents"))
 
 
+@register("contrastive_hard_negatives", sim.hard_negatives_oracle())
+def q_contrastive_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per fixed-panel query doc, the
+    top-k most-similar docs that are NOT LSH near-duplicate candidates —
+    the negative-pair builder of an embedding-training pipeline (random
+    negatives too easy, duplicates false negatives). Composes the ANN
+    family's published embedding table with the dedup family's band
+    relation; one candidate scan, banded exclusion, no new artifacts."""
+    return sim.hard_negatives(_spread(_t(spark, sf_dir, "documents")))
+
+
 @register("crossmodal_moments", crossmodal_moments_oracle())
 def q_crossmodal_moments(spark, sf_dir):
     """The five abelian raw-moment families the trained cross-modal map
@@ -7617,6 +7628,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "crossmodal_ivf_retrieval",  # its 2-of-8-cell IVF scale tier (melted above)
     "crossmodal_moments",       # the streaming maintainer's abelian state
+    "contrastive_hard_negatives",  # similar-but-not-duplicate pair miner
     "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)
     "histogram_merge_audit",    # sum-merge quantile sketch (melted above)
     "event_cusum_changepoint",  # temporal level-shift alarm (melted above)
