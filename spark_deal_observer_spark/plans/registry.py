@@ -7255,7 +7255,16 @@ def q_retrieval_suite(spark, sf_dir):
         "stack(2, 'tf', CAST(tf AS DOUBLE), 'df', CAST(df AS DOUBLE)) "
         "AS (metric, value_num)",
     )
-    return tf.unionByName(rr).unionByName(mm).unionByName(pi)
+    # r8: contrastive hard negatives ride the gate through this slot —
+    # the negative-pair miner is a retrieval head (panel × candidate
+    # scan) and shares the published embedding artifact with mmr/rrf.
+    hn = REGISTRY["contrastive_hard_negatives"].fn(spark, sf_dir).selectExpr(
+        "'hard_neg' AS section",
+        "concat(CAST(query_doc AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "stack(2, 'neg_doc', CAST(neg_doc AS DOUBLE), 'cosine', cosine) "
+        "AS (metric, value_num)",
+    )
+    return tf.unionByName(rr).unionByName(mm).unionByName(pi).unionByName(hn)
 
 
 REGISTRY["retrieval_suite"] = QueryDef(
@@ -7264,7 +7273,8 @@ REGISTRY["retrieval_suite"] = QueryDef(
     WITH suite_tf AS MATERIALIZED ({REGISTRY["tfidf_top_terms"].oracle}),
          suite_rr AS MATERIALIZED ({REGISTRY["hybrid_retrieval_rrf"].oracle}),
          suite_mm AS MATERIALIZED ({REGISTRY["retrieval_mmr"].oracle}),
-         suite_pi AS MATERIALIZED ({REGISTRY["postings_index"].oracle})
+         suite_pi AS MATERIALIZED ({REGISTRY["postings_index"].oracle}),
+         suite_hn AS MATERIALIZED ({REGISTRY["contrastive_hard_negatives"].oracle})
     SELECT 'tfidf' AS section,
            CAST(doc_id AS VARCHAR) || ':' || token AS key,
            'score' AS metric, score AS value_num FROM suite_tf
@@ -7284,6 +7294,12 @@ REGISTRY["retrieval_suite"] = QueryDef(
            'tf', CAST(tf AS DOUBLE) FROM suite_pi
     UNION ALL SELECT 'postings', token || ':' || CAST(doc_id AS VARCHAR),
            'df', CAST(df AS DOUBLE) FROM suite_pi
+    UNION ALL SELECT 'hard_neg',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'neg_doc', CAST(neg_doc AS DOUBLE) FROM suite_hn
+    UNION ALL SELECT 'hard_neg',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'cosine', cosine FROM suite_hn
     """,
 )
 
@@ -7531,7 +7547,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
     "hybrid_retrieval_rrf": ("bm25_scores",),
     "retrieval_suite": (
         "tfidf_top_terms", "hybrid_retrieval_rrf", "retrieval_mmr",
-        "bm25_scores", "postings_index",
+        "bm25_scores", "postings_index", "contrastive_hard_negatives",
     ),
     "graph_suite": (
         "pagerank_entities", "graph_communities", "copurchase_pairs",
