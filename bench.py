@@ -171,6 +171,10 @@ HEADLINE = [
 # one-time costs (file-index listing, codegen compile of this exact plan)
 # that a long-lived cluster amortizes away; min-of-N is the steady state.
 RUNS = 2
+# Bounded re-measure attempts for queries whose stamp disavows their own
+# number (VERDICT r8 #2): a committed artifact must never carry a reading
+# its contamination flag rejects when an idle re-measure was possible.
+REQUEUE_ATTEMPTS = 2
 
 
 def main() -> None:
@@ -195,36 +199,64 @@ def main() -> None:
 
     from spark_deal_observer_spark.operators import models
 
-    names = [n for n in HEADLINE if n in REGISTRY]
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    foreign: dict[str, float] = {}
-    contaminated_queries: list[str] = []
-    artifactful: set[str] = set()
-    for name in names:
-        fn = REGISTRY[name].fn
-        # headline numbers are min-of-RUNS (warm steady state); the first
-        # run is timed from a CLEARED artifact registry so cold_s honestly
-        # includes any training pass the warm number amortizes — the
-        # warm-vs-cold distinction the r5 verdict asked the artifact to
-        # carry (graph_suite: 0.2 s warm vs ~10 s cold are both real).
+    def measure(name: str) -> dict:
+        """One full attempt: cold run from a cleared artifact registry +
+        warm re-runs, each foreign-CPU metered (VERDICT r7 item 2). The
+        attempt is contaminated if ANY of its runs is (r8 ADVICE #1:
+        cold_s is published from runs[0], so a contaminated first run
+        must flag even when the min-wall run was clean)."""
         models.clear()
-        # Per-query foreign-CPU metering (VERDICT r7 item 2): guard_load
-        # only gates the start of the whole run; these stamps attribute
-        # MID-RUN contention to the exact queries it hit, so a drifted
-        # number self-identifies in the artifact instead of surviving to
-        # a judge re-measure a round later.
-        runs = []
-        for _ in range(RUNS):
-            runs.append(benchkit.time_noop_metered(spark, fn, sf_dir))
+        runs = [
+            benchkit.time_noop_metered(spark, REGISTRY[name].fn, sf_dir)
+            for _ in range(RUNS)
+        ]
         best = min(runs, key=lambda r: r[0])
-        timings[name] = round(best[0], 3)
-        cold[name] = round(runs[0][0], 3)
-        foreign[name] = round(best[1], 2)
-        if best[2]:
-            contaminated_queries.append(name)
-        if models._STORE:  # the query published/consumed a trained artifact
-            artifactful.add(name)
+        return {
+            "warm_s": round(best[0], 3),
+            "cold_s": round(runs[0][0], 3),
+            "foreign_cpu_s": round(best[1], 2),
+            "runs": [[round(r[0], 3), round(r[1], 2), bool(r[2])] for r in runs],
+            "contaminated": any(r[2] for r in runs),
+            "artifactful": bool(models._STORE),
+        }
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    published: dict[str, dict] = {}
+    history: dict[str, list[dict]] = {}
+    for name in names:
+        att = measure(name)
+        published[name] = att
+        history[name] = [{"attempt": 0, **att}]
+
+    # Re-queue pass (VERDICT r8 #2): any query whose published attempt is
+    # stamped contaminated gets re-measured after the foreign load clears
+    # (bounded wait + bounded attempts). The first CLEAN attempt wins; if
+    # none is clean the least-foreign attempt is published and the query
+    # stays listed in contaminated_queries — the artifact never silently
+    # ships a number its own stamp disavows when a clean one was had.
+    requeued: list[str] = []
+    for attempt in range(1, REQUEUE_ATTEMPTS + 1):
+        dirty = [n for n in names if published[n]["contaminated"]]
+        if not dirty:
+            break
+        benchkit.guard_load(label=f"bench-requeue{attempt}", refuse=False)
+        for name in dirty:
+            att = measure(name)
+            history[name].append({"attempt": attempt, **att})
+            if name not in requeued:
+                requeued.append(name)
+            better = att["contaminated"] < published[name]["contaminated"] or (
+                att["contaminated"] == published[name]["contaminated"]
+                and att["foreign_cpu_s"] < published[name]["foreign_cpu_s"]
+            )
+            if better:
+                published[name] = att
+
+    timings = {n: published[n]["warm_s"] for n in names}
+    cold = {n: published[n]["cold_s"] for n in names}
+    foreign = {n: published[n]["foreign_cpu_s"] for n in names}
+    contaminated_queries = [n for n in names if published[n]["contaminated"]]
+    artifactful = {n for n in names if published[n]["artifactful"]}
 
     # queries whose WARM headline time reads a published artifact trained
     # on the (excluded) cold pass — flagged structurally (the registry was
@@ -246,6 +278,22 @@ def main() -> None:
         "cold_s": cold,
         "foreign_cpu_s": foreign,
         "contaminated_queries": contaminated_queries,
+        # Schema note (r9): `queries`/`cold_s`/`foreign_cpu_s` come from
+        # the PUBLISHED attempt per query (first clean attempt, else the
+        # least-foreign one). `requeued` lists queries re-measured after
+        # a contaminated attempt; `attempts` keeps every attempt's
+        # [wall_s, foreign_cpu_s, contaminated] per run so no stamped
+        # reading is discarded, and a query's contamination verdict is
+        # any-run-dirty, not just the min-wall run (r8 ADVICE #1).
+        "requeued": requeued,
+        "attempts": {
+            n: [
+                {"attempt": a["attempt"], "runs": a["runs"]}
+                for a in history[n]
+            ]
+            for n in names
+            if len(history[n]) > 1 or history[n][0]["contaminated"]
+        },
         "published_artifact": published_artifact,
         "sf": sf,
         **stamp,

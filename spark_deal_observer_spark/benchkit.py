@@ -156,11 +156,18 @@ def _total_busy_s() -> float:
 
 def _tree_cpu_s() -> float:
     """CPU seconds of this process and all LIVE descendants (the JVM,
-    pyspark daemons/workers), plus reaped children via getrusage. A
-    worker that exits mid-query under-counts the tree slightly, which
-    over-counts foreign — the flag errs toward honesty."""
-    import resource
-
+    pyspark daemons/workers), INCLUDING descendants already reaped by any
+    live tree member: each live process contributes utime+stime (its own)
+    plus cutime+cstime (everything it has wait()ed on — when a reaped
+    child itself had cutime, the kernel cascades it, so the sum is exact
+    with no double counting; a live child's CPU appears only in its own
+    utime, never its parent's cutime). This closes the r8 ADVICE gap
+    where short-lived pyspark workers reaped by the daemon rolled into
+    the daemon's cutime, which the old walk (own utime + root getrusage
+    only) never read — inflating foreign CPU and false-flagging
+    heavy-fork queries. Remaining bias: an ORPHANED descendant reparents
+    to init and leaves the tree, so its CPU counts as foreign —
+    over-flagging, the honest direction."""
     kids: dict[int, list[int]] = {}
     stats: dict[int, float] = {}
     for d in os.listdir("/proc"):
@@ -175,15 +182,15 @@ def _tree_cpu_s() -> float:
         rest = raw[raw.rindex(")") + 2:].split()
         pid, ppid = int(d), int(rest[1])
         utime, stime = int(rest[11]), int(rest[12])
+        cutime, cstime = int(rest[13]), int(rest[14])
         kids.setdefault(ppid, []).append(pid)
-        stats[pid] = (utime + stime) / _CLK
+        stats[pid] = (utime + stime + cutime + cstime) / _CLK
     total, frontier = 0.0, [os.getpid()]
     while frontier:
         pid = frontier.pop()
         total += stats.get(pid, 0.0)
         frontier.extend(kids.get(pid, ()))
-    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
-    return total + ru.ru_utime + ru.ru_stime
+    return total
 
 
 def cpu_snapshot() -> tuple[float, float]:

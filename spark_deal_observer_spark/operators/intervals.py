@@ -769,7 +769,12 @@ def event_cusum_changepoint_oracle() -> str:
                  CAST(ROUND(({mu6}) * 1000000) AS BIGINT) AS mu_i,
                  CAST(ROUND(({sig6}) * 1000000) AS BIGINT) AS sig_i
           FROM (SELECT event_type, COUNT(*) AS n, SUM(n_events) AS sx,
-                       SUM(n_events * n_events) AS sxx
+                       -- r9 (ADVICE r8 #2): square in HUGEINT — the
+                       -- BIGINT product raises past ~3e9 events/bucket
+                       -- while the Spark side's DECIMAL(38,0) factor
+                       -- casts survive; match the engine's headroom
+                       -- (same pattern as roundfuzz.moment_sigma6).
+                       SUM(CAST(n_events AS HUGEINT) * n_events) AS sxx
                 FROM cu_dense GROUP BY event_type) m),
         cu_dev AS (
           SELECT d.event_type, d.bucket_ts, d.n_events, p.sig_i,

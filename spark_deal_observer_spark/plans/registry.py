@@ -4325,7 +4325,8 @@ def q_cms_token_counts(spark, sf_dir):
 def q_hll_distinct_audit(spark, sf_dir):
     """Hand-built 1024-register HyperLogLog distinct-user estimate per
     event type, audited against the exact count — the value-checkable twin
-    of the native-sketch `approx_distinct_users` (rows-only by nature):
+    of the native-sketch `approx_distinct_users` (which since r8 rides the
+    gate via its own tolerance oracle):
     portable md5 hashing + integer/string bit arithmetic make every
     register, and therefore the estimate itself, bit-identical in the
     DuckDB oracle. max-per-register is the sketch merge, so the aggregate
@@ -4339,7 +4340,8 @@ def q_histogram_quantile_audit(spark, sf_dir):
     """Fixed 256-bin equi-width histogram quantile estimates per event
     type, audited against the exact interpolated percentile — the
     value-checkable twin of the native-GK `approx_quantiles_by_type`
-    (rows-only by nature). Completes the audited sketch family: CMS
+    (which since r8 rides the gate via its own tolerance oracle).
+    Completes the audited sketch family: CMS
     (frequency), HLL (cardinality), histogram (quantiles). The histogram
     is ≤ |types|·256 map-side-combinable counters at any corpus size."""
     return sk.histogram_quantile_audit(_t(spark, sf_dir, "events"))
@@ -6280,6 +6282,16 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
         "'cos', cos) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    # r9 (VERDICT r8 #1): melt the streaming maintainer's abelian moment
+    # state — exact integers emitted as digit strings (S_ij exceeds
+    # BIGINT at sf0.1), so value_str carries the payload.
+    xmo = REGISTRY["crossmodal_moments"].fn(spark, sf_dir).selectExpr(
+        "'xmodal_moments' AS section",
+        "concat(kind, ':', CAST(i AS STRING), ':', CAST(j AS STRING)) AS key",
+        "'v' AS metric",
+        null_num,
+        "v_str AS value_str",
+    )
     return (
         fr.unionByName(fe)
         .unionByName(rs)
@@ -6293,6 +6305,7 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(cc)
         .unionByName(xm)
         .unionByName(xi)
+        .unionByName(xmo)
     )
 
 
@@ -6311,7 +6324,8 @@ REGISTRY["multimodal_suite"] = QueryDef(
          vd AS MATERIALIZED ({REGISTRY["multimodal_video_dedup"].oracle}),
          xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle}),
          xmi AS MATERIALIZED ({REGISTRY["crossmodal_ivf_retrieval"].oracle}),
-         ccd AS MATERIALIZED ({REGISTRY["multimodal_cross_codec_dedup"].oracle})
+         ccd AS MATERIALIZED ({REGISTRY["multimodal_cross_codec_dedup"].oracle}),
+         xmo AS MATERIALIZED ({REGISTRY["crossmodal_moments"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
            'frame_md5' AS metric, CAST(NULL AS DOUBLE) AS value_num,
@@ -6389,6 +6403,9 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'cross_codec',
            CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
            'means_match', CAST(CAST(means_match AS INT) AS DOUBLE), NULL FROM ccd
+    UNION ALL SELECT 'xmodal_moments',
+           kind || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR),
+           'v', NULL, v_str FROM xmo
     """,
 )
 
@@ -7485,6 +7502,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "cms_token_counts", "ngram_heavy_hitters", "source_drift_psi",
         "hll_distinct_audit", "histogram_quantile_audit",
         "hll_set_ops_audit", "histogram_merge_audit",
+        "approx_distinct_users", "approx_quantiles_by_type",
     ),
     "diff_session_recall_suite": (
         "snapshot_diff", "session_window_stats", "view_click_attribution",
@@ -7523,6 +7541,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_video_features", "multimodal_video_frames",
         "multimodal_video_dedup", "crossmodal_retrieval",
         "crossmodal_ivf_retrieval", "multimodal_cross_codec_dedup",
+        "crossmodal_moments",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -7544,7 +7563,6 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "dedup_simhash", "anti_join_dedup", "dedup_clusters_incremental",
     ),
     "corpus_e2e_pipeline": ("corpus_quality_gate",),
-    "hybrid_retrieval_rrf": ("bm25_scores",),
     "retrieval_suite": (
         "tfidf_top_terms", "hybrid_retrieval_rrf", "retrieval_mmr",
         "bm25_scores", "postings_index", "contrastive_hard_negatives",

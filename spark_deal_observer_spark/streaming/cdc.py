@@ -43,16 +43,33 @@ class ChangeFeedSink:
         sink: DealTableSink,
         out_path: str,
         compare_cols: Sequence[str] | None = None,
+        compensate_reverts: bool = False,
     ):
         self.spark = spark
         self.sink = sink
         self.out_path = out_path
         self._audits = SnapshotStore(spark, out_path, "batch_id")
         self.compare_cols = list(compare_cols) if compare_cols else None
+        # Default OFF (SURVEY §7 flag-only posture / the reference's own
+        # TODO at rpc-service/service.js:57-58): reverted rows upsert with
+        # their flag like any other update. ON: a batch row with
+        # `reverted = true` is a RETRACTION — audited as op='removed'
+        # (only if the key was actually stored) and DELETED from the
+        # table via the sink's partition-scoped delete_keys. Replays stay
+        # no-ops: the second delivery finds the key absent, so the audit
+        # emits nothing and the delete anti-join does nothing.
+        self.compensate_reverts = compensate_reverts
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         key = self.sink.key
-        ups = batch.dropDuplicates(key).localCheckpoint(eager=True)
+        allb = batch.dropDuplicates(key).localCheckpoint(eager=True)
+        compensating = self.compensate_reverts and "reverted" in allb.columns
+        if compensating:
+            dead = allb.where(F.coalesce(F.col("reverted"), F.lit(False)))
+            ups = allb.where(~F.coalesce(F.col("reverted"), F.lit(False)))
+        else:
+            dead = None
+            ups = allb
         cols = self.compare_cols or [c for c in ups.columns if c not in key]
         if self.sink.exists():
             old = self.sink.read().join(ups.select(*key), key, "left_semi")
@@ -79,9 +96,22 @@ class ChangeFeedSink:
                 "changed_fields"
             ),
         ).where(F.col("op").isNotNull())
+        if compensating and self.sink.exists():
+            removed = (
+                self.sink.read()
+                .join(dead.select(*key), key, "left_semi")
+                .select(
+                    *key,
+                    F.lit("removed").alias("op"),
+                    F.lit(None).cast("string").alias("changed_fields"),
+                )
+            )
+            audit = audit.unionByName(removed)
         self._audits.write(audit, batch_id)
         if self.sink.exists():
             self.sink.merge_overwrite(ups, key)
+            if compensating:
+                self.sink.delete_keys(dead)
         else:
             self.sink.append_dedup(ups)
 

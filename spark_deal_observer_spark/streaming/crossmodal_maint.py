@@ -117,7 +117,16 @@ class CrossmodalMomentSink:
     def read_w(self) -> DataFrame:
         """(i, j, w6) — bit-identical to crossmodal_projection over the
         union of all ingested batches: num = n·S_ij − T_i·sy_j and
-        den = D_i are the exact integers the batch trainer sums."""
+        den = D_i are the exact integers the batch trainer sums.
+
+        Before any batch has been applied there is no moment state, so
+        the trained map is the empty relation — return it typed instead
+        of passing sid=None into SnapshotStore (which surfaced as an
+        opaque parquet-path AnalysisException; r8 ADVICE #3)."""
+        if self._last is None:
+            return self.spark.createDataFrame(
+                [], "i int, j int, w6 double"
+            )
         m = self._snaps.read(self._last)
         s = m.where("kind = 'S'").select("i", "j", F.col("v").alias("s"))
         t = m.where("kind = 'T'").select("i", F.col("v").alias("t"))

@@ -49,9 +49,23 @@ PCOL = "day"
 
 
 class HourlyRollupSink:
-    def __init__(self, spark: SparkSession, path: str):
+    """`compensate_reverts` (default OFF, preserving SURVEY §7's flag-only
+    posture and the reference's own TODO at rpc-service/service.js:57-58):
+    when enabled, batch rows with `reverted = true` are RETRACTIONS — their
+    partials enter the sum-merge negated, so the maintained aggregate equals
+    the retained-only recompute algebraically (counts/sums are abelian-group
+    elements; proof: tests/test_revert_compensation.py, streaming test:
+    tests/test_rollup_sink.py). Fully-retracted buckets (net n_events ≤ 0)
+    drop out, matching what a recompute over retained rows would produce.
+    Replay safety is inherited unchanged from the ledger: a redelivered
+    batch — retractions included — is skipped before it touches state."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, compensate_reverts: bool = False
+    ):
         self.spark = spark
         self.path = path
+        self.compensate_reverts = compensate_reverts
         self.ledger = JsonLedger(
             os.path.join(path + "_meta", "seen_batches.json")
         )
@@ -67,6 +81,13 @@ class HourlyRollupSink:
                 if os.path.exists(live):
                     shutil.rmtree(live)
                 os.rename(staged, live)
+            elif os.path.exists(live):
+                # a touched day with NO staged rows was merged away
+                # entirely (only possible under compensate_reverts when
+                # every bucket of the day nets ≤ 0) — the retained-only
+                # recompute has no partition here, so drop the live one.
+                # Idempotent under recovery replay (both sides absent).
+                shutil.rmtree(live)
         # the live table's commit marker: created (idempotently) only
         # AFTER an intent-covered swap, so exists() never observes data
         # the ledger could still double-merge
@@ -102,6 +123,26 @@ class HourlyRollupSink:
             .withColumn(PCOL, F.to_date("bucket_ts"))
         )
 
+    @staticmethod
+    def _signed_partials(batch: DataFrame) -> DataFrame:
+        """Retraction-aware partials: a `reverted = true` row contributes
+        (−1, −value) — the algebraic inverse the sum-merge needs so
+        merge(stored, negated) ≡ recompute(retained). Same shuffle shape
+        as `_partials` (one map-side-combinable aggregate)."""
+        sign = F.when(
+            F.coalesce(F.col("reverted"), F.lit(False)), F.lit(-1)
+        ).otherwise(F.lit(1))
+        return (
+            batch.groupBy(
+                "event_type", trunc_ntz("hour", "ts").alias("bucket_ts")
+            )
+            .agg(
+                F.sum(sign).alias("n_events"),
+                F.sum(sign * F.col("value")).alias("sum_value"),
+            )
+            .withColumn(PCOL, F.to_date("bucket_ts"))
+        )
+
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
@@ -119,7 +160,9 @@ class HourlyRollupSink:
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if self.ledger.seen(batch_id):
             return  # replayed batch: counters must not double
-        partials = self._partials(batch).localCheckpoint()
+        compensating = self.compensate_reverts and "reverted" in batch.columns
+        mk = self._signed_partials if compensating else self._partials
+        partials = mk(batch).localCheckpoint()
         days = [r[0] for r in partials.select(PCOL).distinct().collect()]
         if self.exists():
             stored = self.spark.read.parquet(self.path).where(
@@ -138,6 +181,10 @@ class HourlyRollupSink:
             merged = partials.select(
                 "event_type", "bucket_ts", "n_events", "sum_value", PCOL
             )
+        if compensating:
+            # a bucket whose every row was retracted nets to zero — the
+            # retained-only recompute has no such row, so neither may we
+            merged = merged.where(F.col("n_events") > 0)
         tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(PCOL).parquet(tmp)
         # write-ahead intent: after this atomic ledger write the batch is

@@ -99,6 +99,19 @@ class DealTableSink:
         merged.write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, self.path)
 
+    def delete_keys(self, keys: DataFrame) -> None:
+        """MERGE WHEN MATCHED THEN DELETE via staged rewrite: drop stored
+        rows whose key matches `keys` (the revert-compensation write shape;
+        default pipelines never call this — see ChangeFeedSink). The keys
+        side is a micro-batch → broadcast anti-join; idempotent (deleting
+        an absent key is a no-op), so replays are safe."""
+        remaining = self.read().join(
+            keys.select(*self.key).dropDuplicates(self.key), self.key, "left_anti"
+        )
+        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+        remaining.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, self.path)
+
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
 
@@ -225,5 +238,32 @@ class PartitionedDealTableSink(DealTableSink):
                     live = os.path.join(self.path, part)
                     if os.path.exists(live):
                         shutil.rmtree(live)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def delete_keys(self, keys: DataFrame) -> None:
+        """Partition-scoped key delete: rewrite ONLY the epoch buckets the
+        keys intersect (keys carry activated_at_epoch — it is part of
+        DEAL_KEY — so the bucket set is derivable and the rewrite stays
+        O(batch-epoch-range), never O(table))."""
+        from pyspark.sql import functions as F
+
+        keys = self._with_bucket(
+            keys.select(*self.key).dropDuplicates(self.key)
+        )
+        buckets = self._buckets_of(keys)
+        base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+        remaining = base.join(keys.drop(self.PCOL), self.key, "left_anti")
+        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+        remaining.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
+        try:
+            for b in buckets:
+                part = f"{self.PCOL}={b}"
+                staged_part = os.path.join(tmp, part)
+                live = os.path.join(self.path, part)
+                if os.path.exists(staged_part):
+                    _swap_dir(staged_part, live)
+                elif os.path.exists(live):
+                    shutil.rmtree(live)  # every row of the bucket deleted
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

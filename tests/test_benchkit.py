@@ -101,3 +101,37 @@ def test_own_subprocess_is_not_foreign():
 
 def test_foreign_between_floors_at_zero():
     assert benchkit.foreign_between((10.0, 4.0), (10.5, 5.0)) == 0.0
+
+
+def test_descendant_reaped_by_live_intermediate_is_not_foreign():
+    """r8 ADVICE #4: a short-lived worker reaped by a still-running
+    intermediate (the pyspark daemon pattern) must land in the own tree
+    via the intermediate's cutime, not inflate foreign CPU."""
+    import subprocess
+    import time as _t
+
+    before = benchkit.cpu_snapshot()
+    # intermediate: spawns + REAPS a grandchild that burns ~0.5 s, then
+    # stays alive so its cutime (not ours) holds the grandchild's CPU
+    inter = subprocess.Popen(
+        ["python", "-c",
+         "import subprocess,time\n"
+         "subprocess.run(['python','-c',"
+         "'import time;t0=time.process_time()\\n"
+         "while time.process_time()-t0<0.5: pass'], check=True)\n"
+         "time.sleep(30)"],
+    )
+    try:
+        deadline = _t.time() + 20
+        while _t.time() < deadline:
+            after = benchkit.cpu_snapshot()
+            if (after[1] - before[1]) >= 0.4:  # grandchild burn attributed
+                break
+            _t.sleep(0.2)
+        own = after[1] - before[1]
+        foreign = benchkit.foreign_between(before, after)
+        assert own >= 0.4, own
+        assert foreign < 0.05 * (benchkit.os.cpu_count() or 1) * 1.0, foreign
+    finally:
+        inter.kill()
+        inter.wait()

@@ -78,3 +78,48 @@ def test_change_feed_audits_adds_changes_and_replay(spark, tmp_path):
     )
     assert feed.read_feed().where("batch_id = 2").count() == 0
     assert sink.read().count() == n_table
+
+
+def test_change_feed_compensates_reverts_opt_in(spark, tmp_path):
+    """Opt-in revert compensation (VERDICT r8 #5): a reverted=true row is
+    audited as op='removed' and deleted from the table; replays audit
+    zero rows and delete nothing; default-off sinks keep flag-only
+    upserts."""
+    deals = (
+        _frame(spark)
+        .withColumn("reverted", F.lit(False))
+        .localCheckpoint()
+    )
+    sink = DealTableSink(spark, str(tmp_path / "table"), key=["id"])
+    feed = ChangeFeedSink(
+        spark, sink, str(tmp_path / "feed"), compensate_reverts=True
+    )
+    feed.process_batch(deals, batch_id=0)
+    n_all = deals.count()
+    assert sink.read().count() == n_all
+
+    # the revert tick: a third of the keys arrive retracted
+    revert = deals.where(F.col("id") % 3 == 0).withColumn(
+        "reverted", F.lit(True)
+    )
+    n_rev = revert.count()
+    assert n_rev > 0
+    feed.process_batch(revert, batch_id=1)
+    log1 = feed.read_feed().where("batch_id = 1")
+    assert log1.count() == n_rev
+    assert log1.where("op != 'removed'").count() == 0
+    assert sink.read().count() == n_all - n_rev
+    assert sink.read().where("id % 3 = 0").count() == 0
+
+    # replay: keys already gone -> empty audit, table unchanged
+    feed.process_batch(revert, batch_id=2)
+    assert feed.read_feed().where("batch_id = 2").count() == 0
+    assert sink.read().count() == n_all - n_rev
+
+    # default-off feed on a fresh table: reverted rows upsert flag-only
+    sink2 = DealTableSink(spark, str(tmp_path / "table2"), key=["id"])
+    feed2 = ChangeFeedSink(spark, sink2, str(tmp_path / "feed2"))
+    feed2.process_batch(deals, batch_id=0)
+    feed2.process_batch(revert, batch_id=1)
+    assert sink2.read().count() == n_all
+    assert sink2.read().where("reverted").count() == n_rev

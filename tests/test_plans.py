@@ -345,6 +345,45 @@ def test_suite_component_map_in_sync():
             assert name in SUITE_COMPONENTS, f"{name} missing a component map"
 
 
+def test_suite_components_cover_registry_refs():
+    """Teeth for the accounting (VERDICT r8 #1): a component wired into a
+    suite's Spark fn or assembled oracle via `REGISTRY["name"]` but absent
+    from SUITE_COMPONENTS[suite] silently under-reports gate coverage in
+    COVERAGE.md (the r8 bug: approx_distinct_users/_quantiles rode
+    sketch_suite's fn+oracle yet the accounting said 240/243). Parse BOTH
+    surfaces — the suite fn's source and the `REGISTRY["suite"] =
+    QueryDef(...)` oracle-assembly block in registry.py — and fail if any
+    referenced registered query is missing from the component list."""
+    import inspect
+    import re
+
+    import spark_deal_observer_spark.plans.registry as regmod
+    from spark_deal_observer_spark.plans.registry import SUITE_COMPONENTS
+
+    ref_re = re.compile(r'REGISTRY\["([a-z0-9_]+)"\]')
+    src = inspect.getsource(regmod)
+    for suite, comps in SUITE_COMPONENTS.items():
+        refs: set[str] = set()
+        try:
+            refs.update(ref_re.findall(inspect.getsource(REGISTRY[suite].fn)))
+        except (OSError, TypeError):
+            pass  # fn source unavailable (shouldn't happen for suites)
+        # the oracle-assembly patch block: from `REGISTRY["suite"] =` to the
+        # next top-level closing paren
+        m = re.search(
+            rf'^REGISTRY\["{suite}"\] = QueryDef\(\n(.*?)^\)$',
+            src, re.S | re.M,
+        )
+        if m:
+            refs.update(ref_re.findall(m.group(1)))
+        refs.discard(suite)
+        missing = {r for r in refs if r in REGISTRY} - set(comps)
+        assert not missing, (
+            f"{suite}: wired-but-unlisted components {sorted(missing)} — "
+            f"add them to SUITE_COMPONENTS[{suite!r}]"
+        )
+
+
 def test_gate_prefix_is_the_curated_fifty():
     """The driver's correctness gate snapshots DRIVER_ORDER[:50] — pin the
     curated membership so a refactor can't silently eject a gate slot (an

@@ -81,3 +81,53 @@ def test_replayed_batch_does_not_double_counters(spark, tmp_path):
     once = _normalize(sink.read_hourly())
     sink.process_batch(ev, batch_id=7)  # foreachBatch replay after failure
     assert _normalize(sink.read_hourly()) == once
+
+
+def test_compensate_reverts_equals_retained_recompute(spark, tmp_path):
+    """Opt-in revert compensation (VERDICT r8 #5): ingest ticks, then a
+    retraction tick arrives (reverted=true rows for previously-ingested
+    events) — the compensated rollup must equal a retained-only recompute
+    bit-for-bit on counts (6-dp on float sums), replays must stay no-ops
+    under the existing ledger, and the default-off sink is untouched."""
+    ev = _events(spark)
+    sink = HourlyRollupSink(
+        spark, str(tmp_path / "rollup"), compensate_reverts=True
+    )
+    for i in range(2):
+        sink.process_batch(
+            ev.where(F.col("event_id") % 2 == i).withColumn(
+                "reverted", F.lit(False)
+            ),
+            batch_id=i,
+        )
+    # the revert tick: every 'error' event is retracted (the engine's
+    # reverted derivation, plans/deals.py) — same rows, negated partials
+    revert = ev.where("event_type = 'error'").withColumn(
+        "reverted", F.lit(True)
+    )
+    assert revert.count() > 0
+    sink.process_batch(revert, batch_id=2)
+    retained = _full_recompute(ev.where("event_type <> 'error'"))
+    assert _normalize(sink.read_hourly()) == _normalize(retained)
+
+    # replaying the revert tick must not compensate twice
+    sink.process_batch(revert, batch_id=2)
+    assert _normalize(sink.read_hourly()) == _normalize(retained)
+
+    # restart resumes from the ledger: replay still skipped
+    sink2 = HourlyRollupSink(
+        spark, str(tmp_path / "rollup"), compensate_reverts=True
+    )
+    sink2.process_batch(revert, batch_id=2)
+    assert _normalize(sink2.read_hourly()) == _normalize(retained)
+
+
+def test_compensation_default_off_ignores_flag_column(spark, tmp_path):
+    """Default (flag-only) behavior unchanged even when batches carry a
+    `reverted` column: rows count positively regardless of the flag."""
+    ev = _events(spark)
+    sink = HourlyRollupSink(spark, str(tmp_path / "rollup"))
+    sink.process_batch(
+        ev.withColumn("reverted", F.col("event_type") == "error"), batch_id=0
+    )
+    assert _normalize(sink.read_hourly()) == _normalize(_full_recompute(ev))

@@ -40,3 +40,13 @@ def test_streamed_map_equals_batch(spark, tmp_path):
     # ...and treats old ids as applied
     sink2.process_batch(docs.where("doc_id % 2 = 1"), 1)
     assert _w_of(sink2.read_w()) == batch
+
+
+def test_fresh_sink_read_w_is_typed_empty(spark, tmp_path):
+    """r8 ADVICE #3: read_w() before any batch must return the empty
+    trained map with the real (i, j, w6) schema, not crash inside
+    SnapshotStore with sid=None."""
+    sink = CrossmodalMomentSink(spark, str(tmp_path / "fresh"))
+    w = sink.read_w()
+    assert w.columns == ["i", "j", "w6"]
+    assert w.count() == 0
