@@ -421,10 +421,18 @@ PUBLISH_QUERIES = [
     "dedup_incremental",
     "dedup_clusters_incremental",
     "dedup_setsim_incremental",
+    # the crossmodal train+retrieve paths ride the same protocol (r8
+    # measured them in a separate table; r9 folds them in so the 100x
+    # point covers both families in one run) — including the r9
+    # length-routed local tier
+    "crossmodal_retrieval",
+    "crossmodal_ivf_retrieval",
+    "crossmodal_local_retrieval",
+    "crossmodal_moments",
 ]
 
 
-def publish_decade(spark) -> None:
+def publish_decade(spark, x100: bool = False) -> None:
     """--publish-decade (VERDICT r7 #5): the COLD publish passes of the
     heaviest suite's incremental family across 1×/10× at CONSTANT
     duplicate density (lowdup corpora — the id-shifted protocol is wrong
@@ -437,10 +445,17 @@ def publish_decade(spark) -> None:
     from spark_deal_observer_spark.operators import models
     from spark_deal_observer_spark.plans.registry import REGISTRY
 
+    dirs = [("1x", SRC), ("10x", DST_LD10)]
+    if x100:
+        # r9 (VERDICT r8 #3): the THIRD decade — 10x->100x is where a
+        # hidden super-linear stage would actually show (the 1x->10x
+        # ratios are fixed-overhead-dominated). Same lowdup protocol
+        # (constant duplicate density); sweep blockmgr debris first.
+        dirs.append(("100x", DST_LD100))
     rows = []
     for name in PUBLISH_QUERIES:
         per = {}
-        for label, d in (("1x", SRC), ("10x", DST_LD10)):
+        for label, d in dirs:
             models.clear()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -451,12 +466,15 @@ def publish_decade(spark) -> None:
             per[label] = (cold, warm)
             print(f"DONE publish {name} {label} cold={cold:.2f} warm={warm:.2f}", flush=True)
         rows.append((name, per))
-    print("\n| query | 1x cold | 10x cold | cold ratio | 1x warm | 10x warm |")
-    print("|---|---|---|---|---|---|")
+    hdr = " | ".join(f"{lbl} cold" for lbl, _ in dirs)
+    print(f"\n| query | {hdr} | 10x/1x | " + ("100x/10x | " if x100 else "") + "warm (last) |")
+    print("|---" * (len(dirs) + (3 if x100 else 2)) + "|")
     for name, per in rows:
-        c1, w1 = per["1x"]
-        c10, w10 = per["10x"]
-        print(f"| {name} | {c1:.2f} | {c10:.2f} | {c10 / c1:.1f} | {w1:.2f} | {w10:.2f} |")
+        colds = [per[lbl][0] for lbl, _ in dirs]
+        cells = " | ".join(f"{c:.2f}" for c in colds)
+        r10 = colds[1] / colds[0]
+        extra = f"{colds[2] / colds[1]:.1f} | " if x100 else ""
+        print(f"| {name} | {cells} | {r10:.1f} | {extra}{per[dirs[-1][0]][1]:.2f} |")
 
 
 def main() -> None:
@@ -484,6 +502,8 @@ def main() -> None:
     con = duckdb.connect()
     if publish:
         synthesize(con, DST_LD10, 10, salt=True)
+        if x100:
+            synthesize(con, DST_LD100, 100, salt=True)
     elif not lowdup:
         synthesize(con)
     if skew:
@@ -511,7 +531,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
     if publish:
-        publish_decade(spark)
+        publish_decade(spark, x100=x100)
         return
     if probe:
         probe_decade(spark)

@@ -6118,6 +6118,8 @@ REGISTRY["tpch_agg_suite"] = QueryDef(
 from ..multimodal.crossmodal import (  # noqa: E402
     crossmodal_ivf_retrieval,
     crossmodal_ivf_retrieval_oracle,
+    crossmodal_local_retrieval,
+    crossmodal_local_retrieval_oracle,
     crossmodal_moments_oracle,
     crossmodal_retrieval,
     crossmodal_retrieval_oracle,
@@ -6171,6 +6173,20 @@ def q_contrastive_hard_negatives(spark, sf_dir):
     family's published embedding table with the dedup family's band
     relation; one candidate scan, banded exclusion, no new artifacts."""
     return sim.hard_negatives(_spread(_t(spark, sf_dir, "documents")))
+
+
+@register("crossmodal_local_retrieval", crossmodal_local_retrieval_oracle())
+def q_crossmodal_local_retrieval(spark, sf_dir):
+    """Cross-modal retrieval through LENGTH-ROUTED per-cell local maps
+    (VERDICT r8 #4): docs route into 4 fixed-cut length cells, one
+    diagonally-whitened map trains per cell, queries project through
+    their own cell's map and rank against the shared global-centered
+    candidate corpus. Lifts the proven 0.288 global-linear recall@10
+    ceiling to 0.679 on the full paired panel (r@5 0.212→0.611, MRR
+    0.182→0.490; scripts/xmodal_local_experiment.py) — piecewise
+    features, same solver, same exact-int discipline. The held-out
+    honesty note lives in crossmodal.py's XMODAL_LEN_CUTS docstring."""
+    return crossmodal_local_retrieval(_t(spark, sf_dir, "documents"))
 
 
 @register("crossmodal_moments", crossmodal_moments_oracle())
@@ -6282,6 +6298,12 @@ def q_multimodal_suite(spark, sf_dir):
         "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
         "'cos', cos) AS (metric, value_num)",
     ).selectExpr("section", "key", "metric", "value_num", null_str)
+    xl = REGISTRY["crossmodal_local_retrieval"].fn(spark, sf_dir).selectExpr(
+        "'crossmodal_local' AS section",
+        "concat(CAST(query_doc AS STRING), ':', CAST(rank AS STRING)) AS key",
+        "stack(2, 'media_doc', CAST(media_doc AS DOUBLE), "
+        "'cos', cos) AS (metric, value_num)",
+    ).selectExpr("section", "key", "metric", "value_num", null_str)
     # r9 (VERDICT r8 #1): melt the streaming maintainer's abelian moment
     # state — exact integers emitted as digit strings (S_ij exceeds
     # BIGINT at sf0.1), so value_str carries the payload.
@@ -6305,6 +6327,7 @@ def q_multimodal_suite(spark, sf_dir):
         .unionByName(cc)
         .unionByName(xm)
         .unionByName(xi)
+        .unionByName(xl)
         .unionByName(xmo)
     )
 
@@ -6325,6 +6348,7 @@ REGISTRY["multimodal_suite"] = QueryDef(
          xm AS MATERIALIZED ({REGISTRY["crossmodal_retrieval"].oracle}),
          xmi AS MATERIALIZED ({REGISTRY["crossmodal_ivf_retrieval"].oracle}),
          ccd AS MATERIALIZED ({REGISTRY["multimodal_cross_codec_dedup"].oracle}),
+         xml AS MATERIALIZED ({REGISTRY["crossmodal_local_retrieval"].oracle}),
          xmo AS MATERIALIZED ({REGISTRY["crossmodal_moments"].oracle})
     SELECT 'frames' AS section,
            CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) AS key,
@@ -6403,6 +6427,12 @@ REGISTRY["multimodal_suite"] = QueryDef(
     UNION ALL SELECT 'cross_codec',
            CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
            'means_match', CAST(CAST(means_match AS INT) AS DOUBLE), NULL FROM ccd
+    UNION ALL SELECT 'crossmodal_local',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'media_doc', CAST(media_doc AS DOUBLE), NULL FROM xml
+    UNION ALL SELECT 'crossmodal_local',
+           CAST(query_doc AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+           'cos', cos, NULL FROM xml
     UNION ALL SELECT 'xmodal_moments',
            kind || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR),
            'v', NULL, v_str FROM xmo
@@ -7541,7 +7571,7 @@ SUITE_COMPONENTS: dict[str, tuple[str, ...]] = {
         "multimodal_video_features", "multimodal_video_frames",
         "multimodal_video_dedup", "crossmodal_retrieval",
         "crossmodal_ivf_retrieval", "multimodal_cross_codec_dedup",
-        "crossmodal_moments",
+        "crossmodal_local_retrieval", "crossmodal_moments",
     ),
     "text_scoring_suite": (
         "unigram_logprob", "text_pii_scrub", "text_repetition",
@@ -7661,6 +7691,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_phash_dedup",   # perceptual near-dup (melted above)
     "crossmodal_retrieval",     # text->media trained-map top-k (melted above)
     "crossmodal_ivf_retrieval",  # its 2-of-8-cell IVF scale tier (melted above)
+    "crossmodal_local_retrieval",  # length-routed per-cell maps (melted above)
     "crossmodal_moments",       # the streaming maintainer's abelian state
     "contrastive_hard_negatives",  # similar-but-not-duplicate pair miner
     "multimodal_cross_codec_dedup",  # PNG vs QOI decoded-content parity (melted above)

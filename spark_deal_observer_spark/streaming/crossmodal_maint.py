@@ -154,3 +154,114 @@ class CrossmodalMomentSink:
                 .alias("w6"),
             )
         )
+
+
+def batch_local_moments(docs: DataFrame) -> DataFrame:
+    """(kind, cell, i, j, v): the per-cell moment families of the
+    LENGTH-ROUTED local maps (crossmodal.crossmodal_local_projection).
+    Fixed-cut routing is a pure per-doc function, so S/T/D simply gain a
+    `cell` group key and stay exact abelian sums; the y-side moments
+    (sy, n) are GLOBAL (the local maps center y globally) and ride with
+    cell = −1. Streamed ≡ batch bit-identity therefore carries over
+    unchanged — the r9 extension VERDICT r8 #4 predicted."""
+    from ..multimodal.crossmodal import _doc_cells
+
+    x = _text_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+    y = _media_rows(docs).where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+    paired = y.select("doc_id").distinct()
+    cells = _doc_cells(docs)
+    xp = (
+        x.where(F.col("xi") != 0)
+        .join(F.broadcast(paired), "doc_id")
+        .join(cells, "doc_id")
+    )
+    s = (
+        xp.join(y, "doc_id")
+        .groupBy("cell", "i", "j")
+        .agg(F.sum(F.col("xi").cast(_DEC) * F.col("yi").cast(_DEC)).alias("v"))
+        .select(F.lit("S").alias("kind"), "cell", "i", "j", "v")
+    )
+    t = (
+        xp.groupBy("cell", "i")
+        .agg(F.sum(F.col("xi").cast(_DEC)).alias("v"))
+        .select(F.lit("T").alias("kind"), "cell", "i", F.lit(-1).alias("j"), "v")
+    )
+    d = (
+        xp.groupBy("cell", "i")
+        .agg(F.sum(F.col("xi").cast(_DEC) * F.col("xi").cast(_DEC)).alias("v"))
+        .select(F.lit("D").alias("kind"), "cell", "i", F.lit(-1).alias("j"), "v")
+    )
+    sy = y.groupBy("j").agg(F.sum(F.col("yi").cast(_DEC)).alias("v")).select(
+        F.lit("sy").alias("kind"),
+        F.lit(-1).alias("cell"),
+        F.lit(-1).alias("i"),
+        "j",
+        "v",
+    )
+    n = paired.agg(F.count("*").cast(_DEC).alias("v")).select(
+        F.lit("n").alias("kind"),
+        F.lit(-1).alias("cell"),
+        F.lit(-1).alias("i"),
+        F.lit(-1).alias("j"),
+        "v",
+    )
+    return s.unionByName(t).unionByName(d).unionByName(sy).unionByName(n)
+
+
+class CrossmodalLocalMomentSink(CrossmodalMomentSink):
+    """The local-map maintainer: same ledger/snapshot discipline, with
+    `cell` in the merge key. `read_w()` returns (cell, i, j, w6) —
+    bit-identical to crossmodal_local_projection over the ingested union
+    (num_c = n·S_c − T_c·sy, den_c = D_c; all exact DECIMAL(38,0))."""
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if self._is_applied(batch_id):
+            return
+        if batch.isEmpty():
+            self._applied.add(batch_id)
+            return
+        part = batch_local_moments(batch)
+        if self._last is not None:
+            part = (
+                self._snaps.read(self._last)
+                .unionByName(part)
+                .groupBy("kind", "cell", "i", "j")
+                .agg(F.sum("v").alias("v"))
+            )
+        self._snaps.write(part, batch_id)
+        self._last = batch_id
+        self._applied = {i for i in self._applied if i > batch_id}
+
+    def read_w(self) -> DataFrame:
+        if self._last is None:
+            return self.spark.createDataFrame(
+                [], "cell int, i int, j int, w6 double"
+            )
+        m = self._snaps.read(self._last)
+        s = m.where("kind = 'S'").select("cell", "i", "j", F.col("v").alias("s"))
+        t = m.where("kind = 'T'").select("cell", "i", F.col("v").alias("t"))
+        d = m.where("kind = 'D'").select("cell", "i", F.col("v").alias("den"))
+        sy = m.where("kind = 'sy'").select("j", F.col("v").alias("sy"))
+        n = m.where("kind = 'n'").select(F.col("v").alias("n"))
+        return (
+            s.join(F.broadcast(t), ["cell", "i"])
+            .join(F.broadcast(d), ["cell", "i"])
+            .join(F.broadcast(sy), "j")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "cell",
+                "i",
+                "j",
+                F.when(F.col("den") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("n") * F.col("s") - F.col("t") * F.col("sy")).cast(
+                            "double"
+                        )
+                        / F.col("den").cast("double"),
+                        6,
+                    )
+                )
+                .alias("w6"),
+            )
+        )

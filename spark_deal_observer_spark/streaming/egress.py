@@ -65,7 +65,30 @@ def submit_eligible(
     Failed POSTs skip the batch (logged by the caller via the returned
     counts) and leave submitted_at NULL, so the next tick retries them —
     the reference's semantics (spark-api-submit-deals.js:17-29).
+
+    The whole read-eligible → POST → mark-submitted span holds the table
+    lock: under the reference's concurrent three-loop deployment, an
+    enrichment merge landing between our read and our mark would base the
+    mark's rewrite on rows the merge already replaced (lost update) —
+    the span lock serializes ticks, and its reentrancy makes the nested
+    merge_overwrite acquisition free (streaming/concurrency.py).
     """
+    from .concurrency import table_lock
+
+    with table_lock(sink.path):
+        return _submit_eligible_locked(
+            sink, poster, now=now, batch_size=batch_size, eligible=eligible
+        )
+
+
+def _submit_eligible_locked(
+    sink: DealTableSink,
+    poster: Poster,
+    *,
+    now: Column | None,
+    batch_size: int,
+    eligible: Callable[[DataFrame], DataFrame],
+) -> dict[str, int]:
     deals = sink.read()
     todo = eligible(deals)
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.merge import DEAL_KEY, dedup_insert, merge_update
 from .atomic import gc_swap_debris
 from .atomic import swap_dir as _swap_dir
+from .concurrency import table_lock
 
 
 class DealTableSink:
@@ -80,12 +81,15 @@ class DealTableSink:
         return self.spark.read.parquet(self.path)
 
     def append_dedup(self, batch: DataFrame) -> None:
-        """Idempotent dedup-insert of one (micro-)batch."""
-        if not self.exists():
-            batch.dropDuplicates(self.key).write.mode("overwrite").parquet(self.path)
-            return
-        new_rows = dedup_insert(batch, self.read(), self.key)
-        new_rows.write.mode("append").parquet(self.path)
+        """Idempotent dedup-insert of one (micro-)batch. The table lock
+        makes the exists-check + anti-join + append one atomic span vs
+        concurrent loop ticks (streaming/concurrency.py)."""
+        with table_lock(self.path):
+            if not self.exists():
+                batch.dropDuplicates(self.key).write.mode("overwrite").parquet(self.path)
+                return
+            new_rows = dedup_insert(batch, self.read(), self.key)
+            new_rows.write.mode("append").parquet(self.path)
 
     def merge_overwrite(self, updates: DataFrame, on: Sequence[str]) -> None:
         """MERGE WHEN MATCHED THEN UPDATE via staged rewrite.
@@ -94,10 +98,11 @@ class DealTableSink:
         put back if the staged rename fails, so the only window without a
         live table is a process kill between the two renames (documented
         local-FS assumption — see module docstring)."""
-        merged = merge_update(self.read(), updates, list(on))
-        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        _swap_dir(tmp, self.path)
+        with table_lock(self.path):
+            merged = merge_update(self.read(), updates, list(on))
+            tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            _swap_dir(tmp, self.path)
 
     def delete_keys(self, keys: DataFrame) -> None:
         """MERGE WHEN MATCHED THEN DELETE via staged rewrite: drop stored
@@ -105,12 +110,13 @@ class DealTableSink:
         default pipelines never call this — see ChangeFeedSink). The keys
         side is a micro-batch → broadcast anti-join; idempotent (deleting
         an absent key is a no-op), so replays are safe."""
-        remaining = self.read().join(
-            keys.select(*self.key).dropDuplicates(self.key), self.key, "left_anti"
-        )
-        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        remaining.write.mode("overwrite").parquet(tmp)
-        _swap_dir(tmp, self.path)
+        with table_lock(self.path):
+            remaining = self.read().join(
+                keys.select(*self.key).dropDuplicates(self.key), self.key, "left_anti"
+            )
+            tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+            remaining.write.mode("overwrite").parquet(tmp)
+            _swap_dir(tmp, self.path)
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
@@ -170,15 +176,16 @@ class PartitionedDealTableSink(DealTableSink):
         from pyspark.sql import functions as F
 
         batch = self._with_bucket(batch)
-        if not self.exists():
-            batch.dropDuplicates(self.key).write.mode("overwrite").partitionBy(
-                self.PCOL
-            ).parquet(self.path)
-            return
-        buckets = self._buckets_of(batch)
-        stored = self._read_raw().where(F.col(self.PCOL).isin(buckets))
-        new_rows = dedup_insert(batch, stored, self.key)
-        new_rows.write.mode("append").partitionBy(self.PCOL).parquet(self.path)
+        with table_lock(self.path):
+            if not self.exists():
+                batch.dropDuplicates(self.key).write.mode("overwrite").partitionBy(
+                    self.PCOL
+                ).parquet(self.path)
+                return
+            buckets = self._buckets_of(batch)
+            stored = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+            new_rows = dedup_insert(batch, stored, self.key)
+            new_rows.write.mode("append").partitionBy(self.PCOL).parquet(self.path)
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> dict[int, int]:
         """Rewrite each partition whose file count exceeds its target into
@@ -222,24 +229,25 @@ class PartitionedDealTableSink(DealTableSink):
         from pyspark.sql import functions as F
 
         updates = self._with_bucket(updates)
-        buckets = self._buckets_of(updates)
-        base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
-        merged = merge_update(base, updates, list(on))
-        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
-        try:
-            for b in buckets:
-                part = f"{self.PCOL}={b}"
-                staged_part = os.path.join(tmp, part)
-                if os.path.exists(staged_part):
-                    _swap_dir(staged_part, os.path.join(self.path, part))
-                else:
-                    # merged away entirely (possible only under key deletes)
-                    live = os.path.join(self.path, part)
-                    if os.path.exists(live):
-                        shutil.rmtree(live)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        with table_lock(self.path):
+            buckets = self._buckets_of(updates)
+            base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+            merged = merge_update(base, updates, list(on))
+            tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
+            try:
+                for b in buckets:
+                    part = f"{self.PCOL}={b}"
+                    staged_part = os.path.join(tmp, part)
+                    if os.path.exists(staged_part):
+                        _swap_dir(staged_part, os.path.join(self.path, part))
+                    else:
+                        # merged away entirely (possible only under key deletes)
+                        live = os.path.join(self.path, part)
+                        if os.path.exists(live):
+                            shutil.rmtree(live)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def delete_keys(self, keys: DataFrame) -> None:
         """Partition-scoped key delete: rewrite ONLY the epoch buckets the
@@ -251,19 +259,20 @@ class PartitionedDealTableSink(DealTableSink):
         keys = self._with_bucket(
             keys.select(*self.key).dropDuplicates(self.key)
         )
-        buckets = self._buckets_of(keys)
-        base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
-        remaining = base.join(keys.drop(self.PCOL), self.key, "left_anti")
-        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        remaining.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
-        try:
-            for b in buckets:
-                part = f"{self.PCOL}={b}"
-                staged_part = os.path.join(tmp, part)
-                live = os.path.join(self.path, part)
-                if os.path.exists(staged_part):
-                    _swap_dir(staged_part, live)
-                elif os.path.exists(live):
-                    shutil.rmtree(live)  # every row of the bucket deleted
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        with table_lock(self.path):
+            buckets = self._buckets_of(keys)
+            base = self._read_raw().where(F.col(self.PCOL).isin(buckets))
+            remaining = base.join(keys.drop(self.PCOL), self.key, "left_anti")
+            tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+            remaining.write.mode("overwrite").partitionBy(self.PCOL).parquet(tmp)
+            try:
+                for b in buckets:
+                    part = f"{self.PCOL}={b}"
+                    staged_part = os.path.join(tmp, part)
+                    live = os.path.join(self.path, part)
+                    if os.path.exists(staged_part):
+                        _swap_dir(staged_part, live)
+                    elif os.path.exists(live):
+                        shutil.rmtree(live)  # every row of the bucket deleted
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
