@@ -75,7 +75,9 @@ def submit_eligible(
     """
     from .concurrency import table_lock
 
-    with table_lock(sink.path):
+    # Lock key = the sink's table identity: parquet sinks expose `path`,
+    # catalog sinks a `table` name — both unique per table per process.
+    with table_lock(getattr(sink, "path", None) or sink.table):
         return _submit_eligible_locked(
             sink, poster, now=now, batch_size=batch_size, eligible=eligible
         )

@@ -192,7 +192,7 @@ ROUND6_INVENTORY = {
     "operators/layout.py": (1, "selectivity/overlap fractions in [0,1]"),
     "operators/graph.py": (1, "jaccard in [0,1]"),
     "multimodal/media.py": (2, "palette-index/pixel-delta means bounded by 8-bit range"),
-    "multimodal/crossmodal.py": (1, "whitened regression coefficient; |w6| < 1e3 empirically, < 1e6 structurally"),
+    "multimodal/crossmodal.py": (2, "whitened regression coefficient (global + per-length-cell local map twin); |w6| < 1e3 empirically, < 1e6 structurally"),
     "plans/registry.py": (5, "event-value quantiles (< 1e4) + readability ratios (|flesch| < 1e6 for degenerate docs) + novelty fractions"),
     "plans/roundfuzz.py": (1, "the harness's own ratio template"),
 }
