@@ -158,59 +158,135 @@ def _centered_media(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ycn, stats.select("n").limit(1)
 
 
+def crossmodal_cell_moments(docs: DataFrame) -> DataFrame:
+    """r9 OPTIMIZATION (guide §2.4 — remove whole passes, not just
+    shuffles): the ONE corpus-scale crossmodal training pass, published.
+
+    Before this round the x⋈y dim-fanout join ran THREE times per cold
+    build (global n_tab, local n_tab, and the registered moments query —
+    which, unpublished, re-ran it on every WARM bench run too: ~4 s/run
+    at sf0.1). Every one of those consumers is a pure function of the
+    per-cell abelian moment families (kind, cell, i, j, v) that the
+    streaming maintainer already sum-merges — so build THAT table once
+    per corpus snapshot and derive everything else from it:
+
+      global moments  = Σ_cells          (exact integer sums)
+      global W        : num = n·S − T·sy, den = D      (read_w identity)
+      local  W        : num_c = n·S_c − T_c·sy, den_c = D_c
+      xstats (pvec)   : sx_i = T_i, m = n  (zero x-components add 0)
+
+    Each identity is the one tests/test_streaming_crossmodal.py pins
+    bit-identical against the direct training join; the direct plans are
+    kept as `_w_direct_plan`/`_local_w_direct_plan` and equality is
+    re-pinned per build in tests/test_crossmodal.py."""
+    from ..operators.models import published
+    from ..streaming.crossmodal_maint import batch_local_moments
+
+    def build() -> DataFrame:
+        return batch_local_moments(docs).localCheckpoint()  # ≤ 4·dim·65 rows
+
+    return published(docs, "xmodal_cell_moments", (XMODAL_TRAIN_MOD,), build)
+
+
+def _global_moments(docs: DataFrame) -> DataFrame:
+    """(kind, i, j, v): the global five-family moments — exact integer
+    cell-sums of the published per-cell table (each doc lives in exactly
+    one cell, so Σ_cells S_c,ij = S_ij etc.; sy/n are stored global)."""
+    m = crossmodal_cell_moments(docs)
+    xtd = (
+        m.where(F.col("kind").isin("S", "T", "D"))
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return xtd.unionByName(
+        m.where(F.col("kind").isin("sy", "n")).select("kind", "i", "j", "v")
+    )
+
+
 def crossmodal_projection(docs: DataFrame) -> DataFrame:
     """The published 4096-row linear map: (i, j, w6) with
-    w6 = ROUND(Σ_train xi·ycn_j / Σ_train xi², 6)."""
+    w6 = ROUND(Σ_train xi·ycn_j / Σ_train xi², 6) — derived from the
+    published moments via num = n·S − T·sy, den = D (the exact-integer
+    identity CrossmodalMomentSink.read_w uses, pinned bit-identical to
+    the direct training join by tests/test_streaming_crossmodal.py and
+    tests/test_crossmodal.py::test_moment_derived_w_equals_direct)."""
     from ..operators.models import published
 
     def build() -> DataFrame:
-        # Zero x-components contribute exactly 0 to num and den, and the
-        # 256-dim hashed BOW is ~91% zeros at sf0.1 — dropping them cuts
-        # the dim²-fanout training join ~12×. A dim whose EVERY paired
-        # component is zero leaves W entirely (both factors 0); the
-        # retrieval oracle keeps the dense sums because the dropped rows
-        # are w6 = 0 and contribute nothing to any projected query.
-        x = _text_rows(docs).where(
-            (F.col("doc_id") % XMODAL_TRAIN_MOD == 0) & (F.col("xi") != 0)
-        )
-        ycn, _ = _centered_media(docs)
-        ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
-        # Restrict both sides to PAIRED docs (media exists only for
-        # len ≥ 64 docs); the inner join enforces it for N, and D must
-        # sum over the same doc set or the ratio skews.
-        paired = ytrain.select("doc_id").distinct()
-        n_tab = (
-            x.join(ytrain, "doc_id")
-            .groupBy("i", "j")
-            .agg(
-                F.sum(
-                    F.col("xi").cast("decimal(38,0)")
-                    * F.col("ycn").cast("decimal(38,0)")
-                ).alias("num")
+        m = _global_moments(docs)
+        s = m.where("kind = 'S'").select("i", "j", F.col("v").alias("s"))
+        t = m.where("kind = 'T'").select("i", F.col("v").alias("t"))
+        d = m.where("kind = 'D'").select("i", F.col("v").alias("den"))
+        sy = m.where("kind = 'sy'").select("j", F.col("v").alias("sy"))
+        n = m.where("kind = 'n'").select(F.col("v").alias("n"))
+        w = (
+            s.join(F.broadcast(t), "i")
+            .join(F.broadcast(d), "i")
+            .join(F.broadcast(sy), "j")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "i",
+                "j",
+                F.when(F.col("den") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("n") * F.col("s") - F.col("t") * F.col("sy")).cast(
+                            "double"
+                        )
+                        / F.col("den").cast("double"),
+                        6,
+                    )
+                )
+                .alias("w6"),
             )
-        )
-        d_tab = (
-            x.join(F.broadcast(paired), "doc_id")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.col("xi").cast("decimal(38,0)")
-                    * F.col("xi").cast("decimal(38,0)")
-                ).alias("den")
-            )
-        )
-        w = n_tab.join(d_tab, "i").select(
-            "i",
-            "j",
-            F.when(F.col("den") == 0, F.lit(0.0))
-            .otherwise(
-                F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
-            )
-            .alias("w6"),
         )
         return w.localCheckpoint()  # node-sized: dim² rows
 
     return published(docs, "xmodal_w", (XMODAL_TRAIN_MOD,), build)
+
+
+def _w_direct_plan(docs: DataFrame) -> DataFrame:
+    """The pre-r9 DIRECT training join (unpublished): one x⋈ycn fanout
+    aggregated to (i, j, w6). Kept as the independent second derivation
+    the moments-path equality test compares against — zero x-components
+    contribute exactly 0 to num and den, so the nonzero filter is
+    value-neutral; a dim whose every paired component is zero leaves W
+    entirely (both factors 0)."""
+    x = _text_rows(docs).where(
+        (F.col("doc_id") % XMODAL_TRAIN_MOD == 0) & (F.col("xi") != 0)
+    )
+    ycn, _ = _centered_media(docs)
+    ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+    paired = ytrain.select("doc_id").distinct()
+    n_tab = (
+        x.join(ytrain, "doc_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.col("xi").cast("decimal(38,0)")
+                * F.col("ycn").cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    d_tab = (
+        x.join(F.broadcast(paired), "doc_id")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.col("xi").cast("decimal(38,0)")
+                * F.col("xi").cast("decimal(38,0)")
+            ).alias("den")
+        )
+    )
+    return n_tab.join(d_tab, "i").select(
+        "i",
+        "j",
+        F.when(F.col("den") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+        )
+        .alias("w6"),
+    )
 
 
 def _vec(df: DataFrame, key: str, pos: str, val: str, out: str) -> DataFrame:
@@ -274,20 +350,24 @@ def _pvec_yvec_plan(
     # the uniform m factor.
     x = _text_rows(docs)
     ycn_all, _ = _centered_media(docs)
-    paired = ycn_all.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0).select(
-        "doc_id"
-    ).distinct()
-    xstats = (
-        x.join(F.broadcast(paired), "doc_id")
-        .groupBy("i")
-        .agg(F.sum("xi").alias("sx"), F.count("*").alias("m"))
-    )
+    # r9: the centering stats are moments — sx_i = T_i (zero x-components
+    # add exactly 0 to the sum) and m = n (the dense explode emits every
+    # i once per paired doc, so the per-i row count IS the paired-doc
+    # count). Deriving them from the published moments removes the
+    # corpus-scale dense-explode aggregate this plan used to pay. An i
+    # absent from T (no paired doc has a nonzero component there) is
+    # also absent from W, so its xq rows died in the W join anyway —
+    # final p is row-identical (exact integers either way).
+    m_ = _global_moments(docs)
+    xstats = m_.where("kind = 'T'").select("i", F.col("v").alias("sx"))
+    n_sc = m_.where("kind = 'n'").select(F.col("v").alias("m"))
     xq = (
         x.where(
             (F.col("doc_id") % query_mod == 0)
             & (F.col("doc_id") < XMODAL_QUERY_CAP)
         )
         .join(F.broadcast(xstats), "i")
+        .crossJoin(F.broadcast(n_sc))
         .select(
             "doc_id", "i", (F.col("m") * F.col("xi") - F.col("sx")).alias("xcn")
         )
@@ -385,45 +465,77 @@ def crossmodal_local_projection(docs: DataFrame) -> DataFrame:
     from ..operators.models import published
 
     def build() -> DataFrame:
-        cells = _doc_cells(docs)
-        x = (
-            _text_rows(docs)
-            .where(F.col("xi") != 0)
-            .join(cells, "doc_id")
+        m = crossmodal_cell_moments(docs)
+        s = m.where("kind = 'S'").select(
+            "cell", "i", "j", F.col("v").alias("s")
         )
-        ycn, _ = _centered_media(docs)
-        ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
-        paired = ytrain.select("doc_id").distinct()
-        xp = x.join(F.broadcast(paired), "doc_id")
-        n_tab = (
-            xp.join(ytrain, "doc_id")
-            .groupBy("cell", "i", "j")
-            .agg(
-                F.sum(
-                    F.col("xi").cast("decimal(38,0)")
-                    * F.col("ycn").cast("decimal(38,0)")
-                ).alias("num")
+        t = m.where("kind = 'T'").select("cell", "i", F.col("v").alias("t"))
+        d = m.where("kind = 'D'").select("cell", "i", F.col("v").alias("den"))
+        sy = m.where("kind = 'sy'").select("j", F.col("v").alias("sy"))
+        n = m.where("kind = 'n'").select(F.col("v").alias("n"))
+        w = (
+            s.join(F.broadcast(t), ["cell", "i"])
+            .join(F.broadcast(d), ["cell", "i"])
+            .join(F.broadcast(sy), "j")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "cell",
+                "i",
+                "j",
+                F.when(F.col("den") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("n") * F.col("s") - F.col("t") * F.col("sy")).cast(
+                            "double"
+                        )
+                        / F.col("den").cast("double"),
+                        6,
+                    )
+                )
+                .alias("w6"),
             )
-        )
-        d_tab = xp.groupBy("cell", "i").agg(
-            F.sum(
-                F.col("xi").cast("decimal(38,0)")
-                * F.col("xi").cast("decimal(38,0)")
-            ).alias("den")
-        )
-        w = n_tab.join(d_tab, ["cell", "i"]).select(
-            "cell",
-            "i",
-            "j",
-            F.when(F.col("den") == 0, F.lit(0.0))
-            .otherwise(
-                F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
-            )
-            .alias("w6"),
         )
         return w.localCheckpoint()  # node-sized: ≤ 4·dim² rows
 
     return published(docs, "xmodal_local_w", (XMODAL_TRAIN_MOD,), build)
+
+
+def _local_w_direct_plan(docs: DataFrame) -> DataFrame:
+    """The pre-r9 DIRECT per-cell training join (unpublished), kept as
+    the independent second derivation for the moments-path equality
+    test (tests/test_crossmodal.py::test_moment_derived_w_equals_direct)."""
+    cells = _doc_cells(docs)
+    x = _text_rows(docs).where(F.col("xi") != 0).join(cells, "doc_id")
+    ycn, _ = _centered_media(docs)
+    ytrain = ycn.where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+    paired = ytrain.select("doc_id").distinct()
+    xp = x.join(F.broadcast(paired), "doc_id")
+    n_tab = (
+        xp.join(ytrain, "doc_id")
+        .groupBy("cell", "i", "j")
+        .agg(
+            F.sum(
+                F.col("xi").cast("decimal(38,0)")
+                * F.col("ycn").cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    d_tab = xp.groupBy("cell", "i").agg(
+        F.sum(
+            F.col("xi").cast("decimal(38,0)")
+            * F.col("xi").cast("decimal(38,0)")
+        ).alias("den")
+    )
+    return n_tab.join(d_tab, ["cell", "i"]).select(
+        "cell",
+        "i",
+        "j",
+        F.when(F.col("den") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+        )
+        .alias("w6"),
+    )
 
 
 def _pvec_local(docs: DataFrame, query_mod: int = XMODAL_QUERY_MOD) -> DataFrame:
@@ -438,14 +550,26 @@ def _pvec_local(docs: DataFrame, query_mod: int = XMODAL_QUERY_MOD) -> DataFrame
         w = crossmodal_local_projection(docs)
         cells = _doc_cells(docs)
         x = _text_rows(docs).join(cells, "doc_id")
-        ycn_all, _ = _centered_media(docs)
-        paired = ycn_all.where(
-            F.col("doc_id") % XMODAL_TRAIN_MOD == 0
-        ).select("doc_id").distinct()
-        xstats = (
-            x.join(F.broadcast(paired), "doc_id")
-            .groupBy("cell", "i")
-            .agg(F.sum("xi").alias("sx"), F.count("*").alias("m"))
+        # r9: per-cell centering stats from the published moments —
+        # sx_c,i = T_c,i; m_c = the cell's paired-doc count (a doc-level
+        # count, replacing the dense-explode aggregate; the dense row
+        # count per (cell, i) IS that count). (cell, i) slots absent
+        # from T are absent from the per-cell W too, so their xq rows
+        # contributed nothing — final p is row-identical.
+        mm = crossmodal_cell_moments(docs)
+        xstats = mm.where("kind = 'T'").select(
+            "cell", "i", F.col("v").alias("sx")
+        )
+        paired = (
+            _media_rows(docs)
+            .where(F.col("doc_id") % XMODAL_TRAIN_MOD == 0)
+            .select("doc_id")
+            .distinct()
+        )
+        ncell = (
+            cells.join(paired, "doc_id")
+            .groupBy("cell")
+            .agg(F.count("*").cast("decimal(38,0)").alias("m"))
         )
         xq = (
             x.where(
@@ -453,6 +577,7 @@ def _pvec_local(docs: DataFrame, query_mod: int = XMODAL_QUERY_MOD) -> DataFrame
                 & (F.col("doc_id") < XMODAL_QUERY_CAP)
             )
             .join(F.broadcast(xstats), ["cell", "i"])
+            .join(F.broadcast(ncell), "cell")
             .select(
                 "doc_id",
                 "cell",

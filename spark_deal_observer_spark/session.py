@@ -83,5 +83,17 @@ def get_spark(app_name: str = "spark-deal-observer-spark", *, shuffle_partitions
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r9 (guide §1.2 step 3, measured): the janino codegen cache is a
+        # STATIC conf defaulting to 100 entries JVM-wide. The melted gate
+        # suites alone generate hundreds of WholeStageCodegen fragments, so
+        # every warm run recompiled its whole plan (tpch_agg_suite warm
+        # 6.2 → 5.0 s at 5000 entries, event_analytics −20%; A/B in
+        # OPTIMIZATION_r09.md). Scale-neutral: a long-lived production
+        # driver wants the same — the cache holds generated classes, ~KBs
+        # each, bounded at 5000. Env-overridable for small-heap drivers.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     return apply_runtime_conf(builder.getOrCreate())

@@ -103,3 +103,45 @@ def test_local_maps_beat_global_recall(spark):
     for q, rs in byq.items():
         ranks = sorted(r.rank for r in rs)
         assert ranks == list(range(1, len(rs) + 1)), (q, ranks)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_moment_derived_w_equals_direct(spark):
+    """r9 OPTIMIZATION pin: the published projection maps are now DERIVED
+    from the per-cell moments artifact (num = n·S − T·sy, den = D — one
+    corpus training pass instead of three); the pre-r9 direct training
+    joins are kept as `_w_direct_plan`/`_local_w_direct_plan` and must
+    stay bit-identical, every (cell,) i, j."""
+    from spark_deal_observer_spark.multimodal.crossmodal import (
+        _local_w_direct_plan,
+        _w_direct_plan,
+        crossmodal_local_projection,
+        crossmodal_projection,
+    )
+    from spark_deal_observer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert _sorted_rows(crossmodal_projection(docs)) == _sorted_rows(
+        _w_direct_plan(docs)
+    )
+    assert _sorted_rows(crossmodal_local_projection(docs)) == _sorted_rows(
+        _local_w_direct_plan(docs)
+    )
+
+
+def test_moments_query_equals_batch_fold(spark):
+    """r9 OPTIMIZATION pin: the registered crossmodal_moments query
+    (cell-sums of the published artifact) must equal the streaming
+    per-batch fold over the whole corpus, exact integer for exact
+    integer."""
+    from spark_deal_observer_spark.multimodal.crossmodal import _global_moments
+    from spark_deal_observer_spark.sources.tables import load_table
+    from spark_deal_observer_spark.streaming.crossmodal_maint import batch_moments
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert _sorted_rows(_global_moments(docs)) == _sorted_rows(
+        batch_moments(docs)
+    )
