@@ -51,6 +51,18 @@ MAX_ARTIFACTS = 32
 
 _STORE: OrderedDict[tuple, Any] = OrderedDict()
 
+# r9 OPTIMIZATION (guide §1.2 step 2 — per-lookup work): the liveness
+# probe is an isEmpty() JOB per DataFrame per lookup (30–80 ms measured;
+# a suite build does 12–13 lookups ⇒ ~1 s of probe jobs per build). A
+# just-built or just-probed artifact cannot have lost its blocks in the
+# same breath, so cache the verdict per entry and re-probe at most once
+# per TTL. The protection semantics are kept: a long-lived session still
+# detects executor-death block loss within TTL seconds, and the
+# mtime/size snapshot token (not this probe) remains the freshness
+# guard against rewritten inputs on every lookup.
+_PROBE_TTL_S = 30.0
+_PROBED: dict[tuple, float] = {}
+
 
 def _plan_key(df: DataFrame) -> tuple:
     """Semantic identity of the input plan (classic-mode Catalyst hash).
@@ -147,18 +159,30 @@ def published(
         _snapshot_token(source),
         params,
     )
+    import time as _time
+
     got = _STORE.get(key)
-    if got is None or not _alive(got):
-        if got is not None:
-            _release_disk(got)  # dead hit: free its parquet before rebuild
-        got = build()
-        _STORE[key] = got
-        _STORE.move_to_end(key)
-        while len(_STORE) > MAX_ARTIFACTS:
-            _, evicted = _STORE.popitem(last=False)
-            _release_disk(evicted)
-    else:
-        _STORE.move_to_end(key)
+    now = _time.monotonic()
+    if got is not None:
+        last = _PROBED.get(key)
+        if last is not None and now - last < _PROBE_TTL_S:
+            fresh = True
+        else:
+            fresh = _alive(got)
+            if fresh:
+                _PROBED[key] = now
+        if fresh:
+            _STORE.move_to_end(key)
+            return got
+        _release_disk(got)  # dead hit: free its parquet before rebuild
+    got = build()
+    _STORE[key] = got
+    _PROBED[key] = _time.monotonic()  # just built — trivially alive
+    _STORE.move_to_end(key)
+    while len(_STORE) > MAX_ARTIFACTS:
+        ek, evicted = _STORE.popitem(last=False)
+        _PROBED.pop(ek, None)
+        _release_disk(evicted)
     return got
 
 
@@ -232,3 +256,4 @@ def clear() -> None:
     for artifact in _STORE.values():
         _release_disk(artifact)
     _STORE.clear()
+    _PROBED.clear()

@@ -368,3 +368,44 @@ def test_drift_monitor_wiring_end_to_end(spark, tmp_path):
     rep = sorted(sink.read_report().collect(), key=lambda r: r.batch_id)
     assert len(rep) == 2
     assert rep[0].psi < 0.05 < rep[1].psi
+
+
+def test_probe_ttl_caches_liveness(spark, monkeypatch):
+    """r9 OPTIMIZATION pin: the liveness probe (an isEmpty job per
+    artifact per lookup) runs at most once per TTL — repeated lookups of
+    a just-built artifact cost zero probe jobs, an expired-TTL hit
+    re-probes, and a dead artifact past TTL retrains in place."""
+    from spark_deal_observer_spark.operators import models
+
+    models.clear()
+    calls = {"n": 0}
+    real_alive = models._alive
+
+    def counting(a):
+        calls["n"] += 1
+        return real_alive(a)
+
+    monkeypatch.setattr(models, "_alive", counting)
+    df = spark.range(3).localCheckpoint()
+    built = {"n": 0}
+
+    def build():
+        built["n"] += 1
+        return df
+
+    src = spark.range(1)
+    for _ in range(5):
+        models.published(src, "ttl_probe_test", (), build)
+    assert built["n"] == 1
+    assert calls["n"] == 0  # just built + within TTL: no probe jobs
+
+    key = next(iter(models._STORE))
+    models._PROBED[key] = -1e9  # expire the TTL
+    models.published(src, "ttl_probe_test", (), build)
+    assert calls["n"] == 1 and built["n"] == 1  # one probe, still alive
+
+    monkeypatch.setattr(models, "_alive", lambda a: False)
+    models._PROBED[key] = -1e9
+    models.published(src, "ttl_probe_test", (), build)
+    assert built["n"] == 2  # dead hit past TTL retrains
+    models.clear()
