@@ -1715,9 +1715,12 @@ def q_tpch_small_qty_revenue(spark, sf_dir):
     sum/count — and hence the 0.2·avg threshold — are bit-identical
     across engines; the strict < cannot flip. Both aggregate and final
     sum are one broadcast-join plan over a single fact scan pair."""
+    # r9 OPTIMIZATION: SQL-string predicates/aggregates (see
+    # tpch_disjunctive_revenue) — same parsed expressions, ~¼ the py4j
+    # round trips at plan-build time.
     part = (
         _t(spark, sf_dir, "part")
-        .where((F.col("p_brand") == "Brand#5") & (F.col("p_type") == "ECONOMY"))
+        .where("p_brand = 'Brand#5' AND p_type = 'ECONOMY'")
         .select("p_partkey")
     )
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1727,13 +1730,13 @@ def q_tpch_small_qty_revenue(spark, sf_dir):
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = pruned.groupBy("l_partkey").agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+        F.expr("0.2 * avg(l_quantity)").alias("qty_threshold")
     )
     return (
         pruned.join(F.broadcast(thresholds), "l_partkey")
-        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .where("l_quantity < qty_threshold")
         .agg(
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+            F.expr("round(sum(l_extendedprice) / 7.0, 2)").alias("avg_yearly")
         )
     )
 
@@ -1761,38 +1764,33 @@ def q_tpch_disjunctive_revenue(spark, sf_dir):
     codegen'd filter on the joined row. Part stays broadcast; one fact
     scan, no shuffle. Returnflag/linestatus stand in for the reference
     shipmode/container columns the synthetic schema lacks."""
+    # r9 OPTIMIZATION: predicates and aggregates as parsed SQL strings —
+    # the Column-object form made ~60 py4j round trips to assemble the
+    # same expression tree (plan-build time is ~40% of suite warm cost,
+    # OPTIMIZATION_r09.md phase table); parsing happens once JVM-side and
+    # the analyzed plan (and every value) is unchanged.
     part = (
         _t(spark, sf_dir, "part")
-        .where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+        .where("p_brand IN ('Brand#12', 'Brand#23', 'Brand#3')")
         .select("p_partkey", "p_brand", "p_size")
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
         "l_returnflag", "l_linestatus",
     )
-    branch1 = (
-        (F.col("p_brand") == "Brand#12")
-        & F.col("p_size").between(1, 5)
-        & F.col("l_quantity").between(1, 11)
-        & (F.col("l_returnflag") == "N")
-    )
-    branch2 = (
-        (F.col("p_brand") == "Brand#23")
-        & F.col("p_size").between(1, 10)
-        & F.col("l_quantity").between(10, 20)
-        & (F.col("l_linestatus") == "O")
-    )
-    branch3 = (
-        (F.col("p_brand") == "Brand#3")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(20, 30)
-    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .where(branch1 | branch2 | branch3)
+        .where(
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+            " AND l_quantity BETWEEN 1 AND 11 AND l_returnflag = 'N')"
+            " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+            " AND l_quantity BETWEEN 10 AND 20 AND l_linestatus = 'O')"
+            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+            " AND l_quantity BETWEEN 20 AND 30)"
+        )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
             ).alias("revenue")
         )
     )
