@@ -247,33 +247,30 @@ def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
     hourly table — shared by the batch query above and the streaming
     monitor (streaming/anomaly.py), which scores the incrementally
     maintained rollup with identical arithmetic."""
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket_ts")
-        .rowsBetween(-ANOM_WINDOW, -1)
+    over = (
+        "OVER (PARTITION BY event_type ORDER BY bucket_ts"
+        f" ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)"
     )
-    scored = hourly.select(
+    scored = hourly.selectExpr(
         "event_type",
         "bucket_ts",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.count("n_events").over(w).alias("hist_n"),
-        F.round(F.avg("n_events").over(w), 6).alias("base_mean"),
-        F.round(F.stddev_samp("n_events").over(w), 6).alias("base_std"),
+        "CAST(n_events AS BIGINT) AS n_events",
+        f"count(n_events) {over} AS hist_n",
+        f"round(avg(n_events) {over}, 6) AS base_mean",
+        f"round(stddev_samp(n_events) {over}, 6) AS base_std",
     )
-    z = F.when(
-        (F.col("hist_n") >= ANOM_MIN_N) & (F.col("base_std") > 0),
-        F.round((F.col("n_events") - F.col("base_mean")) / F.col("base_std"), 6),
+    z = (
+        f"CASE WHEN hist_n >= {ANOM_MIN_N} AND base_std > 0"
+        " THEN round((n_events - base_mean) / base_std, 6) END"
     )
-    return scored.select(
+    return scored.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
         "base_mean",
         "base_std",
-        z.alias("z"),
-        F.coalesce(F.abs(z) >= ANOM_Z, F.lit(False)).alias("is_anomaly"),
+        f"{z} AS z",
+        f"COALESCE(abs({z}) >= {ANOM_Z!r}D, FALSE) AS is_anomaly",
     )
 
 
@@ -319,34 +316,33 @@ def score_hourly_ewma(hourly: DataFrame) -> DataFrame:
     n_events) hourly table — shared by the batch query above and the
     streaming monitor (streaming/forecast.py), which scores the
     incrementally maintained rollup with identical arithmetic (the
-    anomaly monitor's pattern)."""
-    from pyspark.sql.window import Window
+    anomaly monitor's pattern).
 
-    w = Window.partitionBy("event_type").orderBy("bucket_ts")
-    num = None
-    den = None
+    r9: the unrolled weight terms are generated as ONE SQL string per
+    expression (the oracle generator's pattern) instead of a Column-
+    object fold — the analyzed expression tree is identical (weights are
+    shortest-repr round-trip doubles, `D` suffix keeps them DoubleType)
+    and plan-build drops from ~12 py4j round trips per term to one call
+    per selectExpr (OPTIMIZATION_r09.md)."""
+    over = "OVER (PARTITION BY event_type ORDER BY bucket_ts)"
+    num_terms, den_terms = [], []
     for j, wt in enumerate(_ewma_weights()):
-        lagged = F.lag("n_events", j).over(w) if j else F.col("n_events")
-        t_num = F.coalesce(lagged.cast("double") * F.lit(wt), F.lit(0.0))
-        t_den = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-        num = t_num if num is None else num + t_num
-        den = t_den if den is None else den + t_den
-    smoothed = hourly.select(
+        lag = f"lag(n_events, {j}) {over}" if j else "n_events"
+        num_terms.append(f"COALESCE(CAST({lag} AS DOUBLE) * {wt!r}D, 0.0D)")
+        den_terms.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt!r}D ELSE 0.0D END")
+    smoothed = hourly.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
-        F.round(num / den, 6).alias("ewma"),
+        f"round(({' + '.join(num_terms)}) / ({' + '.join(den_terms)}), 6) AS ewma",
     )
-    w2 = Window.partitionBy("event_type").orderBy("bucket_ts")
-    return smoothed.select(
+    return smoothed.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
         "ewma",
-        F.lag("ewma").over(w2).alias("forecast"),
-        F.round(
-            F.col("n_events") - F.lag("ewma").over(w2), 6
-        ).alias("forecast_err"),
+        f"lag(ewma) {over} AS forecast",
+        f"round(n_events - lag(ewma) {over}, 6) AS forecast_err",
     )
 
 
@@ -443,8 +439,6 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
     the MA (25 unrolled lag/lead terms, codegen'd), one |types|×24
     aggregate joined back — after the first shuffle everything is
     |types|×hours rows, metadata-sized at any SF."""
-    from pyspark.sql.window import Window
-
     hourly = (
         events.groupBy("event_type", trunc_ntz("hour", "ts").alias("bucket_ts"))
         .agg(F.count("*").cast("bigint").alias("n_events"))
@@ -457,73 +451,53 @@ def event_seasonal_decompose(events: DataFrame) -> DataFrame:
     # row window so parity could not see it). Missing hours have a TRUE
     # count of zero, so the dense grid is the honest series. Bucket
     # indices via NTZ integer hours (the trunc_ntz rule).
-    hset = (
-        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
-    ).cast("bigint")
-    span = hourly.groupBy("event_type").agg(
-        F.min(hset).alias("h_lo"), F.max(hset).alias("h_hi")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(F.expr("sequence(h_lo, h_hi)")).alias("h"),
-    ).select(
-        "event_type",
-        F.timestamp_add("HOUR", F.col("h").cast("int"), F.expr(_UNIX_NTZ)).alias(
-            "bucket_ts"
-        ),
-    )
-    dense = grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
-        "event_type",
-        "bucket_ts",
-        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
-    )
-    w = Window.partitionBy("event_type").orderBy("bucket_ts")
-    num2 = None
+    dense = densify_hourly(hourly)
+    # r9: the 25 unrolled lag/lead terms (and every derived expression)
+    # are generated as SQL strings — identical analyzed tree, one py4j
+    # call per selectExpr instead of one per Column op.
+    over = "OVER (PARTITION BY event_type ORDER BY bucket_ts)"
+    terms = []
     for j in range(-SEAS_HALF, SEAS_HALF + 1):
         if j == 0:
-            t = F.col("n_events")
+            lag = "n_events"
         elif j < 0:
-            t = F.lag("n_events", -j).over(w)
+            lag = f"lag(n_events, {-j}) {over}"
         else:
-            t = F.lead("n_events", j).over(w)
-        t = t * (1 if abs(j) == SEAS_HALF else 2)
-        num2 = t if num2 is None else num2 + t
+            lag = f"lead(n_events, {j}) {over}"
+        terms.append(f"({lag} * {1 if abs(j) == SEAS_HALF else 2})")
+    num2_sql = " + ".join(terms)
     # hour-of-day via NTZ integer arithmetic (the trunc_ntz rule: extraction
     # functions coerce instant inputs through the session timezone; hours
     # since the NTZ origin are wall-clock by construction)
-    hod = (
-        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
-        % SEAS_PERIOD
-    ).cast("bigint")
+    hod_sql = (
+        f"CAST(timestampdiff(HOUR, {_UNIX_NTZ}, bucket_ts)"
+        f" % {SEAS_PERIOD} AS BIGINT)"
+    )
     # |types|×hours rows — checkpointed because BOTH the slot aggregate
     # and the final join read it, and the slot side's detr48 filter breaks
     # exchange reuse (the DSIR pushdown-fragility class): without the
     # barrier the events scan + hourly aggregate execute twice.
-    ma = dense.select(
+    ma = dense.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
-        hod.alias("hod"),
-        num2.cast("bigint").alias("num2"),
-        (F.lit(48) * F.col("n_events") - num2).cast("bigint").alias("detr48"),
+        f"{hod_sql} AS hod",
+        f"CAST({num2_sql} AS BIGINT) AS num2",
+        f"CAST(48 * n_events - ({num2_sql}) AS BIGINT) AS detr48",
     ).localCheckpoint(eager=False)
-    slot = ma.where(F.col("detr48").isNotNull()).groupBy("event_type", "hod").agg(
-        F.sum("detr48").alias("s48"), F.count("*").alias("c")
+    slot = ma.where("detr48 IS NOT NULL").groupBy("event_type", "hod").agg(
+        F.expr("sum(detr48)").alias("s48"), F.expr("count(*)").alias("c")
     )
-    seasonal = F.round(F.col("s48") / (48.0 * F.col("c")), 6)
-    out = ma.join(slot, ["event_type", "hod"], "left").select(
+    seasonal_sql = "round(s48 / (48.0D * c), 6)"
+    out = ma.join(slot, ["event_type", "hod"], "left").selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
         "hod",
-        F.round(F.col("num2") / 48.0, 6).alias("trend"),
-        seasonal.alias("seasonal"),
-        F.round(
-            F.col("n_events")
-            - F.round(F.col("num2") / 48.0, 6)
-            - seasonal,
-            6,
-        ).alias("remainder"),
+        "round(num2 / 48.0D, 6) AS trend",
+        f"{seasonal_sql} AS seasonal",
+        f"round(n_events - round(num2 / 48.0D, 6) - {seasonal_sql}, 6)"
+        " AS remainder",
     )
     return out
 
@@ -636,24 +610,21 @@ def densify_hourly(hourly: DataFrame) -> DataFrame:
     hourly table: a row-ordered statistic over a gappy series skips
     hours whose true count is ZERO — exactly the dropouts a rate
     monitor exists to catch (the seasonal-decompose densify rule)."""
-    hset = (
-        F.timestamp_diff("HOUR", F.expr(_UNIX_NTZ), F.col("bucket_ts"))
-    ).cast("bigint")
+    hset = f"CAST(timestampdiff(HOUR, {_UNIX_NTZ}, bucket_ts) AS BIGINT)"
     span = hourly.groupBy("event_type").agg(
-        F.min(hset).alias("h_lo"), F.max(hset).alias("h_hi")
+        F.expr(f"min({hset})").alias("h_lo"),
+        F.expr(f"max({hset})").alias("h_hi"),
     )
-    grid = span.select(
-        "event_type", F.explode(F.expr("sequence(h_lo, h_hi)")).alias("h")
-    ).select(
+    grid = span.selectExpr(
+        "event_type", "explode(sequence(h_lo, h_hi)) AS h"
+    ).selectExpr(
         "event_type",
-        F.timestamp_add("HOUR", F.col("h").cast("int"), F.expr(_UNIX_NTZ)).alias(
-            "bucket_ts"
-        ),
+        f"timestampadd(HOUR, CAST(h AS INT), {_UNIX_NTZ}) AS bucket_ts",
     )
-    return grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
+    return grid.join(hourly, ["event_type", "bucket_ts"], "left").selectExpr(
         "event_type",
         "bucket_ts",
-        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events",
     )
 
 
@@ -663,73 +634,59 @@ def score_hourly_cusum(dense: DataFrame) -> DataFrame:
     monitor (streaming/cusum.py), which re-scores the incrementally
     maintained rollup with identical arithmetic (the forecast monitor's
     pattern), so streamed == batch is definitional."""
-    from pyspark.sql.window import Window
-
     # Sigma moments in DECIMAL(38,0): the oracle promotes to HUGEINT, and
     # past ~3e9 events per type sx*sx (and the per-row square) exceed LONG
     # range — same scale-dependent class as crossmodal's p aggregation, so
     # cast every FACTOR before it multiplies.
     moments = dense.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("n_events").alias("sx"),
-        F.sum(
-            F.col("n_events").cast("decimal(38,0)")
-            * F.col("n_events").cast("decimal(38,0)")
+        F.expr("count(*)").alias("n"),
+        F.expr("sum(n_events)").alias("sx"),
+        F.expr(
+            "sum(CAST(n_events AS DECIMAL(38,0))"
+            " * CAST(n_events AS DECIMAL(38,0)))"
         ).alias("sxx"),
     )
-    mu6 = F.round(F.col("sx").cast("double") / F.col("n"), 6)
-    sigma6 = F.round(
-        F.sqrt(
-            (
-                F.col("n").cast("decimal(38,0)") * F.col("sxx")
-                - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")
-            ).cast("double")
-        )
-        / F.col("n"),
-        6,
+    mu6 = "round(CAST(sx AS DOUBLE) / n, 6)"
+    sigma6 = (
+        "round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        " AS DOUBLE)) / n, 6)"
     )
-    params = moments.select(
+    params = moments.selectExpr(
         "event_type",
-        F.round(mu6 * 1_000_000).cast("long").alias("mu_i"),
-        F.round(sigma6 * 1_000_000).cast("long").alias("sig_i"),
+        f"CAST(round({mu6} * 1000000) AS LONG) AS mu_i",
+        f"CAST(round({sigma6} * 1000000) AS LONG) AS sig_i",
     )
-    w = Window.partitionBy("event_type").orderBy("bucket_ts")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dev = dense.join(F.broadcast(params), "event_type").select(
+    run = (
+        "OVER (PARTITION BY event_type ORDER BY bucket_ts"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    dev = dense.join(F.broadcast(params), "event_type").selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
-        (
-            F.lit(2_000_000) * F.col("n_events")
-            - 2 * F.col("mu_i")
-            - F.col("sig_i")
-        ).alias("d2"),
-        (
-            2 * F.col("mu_i")
-            - F.lit(2_000_000) * F.col("n_events")
-            - F.col("sig_i")
-        ).alias("e2"),
-        F.col("sig_i"),
+        "2000000 * n_events - 2 * mu_i - sig_i AS d2",
+        "2 * mu_i - 2000000 * n_events - sig_i AS e2",
+        "sig_i",
     )
-    cum = dev.select(
+    cum = dev.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
         "sig_i",
-        F.sum("d2").over(run).alias("cp"),
-        F.sum("e2").over(run).alias("cn"),
+        f"sum(d2) {run} AS cp",
+        f"sum(e2) {run} AS cn",
     )
-    sp = F.col("cp") - F.least(F.lit(0), F.min("cp").over(run))
-    sn = F.col("cn") - F.least(F.lit(0), F.min("cn").over(run))
-    thr = F.lit(2 * CUSUM_H_SIGMA) * F.col("sig_i")
-    return cum.select(
+    sp = f"cp - least(0, min(cp) {run})"
+    sn = f"cn - least(0, min(cn) {run})"
+    return cum.selectExpr(
         "event_type",
         "bucket_ts",
         "n_events",
-        (sp.cast("double") / 2_000_000).alias("cusum_pos"),
-        (sn.cast("double") / 2_000_000).alias("cusum_neg"),
-        (sp > thr).alias("alarm_pos"),
-        (sn > thr).alias("alarm_neg"),
+        f"CAST({sp} AS DOUBLE) / 2000000 AS cusum_pos",
+        f"CAST({sn} AS DOUBLE) / 2000000 AS cusum_neg",
+        f"({sp}) > {2 * CUSUM_H_SIGMA} * sig_i AS alarm_pos",
+        f"({sn}) > {2 * CUSUM_H_SIGMA} * sig_i AS alarm_neg",
     )
 
 

@@ -63,21 +63,15 @@ def _subvectors(emb: DataFrame) -> DataFrame:
 
     Floats upcast to double at the slice so every downstream comparison is
     in one type; the explode is scan-stage (no shuffle)."""
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.expr(
-                    f"transform(slice(embedding, {m * DSUB + 1}, {DSUB}), "
-                    "x -> CAST(x AS DOUBLE))"
-                ).alias("sub"),
-            )
-            for m in range(M_SUB)
-        ]
+    slices = ", ".join(
+        f"named_struct('m', {m}, 'sub', "
+        f"transform(slice(embedding, {m * DSUB + 1}, {DSUB}), "
+        "x -> CAST(x AS DOUBLE)))"
+        for m in range(M_SUB)
     )
-    return emb.select("vec_id", F.explode(slices).alias("s")).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
-    )
+    return emb.selectExpr(
+        "vec_id", f"explode(array({slices})) AS s"
+    ).selectExpr("vec_id", "s.m AS m", "s.sub AS sub")
 
 
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
@@ -88,17 +82,19 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     skips the window's sort (K× less shuffle IO); the struct's
     lexicographic order reproduces the (d ASC, code ASC) tiebreak, and
     first(sub) is safe because the group's rows share the subvector."""
-    d = F.expr(_l2_spark("sub", "cvec"))
     return (
         subs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "sub", "code", d.alias("d"))
+        .selectExpr(
+            "vec_id", "m", "sub", "code",
+            f"{_l2_spark('sub', 'cvec')} AS d",
+        )
         .groupBy("vec_id", "m")
         .agg(
-            F.min(F.struct("d", "code")).alias("best"),
-            F.first("sub").alias("sub"),
+            F.expr("min(struct(d, code))").alias("best"),
+            F.expr("first(sub)").alias("sub"),
         )
-        .select(
-            "vec_id", "m", "sub", F.col("best.code").alias("code"), F.col("best.d").alias("d")
+        .selectExpr(
+            "vec_id", "m", "sub", "best.code AS code", "best.d AS d"
         )
     )
 
@@ -124,15 +120,15 @@ def _pq_rounds(vecs: DataFrame, n_iter: int) -> DataFrame:
     on the same logical input — one training run per session, the
     publish-once pattern of a real index build."""
     subs = _subvectors(vecs)
-    cb = subs.where(F.col("vec_id") < K_CODES).select(
-        "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("cvec")
+    cb = subs.where(f"vec_id < {K_CODES}").selectExpr(
+        "m", "CAST(vec_id AS INT) AS code", "sub AS cvec"
     )
     for _ in range(n_iter):
         assigned = _pq_assign(subs, cb)
         mean = (
             assigned.select("m", "code", F.posexplode("sub").alias("pos", "val"))
             .groupBy("m", "code", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .agg(F.expr("round(avg(val), 6)").alias("val"))
         )
         # localCheckpoint per round: the codebook is M·K rows, but without
         # truncated lineage every consumer (encode pass, ADC distance
@@ -169,17 +165,17 @@ def pq_adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     cb = _pq_fit(emb)
     subs = _subvectors(emb.select("vec_id", "embedding"))
     assigned = _pq_assign(subs, cb).select("vec_id", "m", "code")
-    qsub = subs.where(F.col("vec_id") == query_vec_id).select(
-        "m", F.col("sub").alias("qsub")
+    qsub = subs.where(f"vec_id = {query_vec_id}").selectExpr(
+        "m", "sub AS qsub"
     )
-    dtab = cb.join(F.broadcast(qsub), "m").select(
-        "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    dtab = cb.join(F.broadcast(qsub), "m").selectExpr(
+        "m", "code", f"{_l2_spark('qsub', 'cvec')} AS d"
     )
     return (
-        assigned.where(F.col("vec_id") != query_vec_id)
+        assigned.where(f"vec_id != {query_vec_id}")
         .join(F.broadcast(dtab), ["m", "code"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .agg(F.expr("round(sum(d), 6)").alias("adc_dist"))
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("vec_id", "label", "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
@@ -307,28 +303,28 @@ def ivf_pq_topk(
         .join(_pq_assign(subs, cb).select("vec_id", "m", "code"), "vec_id")
         .localCheckpoint(eager=True),
     )
-    q = vecs.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec")
+    q = vecs.where(f"vec_id = {query_vec_id}").selectExpr(
+        "embedding AS qvec"
     )
     probe = (
         cents.crossJoin(F.broadcast(q))
-        .select("cell", F.expr(cosine_spark("cvec", "qvec")).alias("aff"))
+        .selectExpr("cell", f"{cosine_spark('cvec', 'qvec')} AS aff")
         .orderBy(F.col("aff").desc(), F.col("cell"))
         .limit(n_probe)
         .select("cell")
     )
-    qsub = subs.where(F.col("vec_id") == query_vec_id).select(
-        "m", F.col("sub").alias("qsub")
+    qsub = subs.where(f"vec_id = {query_vec_id}").selectExpr(
+        "m", "sub AS qsub"
     )
-    dtab = cb.join(F.broadcast(qsub), "m").select(
-        "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    dtab = cb.join(F.broadcast(qsub), "m").selectExpr(
+        "m", "code", f"{_l2_spark('qsub', 'cvec')} AS d"
     )
     return (
         index.join(F.broadcast(probe), "cell")
-        .where(F.col("vec_id") != query_vec_id)
+        .where(f"vec_id != {query_vec_id}")
         .join(F.broadcast(dtab), ["m", "code"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .agg(F.expr("round(sum(d), 6)").alias("adc_dist"))
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("vec_id", "label", "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
@@ -380,12 +376,13 @@ def _residual_vecs(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     rounding."""
     from .similarity import _kmeans_assign
 
-    return _kmeans_assign(vecs, cents).join(F.broadcast(cents), "cell").select(
+    return _kmeans_assign(vecs, cents).join(
+        F.broadcast(cents), "cell"
+    ).selectExpr(
         "vec_id",
         "cell",
-        F.expr(
-            "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
-        ).alias("embedding"),
+        "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
+        " AS embedding",
     )
 
 
@@ -433,43 +430,36 @@ def ivf_pq_residual_topk(
         )
         .localCheckpoint(eager=True),
     )
-    q = vecs.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec")
+    q = vecs.where(f"vec_id = {query_vec_id}").selectExpr(
+        "embedding AS qvec"
     )
     probe = (
         cents.crossJoin(F.broadcast(q))
-        .select("cell", "cvec", F.expr(cosine_spark("cvec", "qvec")).alias("aff"))
+        .selectExpr("cell", "cvec", f"{cosine_spark('cvec', 'qvec')} AS aff")
         .orderBy(F.col("aff").desc(), F.col("cell"))
         .limit(n_probe)
     )
     # per-cell query residual, sliced into subspaces in one projection
-    qr = probe.crossJoin(F.broadcast(q)).select(
+    qr = probe.crossJoin(F.broadcast(q)).selectExpr(
         "cell",
-        F.expr("zip_with(qvec, cvec, (x, c) -> CAST(x AS DOUBLE) - c)").alias("rq"),
+        "zip_with(qvec, cvec, (x, c) -> CAST(x AS DOUBLE) - c) AS rq",
     )
-    qrsubs = qr.select(
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.expr(f"slice(rq, {m * DSUB + 1}, {DSUB})").alias("qsub"),
-                    )
-                    for m in range(M_SUB)
-                ]
-            )
-        ).alias("s"),
-    ).select("cell", F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
-    dtab = qrsubs.join(rcb, "m").select(
-        "cell", "m", "code", F.expr(_l2_spark("qsub", "cvec")).alias("d")
+    qr_slices = ", ".join(
+        f"named_struct('m', {m}, 'qsub', slice(rq, {m * DSUB + 1}, {DSUB}))"
+        for m in range(M_SUB)
+    )
+    qrsubs = qr.selectExpr(
+        "cell", f"explode(array({qr_slices})) AS s"
+    ).selectExpr("cell", "s.m AS m", "s.qsub AS qsub")
+    dtab = qrsubs.join(rcb, "m").selectExpr(
+        "cell", "m", "code", f"{_l2_spark('qsub', 'cvec')} AS d"
     )
     return (
         index.join(F.broadcast(probe.select("cell")), "cell")
-        .where(F.col("vec_id") != query_vec_id)
+        .where(f"vec_id != {query_vec_id}")
         .join(F.broadcast(dtab), ["cell", "m", "code"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .agg(F.expr("round(sum(d), 6)").alias("adc_dist"))
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("vec_id", "label", "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))

@@ -87,14 +87,16 @@ def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
 
     With the table partitioned by cell, the `label = q.label` predicate is
     partition pruning — the 100 TB scan reads one cell."""
-    q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+    q = emb.where(f"vec_id = {query_vec_id}").selectExpr(
+        "embedding AS qvec", "label AS qlabel"
     )
-    cos = F.expr(cosine_spark("embedding", "qvec"))
     return (
-        emb.where(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q), F.col("label") == F.col("qlabel"))
-        .select("vec_id", "label", cos.alias("cosine"))
+        emb.where(f"vec_id != {query_vec_id}")
+        .join(F.broadcast(q), F.expr("label = qlabel"))
+        .selectExpr(
+            "vec_id", "label",
+            f"{cosine_spark('embedding', 'qvec')} AS cosine",
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -125,29 +127,32 @@ def ivf_centroid_topk(
     once, result written partitioned by cell); the *query* side then prunes
     to one cell — the same broadcast + TakeOrdered plan as `ivf_topk`.
     """
-    from pyspark.sql.window import Window
-
-    cents = emb.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    cents = emb.where(f"vec_id < {n_cells}").selectExpr(
+        "vec_id AS cell", "embedding AS cvec"
     )
-    aff = F.expr(cosine_spark("embedding", "cvec"))
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "embedding", "cell", aff.alias("aff")
+    scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id", "label", "embedding", "cell",
+        f"{cosine_spark('embedding', 'cvec')} AS aff",
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY aff DESC, cell) AS rn",
+        )
+        .where("rn = 1")
         .select("vec_id", "label", "embedding", "cell")
     )
-    q = assigned.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    q = assigned.where(f"vec_id = {query_vec_id}").selectExpr(
+        "embedding AS qvec", "cell AS qcell"
     )
-    cos = F.expr(cosine_spark("embedding", "qvec"))
     return (
-        assigned.where(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
-        .select("vec_id", "label", F.col("cell").cast("int").alias("cell"), cos.alias("cosine"))
+        assigned.where(f"vec_id != {query_vec_id}")
+        .join(F.broadcast(q), F.expr("cell = qcell"))
+        .selectExpr(
+            "vec_id", "label", "CAST(cell AS INT) AS cell",
+            f"{cosine_spark('embedding', 'qvec')} AS cosine",
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -760,7 +765,9 @@ def random_projection_flat(emb: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
     overflows janino's method limit and drops the stage to interpreted
     eval (~4× slower, re-attempting the failed compile on every run)."""
     comps = _rp_comps(out_dim)
-    cols = emb.select("vec_id", *[F.expr(c).alias(f"p{j}") for j, c in enumerate(comps)])
+    cols = emb.selectExpr(
+        "vec_id", *[f"{c} AS p{j}" for j, c in enumerate(comps)]
+    )
     return cols.select(
         "vec_id",
         F.posexplode(F.array(*[f"p{j}" for j in range(out_dim)])).alias("pos", "val"),

@@ -974,22 +974,24 @@ def q_tpch_shipping_priority(spark, sf_dir):
     keeps 10 rows — no global sort). Revenue is rounded BEFORE the
     ordering so the top-k boundary is engine-deterministic; l_orderkey
     breaks ties."""
+    # r9: SQL-string predicates/aggregates — same physical plan,
+    # a fraction of the py4j plan-build round trips (OPTIMIZATION_r09.md).
     cust = _t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
+        "c_mktsegment = 'BUILDING'"
     ).select("c_custkey")
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+        "o_orderdate < TIMESTAMP_NTZ '1998-07-01 00:00:00'"
     ).select("o_orderkey", "o_custkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+        "l_shipdate > TIMESTAMP_NTZ '1998-07-01 00:00:00'"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -1019,19 +1021,23 @@ def q_tpch_order_priority(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .where(
-            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            "o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP_NTZ '1999-01-01 00:00:00'"
         )
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
     return (
         orders.join(
-            li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi"
+            li,
+            F.expr(
+                "o_orderkey = l_orderkey"
+                " AND l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+            ),
+            "left_semi",
         )
         .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("bigint").alias("n_late_orders"))
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_late_orders"))
     )
 
 
@@ -1062,10 +1068,10 @@ def q_tpch_returned_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz"))
+        "o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP_NTZ '1999-07-01 00:00:00'"
     ).select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+    li = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
@@ -1074,8 +1080,8 @@ def q_tpch_returned_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -1103,17 +1109,21 @@ def q_tpch_promo_revenue(spark, sf_dir):
     inside sum, not two scans); the date filter pushes to the lineitem
     scan."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+        "l_shipdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP_NTZ '1999-04-01 00:00:00'"
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.expr(
+                "round(100.0D * sum(CASE WHEN p_type = 'PROMO'"
+                " THEN l_extendedprice * (1 - l_discount) ELSE 0.0D END)"
+                " / sum(l_extendedprice * (1 - l_discount)), 4)"
+            ).alias("promo_pct"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            ).alias("total_revenue"),
         )
     )
 
@@ -1140,15 +1150,15 @@ def q_tpch_top_supplier(spark, sf_dir):
     is rounded before the max comparison so the equality is
     engine-deterministic."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz"))
+        "l_shipdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP_NTZ '1999-07-01 00:00:00'"
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     sup_rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.expr("round(sum(l_extendedprice * (1 - l_discount)), 2)").alias(
             "total_revenue"
         )
     )
-    mx = sup_rev.agg(F.max("total_revenue").alias("mx"))
+    mx = sup_rev.agg(F.expr("max(total_revenue)").alias("mx"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sup_rev.join(F.broadcast(mx), sup_rev.total_revenue == mx.mx)
@@ -1179,8 +1189,8 @@ def q_tpch_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .where(F.col("sum_qty") > 55)
+        .agg(F.expr("round(sum(l_quantity), 2)").alias("sum_qty"))
+        .where("sum_qty > 55")
     )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -1223,17 +1233,17 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
     on orderkey, the same-nation predicate rides the supplier join, and
     the final per-nation rollup is a ~25-key map-side-combined aggregate.
     The fact table moves exactly once."""
-    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    reg = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
     nat = _t(spark, sf_dir, "nation").join(
-        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+        F.broadcast(reg), F.expr("n_regionkey = r_regionkey")
     ).select("n_nationkey", "n_name")
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        "o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP_NTZ '1999-01-01 00:00:00'"
     ).select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -1248,8 +1258,8 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -1282,32 +1292,33 @@ def q_tpch_volume_shipping(spark, sf_dir):
     co-shuffle on orderkey is the only wide exchange, then a
     4-or-so-group rollup."""
     nat = _t(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        "n_name IN ('NATION_1', 'NATION_2')"
     )
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
+    ).selectExpr("s_suppkey", "n_name AS supp_nation")
     cust = _t(spark, sf_dir, "customer").join(
-        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+        F.broadcast(nat), F.expr("c_nationkey = n_nationkey")
+    ).selectExpr("c_custkey", "n_name AS cust_nation")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
-    pair_ok = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .where(pair_ok)
+        .where(
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
+        )
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+            "supp_nation", "cust_nation",
+            F.expr("CAST(year(l_shipdate) AS INT)").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1338,27 +1349,31 @@ def q_tpch_product_type_profit(spark, sf_dir):
     part dim broadcasts FIRST — it is the selective filter, pruning the
     fact before the wide orders co-shuffle — supplier→nation broadcasts,
     and the rollup is |nations|·|years| keys, map-side combined."""
-    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+    part = _t(spark, sf_dir, "part").where("p_type = 'PROMO'").select(
         "p_partkey", "p_retailprice"
     )
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
     ).select("s_suppkey", "n_name")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.08)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .groupBy(
+            "n_name", F.expr("CAST(year(o_orderdate) AS INT)").alias("o_year")
+        )
+        .agg(
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)"
+                " - p_retailprice * l_quantity * 0.08D), 2)"
+            ).alias("profit")
+        )
         .orderBy(F.col("n_name"), F.col("o_year").desc())
     )
 
@@ -1409,34 +1424,32 @@ def q_tpch_min_cost_supplier(spark, sf_dir):
     price."""
     from pyspark.sql import Window
 
-    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    reg = _t(spark, sf_dir, "region").where("r_name = 'EUROPE'")
     nat = _t(spark, sf_dir, "nation").join(
-        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+        F.broadcast(reg), F.expr("n_regionkey = r_regionkey")
     ).select("n_nationkey")
     supp_eu = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
     ).select("s_suppkey")
     li = (
         _t(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        .selectExpr(
+            "l_partkey", "l_suppkey", "l_extendedprice / l_quantity AS unit"
         )
-        .join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_eu), F.expr("l_suppkey = s_suppkey"))
     )
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min("unit"), 2).alias("unit_price")
+        F.expr("round(min(unit), 2)").alias("unit_price")
     )
     best = li.groupBy("l_partkey").agg(
-        F.round(F.min("unit"), 2).alias("best_unit_price")
+        F.expr("round(min(unit), 2)").alias("best_unit_price")
     )
     w = Window.partitionBy("l_partkey").orderBy("l_suppkey")
     winners = (
         per_ps.join(F.broadcast(best), "l_partkey")
-        .where(F.col("unit_price") == F.col("best_unit_price"))
+        .where("unit_price = best_unit_price")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where("rn = 1")
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1479,36 +1492,36 @@ def q_tpch_market_share(spark, sf_dir):
     dim broadcasts and the fact co-shuffles once. The share divides two
     same-order sums before the 6-dp round, so last-ulp summation noise
     cancels in the ratio."""
-    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    reg = _t(spark, sf_dir, "region").where("r_name = 'AMERICA'")
     nat_c = _t(spark, sf_dir, "nation").join(
-        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select(F.col("n_nationkey").alias("cnat_key"))
+        F.broadcast(reg), F.expr("n_regionkey = r_regionkey")
+    ).selectExpr("n_nationkey AS cnat_key")
     cust = _t(spark, sf_dir, "customer").join(
-        F.broadcast(nat_c), F.col("c_nationkey") == F.col("cnat_key")
+        F.broadcast(nat_c), F.expr("c_nationkey = cnat_key")
     ).select("c_custkey")
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+            F.expr("s_nationkey = n_nationkey"),
         )
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .selectExpr("s_suppkey", "n_name AS supp_nation")
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .groupBy(F.expr("CAST(year(o_orderdate) AS INT)").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+            F.expr(
+                "round(sum(CASE WHEN supp_nation = 'NATION_3'"
+                " THEN l_extendedprice * (1 - l_discount)"
+                " ELSE 0.0D END)"
+                " / sum(l_extendedprice * (1 - l_discount)), 6)"
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -1536,14 +1549,13 @@ def q_tpch_forecast_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+            "l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+            " AND l_discount >= 0.05D AND l_discount <= 0.07D"
+            " AND l_quantity < 24"
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.expr("round(sum(l_extendedprice * l_discount), 2)").alias(
                 "lost_revenue"
             )
         )
@@ -1578,16 +1590,15 @@ def q_tpch_cust_order_distribution(spark, sf_dir):
     per_cust = (
         cust.join(
             orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "1-URGENT"),
+            F.expr("c_custkey = o_custkey AND o_orderpriority != '1-URGENT'"),
             "left_outer",
         )
         .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .agg(F.expr("CAST(count(o_orderkey) AS BIGINT)").alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
-        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
@@ -1617,32 +1628,30 @@ def q_tpch_important_stock(spark, sf_dir):
     filtered stream, and the total (1 row) broadcasts back as a cross
     join — no second fact shuffle. Both sides of the threshold compare
     ROUND to 2 dp so engine summation-order ulps cannot flip membership."""
-    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1").select(
+    nat = _t(spark, sf_dir, "nation").where("n_name = 'NATION_1'").select(
         "n_nationkey"
     )
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
     ).select("s_suppkey")
     natli = (
         _t(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
+        .selectExpr(
+            "l_partkey", "l_suppkey", "l_extendedprice * l_quantity AS val"
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
         .select("l_partkey", "val")
     )
     per_part = natli.groupBy("l_partkey").agg(
-        F.round(F.sum("val"), 2).alias("part_value")
+        F.expr("round(sum(val), 2)").alias("part_value")
     )
     threshold = natli.agg(
-        F.round(F.sum("val") * F.lit(0.001), 2).alias("threshold")
+        F.expr("round(sum(val) * 0.001D, 2)").alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(threshold))
-        .where(F.col("part_value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .where("part_value > threshold")
+        .selectExpr("l_partkey AS p_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
 
@@ -1669,15 +1678,14 @@ def q_tpch_supplier_part_count(spark, sf_dir):
     no NULL-semantics trap, no shuffle. The attribute-filtered part dim
     broadcasts; the distinct-suppkey count shuffles once on the 3-column
     group key with partial distinct aggregation map-side."""
-    blacklist = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+    blacklist = _t(spark, sf_dir, "supplier").where("s_acctbal < 0").select(
         "s_suppkey"
     )
     part = (
         _t(spark, sf_dir, "part")
         .where(
-            (F.col("p_brand") != "Brand#3")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+            "p_brand != 'Brand#3' AND p_type != 'PROMO'"
+            " AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)"
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
@@ -1686,7 +1694,11 @@ def q_tpch_supplier_part_count(spark, sf_dir):
         li.join(F.broadcast(blacklist), li.l_suppkey == blacklist.s_suppkey, "left_anti")
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .agg(
+            F.expr("CAST(count(DISTINCT l_suppkey) AS BIGINT)").alias(
+                "supplier_cnt"
+            )
+        )
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
@@ -1825,26 +1837,26 @@ def q_tpch_excess_shipments(spark, sf_dir):
     fact); threshold compare stays exact because quantities are
     integer-valued. DISTINCT collapses multi-part winners; supplier dim
     broadcasts last."""
-    pts = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+    pts = _t(spark, sf_dir, "part").where("p_name LIKE 'red%'").select(
         "p_partkey"
     )
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(
-            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            "l_shipdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP_NTZ '1999-01-01 00:00:00'"
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(pts), F.expr("l_partkey = p_partkey"))
     )
     per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("qty")
+        F.expr("sum(l_quantity)").alias("qty")
     )
-    tot = per_sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    tot = per_sp.groupBy("l_partkey").agg(F.expr("sum(qty)").alias("total_qty"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_sp.join(tot, "l_partkey")
-        .where(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .where("qty > 0.5D * total_qty")
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
@@ -1887,36 +1899,38 @@ def q_tpch_waiting_suppliers(spark, sf_dir):
     aggregates ride the same orderkey shuffle; lateness (shipped >60
     days after order date) stands in for the receipt/commit columns the
     synthetic schema lacks; nation-filtered supplier dim broadcasts."""
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+    orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select(
         "o_orderkey", "o_orderdate"
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = F.when(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
-    ).otherwise(0)
     per_sp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
+        .agg(
+            F.expr(
+                "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+                " THEN 1 ELSE 0 END)"
+            ).alias("late")
+        )
     )
     stats = per_sp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+        F.expr("count(*)").alias("n_supp"), F.expr("sum(late)").alias("n_late")
     )
-    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2").select(
+    nat = _t(spark, sf_dir, "nation").where("n_name = 'NATION_2'").select(
         "n_nationkey"
     )
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(nat), F.expr("s_nationkey = n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        per_sp.where(F.col("late") == 1)
+        per_sp.where("late = 1")
         .join(stats, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where("n_supp > 1 AND n_late = 1")
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 
@@ -1949,20 +1963,20 @@ def q_tpch_dormant_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 6).alias("ab")
+    avg_bal = cust.where("c_acctbal > 0").agg(
+        F.expr("round(avg(c_acctbal), 6)").alias("ab")
     )
     recent = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        "o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00'"
     ).select("o_custkey")
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("ab"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .where("c_acctbal > ab")
+        .join(recent, F.expr("c_custkey = o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").cast("bigint").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("numcust"),
+            F.expr("round(sum(c_acctbal), 2)").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
