@@ -762,10 +762,20 @@ def dsir_model(docs: DataFrame) -> tuple[DataFrame, float]:
     (bucket, delta) with delta_b = ln p̂_target(b) − ln p̂_raw(b) (add-one
     smoothed, each ln rounded to 6dp so libm ulp drift can't split
     engines), plus the default delta an UNSEEN bucket scores under the
-    same smoothing — what makes the model honest on held-out text. Cheap
-    aggregates over the published feature table (per the artifact rule,
-    the delta itself is rederived, not published — only the corpus pass
-    is)."""
+    same smoothing — what makes the model honest on held-out text.
+
+    r9: the model itself is now published (it used to be rederived per
+    call under the r4 cheap-intermediate rule, with only the corpus pass
+    published) — measured at 430–530 ms per BUILD (the totals .first()
+    job over the feature table plus the eager lm checkpoint), repeated by
+    every consumer build per bench run. The delta table is DSIR_M rows —
+    squarely the row-bounded artifact class the r4 rule publishes."""
+    from .models import published
+
+    return published(docs, "dsir_model", (), lambda: _dsir_model_build(docs))
+
+
+def _dsir_model_build(docs: DataFrame) -> tuple[DataFrame, float]:
     import math
 
     ft = _dsir_features(docs)
@@ -927,6 +937,7 @@ def budget_admission(docs: DataFrame) -> DataFrame:
     driver, everything row-scaled distributed. The budget itself is one
     1-row aggregate folded to a literal; admission is a scan-stage
     comparison."""
+    from .models import published
     from .prefix import global_prefix_sum
 
     q = quality_sql("spark", "text")
@@ -935,14 +946,31 @@ def budget_admission(docs: DataFrame) -> DataFrame:
         F.expr(q["n_tokens"]).cast("bigint").alias("n_tokens"),
         F.round(F.expr(q["quality_score"]), 6).alias("quality_score"),
     )
-    total = d.agg(F.sum("n_tokens")).first()[0] or 0
-    budget = int(total) // BUDGET_FRAC_DENOM
-    c = global_prefix_sum(
-        d,
-        [F.col("quality_score").desc(), F.col("doc_id")],
-        "n_tokens",
-        "cum_tokens",
+    # r9: both the 1-row token total (a full tokenize-HOF pass) and the
+    # prefix-summed admission table (global_prefix_sum eagerly checkpoints
+    # its range-partitioned pass at BUILD time, by design — the offsets
+    # must see the sampled layout) are published through the artifact
+    # registry: the total is the r4 rule's row-bounded class, the cum
+    # table its shared-dominant-compute class (same as the signature /
+    # feature tables models.py documents). Only the first build per
+    # corpus snapshot pays the scans; bench's per-query models.clear()
+    # keeps cold runs honest. Values identical by construction — the
+    # published frame IS the one the un-published build returned.
+    total, c = published(
+        docs,
+        "budget_admission_cum",
+        (),
+        lambda: (
+            int(d.agg(F.sum("n_tokens")).first()[0] or 0),
+            global_prefix_sum(
+                d,
+                [F.col("quality_score").desc(), F.col("doc_id")],
+                "n_tokens",
+                "cum_tokens",
+            ),
+        ),
     )
+    budget = int(total) // BUDGET_FRAC_DENOM
     return c.select(
         "doc_id",
         "quality_score",
@@ -1495,32 +1523,26 @@ def _loglog_fit_spark(
     is ONE rounded division of exact integers, and the intercept is one
     fixed expression over the rounded slope and exact sums — the
     crossmodal-W exactness discipline applied to regression."""
+    # r9: expressions as parsed SQL strings (identical analyzed tree; the
+    # py4j-chatter rule from OPTIMIZATION_r09.md).
     agg = points.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("yi").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("sxx"),
+        F.expr("count(*)").alias("n"),
+        F.expr("sum(CAST(xi AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(yi AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(xi * yi AS DECIMAL(38,0)))").alias("sxy"),
+        F.expr("sum(CAST(xi * xi AS DECIMAL(38,0)))").alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "decimal(38,0)"
+    num = "CAST(n * sxy - sx * sy AS DECIMAL(38,0))"
+    den = "CAST(n * sxx - sx * sx AS DECIMAL(38,0))"
+    slope = f"round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6)"
+    intercept = (
+        f"round((CAST(sy AS DOUBLE) / 1000000"
+        f" - {slope} * (CAST(sx AS DOUBLE) / 1000000)) / n, 6)"
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "decimal(38,0)"
-    )
-    slope = F.round(num.cast("double") / den.cast("double"), 6)
-    intercept = F.round(
-        (
-            F.col("sy").cast("double") / 1_000_000
-            - slope * (F.col("sx").cast("double") / 1_000_000)
-        )
-        / F.col("n"),
-        6,
-    )
-    return agg.select(
-        F.col("n").cast("bigint").alias(n_out),
-        slope.alias(slope_out),
-        intercept.alias(icept_out),
+    return agg.selectExpr(
+        f"CAST(n AS BIGINT) AS {n_out}",
+        f"{slope} AS {slope_out}",
+        f"{intercept} AS {icept_out}",
     )
 
 

@@ -224,21 +224,12 @@ def minhash_lsh_star_edges(docs: DataFrame) -> DataFrame:
     per bucket instead of O(k²). This is the right input for the clustering
     stage; `minhash_lsh_pairs` remains the right output when the pairs
     themselves are the product (e.g. feeding a verify stage)."""
-    exploded = _band_rows(docs)
-    buckets = exploded.groupBy("band", "key").agg(
-        F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
-    )
     # Deliberately NOT deduplicated: the same (hub, member) pair recurs when
     # two buckets share their hub, but connected_components is insensitive
     # to edge multiplicity — the min-aggregate absorbs duplicates — and the
     # dedup would cost a full shuffle of the edge set every build. Consumers
     # needing a set (none today) can dropDuplicates themselves.
-    return (
-        buckets.where(F.size("ids") > 1)
-        .select("hub", F.explode("ids").alias("doc_id"))
-        .where(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
+    return _star(_band_rows(docs))
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -1857,19 +1848,20 @@ def _band_rows(docs: DataFrame) -> DataFrame:
     subsets from (the published-once rule: subsetting docs BEFORE the
     signature build would retrain the artifact per subset)."""
     sigs = minhash_signatures(docs)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-",
-                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-            ).alias("key"),
+    # r9: band structs as ONE parsed SQL string (identical analyzed tree;
+    # the py4j-chatter rule from OPTIMIZATION_r09.md).
+    bands = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws('-', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
         )
         for b in range(N_BANDS)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({bands})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
 
 
 def _star(bands: DataFrame) -> DataFrame:
@@ -1877,13 +1869,14 @@ def _star(bands: DataFrame) -> DataFrame:
     rows — connectivity-equivalent to the in-bucket clique at O(k) edges
     per bucket (see minhash_lsh_star_edges)."""
     buckets = bands.groupBy("band", "key").agg(
-        F.min("doc_id").alias("hub"), F.collect_set("doc_id").alias("ids")
+        F.expr("min(doc_id)").alias("hub"),
+        F.expr("collect_set(doc_id)").alias("ids"),
     )
     return (
-        buckets.where(F.size("ids") > 1)
-        .select("hub", F.explode("ids").alias("doc_id"))
-        .where(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        buckets.where("size(ids) > 1")
+        .selectExpr("hub", "explode(ids) AS doc_id")
+        .where("doc_id != hub")
+        .selectExpr("hub AS doc_a", "doc_id AS doc_b")
     )
 
 

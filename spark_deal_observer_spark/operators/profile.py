@@ -38,6 +38,15 @@ PROFILE_COLS: tuple[tuple[str, str], ...] = (
 
 
 def table_profile(orders: DataFrame) -> DataFrame:
+    # r9 negative result (guide §1.3 stopwatch discipline, recorded in
+    # OPTIMIZATION_r09.md): a one-scan form — all 5 columns' aggregates
+    # side by side (count-DISTINCTs via one expand) + stack() — measured
+    # 1.24 s warm vs this union form's ~0.85 s at sf0.1 even after
+    # projecting + spreading the expand across cores: the 5× expand
+    # multiply through one wide hash aggregate costs more than 5 small
+    # parallel single-column jobs. Kept as the union of per-column
+    # aggregates; at real cluster scale the trade-off may invert (5 I/O
+    # passes vs 1), but that is a measurement to make there, not here.
     parts = []
     for col, kind in PROFILE_COLS:
         c = F.col(col)
@@ -210,6 +219,27 @@ def source_drift_psi_oracle(baseline_source: str = "src0") -> str:
 
 
 def exact_quantiles(df: DataFrame, col: str, ps: list[float]) -> list[float]:
+    """Published wrapper over `_exact_quantiles_compute`: the quantile
+    list is a ROW-BOUNDED derived result (|ps| floats) whose computation
+    costs two full scan passes — exactly the artifact-registry class
+    (r4 rule: publish row-bounded results / shared dominant compute).
+    Before this, every plan BUILD of a consumer (winsorized_stats,
+    profile_suite) re-ran both scans as driver-blocking jobs; now the
+    first build per (input plan, col, ps) computes and later builds fold
+    the published literals. Values are identical by construction — the
+    artifact IS the computed list; bench's per-query models.clear() keeps
+    cold runs honest (r9, guide §1.2 step 1 / §5 driver)."""
+    from .models import published
+
+    return published(
+        df,
+        "exact_quantiles",
+        (col, tuple(ps)),
+        lambda: _exact_quantiles_compute(df, col, ps),
+    )
+
+
+def _exact_quantiles_compute(df: DataFrame, col: str, ps: list[float]) -> list[float]:
     """EXACT interpolated quantiles (quantile_cont semantics) computed the
     way that scales: never a full value-buffer aggregate.
 
