@@ -47,20 +47,31 @@ def table_profile(orders: DataFrame) -> DataFrame:
     # parallel single-column jobs. Kept as the union of per-column
     # aggregates; at real cluster scale the trade-off may invert (5 I/O
     # passes vs 1), but that is a measurement to make there, not here.
+    # (The branch expressions ride the r9 SQL-string rule — one parsed
+    # call per aggregate instead of a Column-object chain each.)
     parts = []
     for col, kind in PROFILE_COLS:
-        c = F.col(col)
         num = kind == "num"
         parts.append(
             orders.agg(
-                F.lit(col).alias("column"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
-                F.countDistinct(c).alias("n_distinct"),
-                (F.min(c).cast("double") if num else F.lit(None).cast("double")).alias("min_num"),
-                (F.max(c).cast("double") if num else F.lit(None).cast("double")).alias("max_num"),
-                (F.min(c) if not num else F.lit(None).cast("string")).alias("min_str"),
-                (F.max(c) if not num else F.lit(None).cast("string")).alias("max_str"),
+                F.expr(f"'{col}'").alias("column"),
+                F.expr("count(*)").alias("n_rows"),
+                F.expr(
+                    f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias("n_nulls"),
+                F.expr(f"count(DISTINCT {col})").alias("n_distinct"),
+                F.expr(
+                    f"CAST(min({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+                ).alias("min_num"),
+                F.expr(
+                    f"CAST(max({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+                ).alias("max_num"),
+                F.expr(
+                    f"min({col})" if not num else "CAST(NULL AS STRING)"
+                ).alias("min_str"),
+                F.expr(
+                    f"max({col})" if not num else "CAST(NULL AS STRING)"
+                ).alias("max_str"),
             )
         )
     return reduce(DataFrame.unionAll, parts)
@@ -455,24 +466,27 @@ def embedding_source_drift(docs: DataFrame) -> DataFrame:
     from .similarity import cosine_spark
 
     emb = hashed_doc_embeddings(docs)
-    flat = emb.join(docs.select("doc_id", "source"), "doc_id").select(
-        "source", F.posexplode("embedding").alias("pos", "val")
+    # (Expressions as parsed SQL strings — the r9 py4j-chatter rule;
+    # identical analyzed trees.)
+    flat = emb.join(docs.select("doc_id", "source"), "doc_id").selectExpr(
+        "source", "posexplode(embedding) AS (pos, val)"
     )
-    def _vec(grouped, keys):
-        return grouped.groupBy(*keys).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                lambda s: s["val"],
-            ).alias("v")
-        )
+    vec_sql = (
+        "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
+    )
 
-    smean = flat.groupBy("source", "pos").agg(F.round(F.avg("val"), 6).alias("val"))
-    svec = _vec(smean, ["source"]).withColumnRenamed("v", "mvec")
-    cmean = flat.groupBy("pos").agg(F.round(F.avg("val"), 6).alias("val"))
-    cvec = _vec(cmean.withColumn("g", F.lit(1)), ["g"]).select(
-        F.col("v").alias("cvec")
+    def _vec(grouped, keys):
+        return grouped.groupBy(*keys).agg(F.expr(vec_sql).alias("v"))
+
+    smean = flat.groupBy("source", "pos").agg(
+        F.expr("round(avg(val), 6)").alias("val")
     )
-    n = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    svec = _vec(smean, ["source"]).withColumnRenamed("v", "mvec")
+    cmean = flat.groupBy("pos").agg(F.expr("round(avg(val), 6)").alias("val"))
+    cvec = _vec(cmean.selectExpr("*", "1 AS g"), ["g"]).selectExpr("v AS cvec")
+    n = docs.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs")
+    )
     cos = cosine_spark("mvec", "cvec")
     return (
         svec.crossJoin(F.broadcast(cvec))

@@ -448,12 +448,20 @@ def hll_set_ops_audit(events: DataFrame) -> DataFrame:
         )
         .join(F.broadcast(per_type.selectExpr("event_type AS b", "est AS b_est")), "b")
     )
+    # r9 (guide §2.3 — aggregate before you expand): the exact side used
+    # to join RAW events to the member table, multiplying every event row
+    # by the pairs its type belongs to before the per-pair distinct.
+    # Distinct (event_type, user_id) first — map-side combinable, output
+    # bounded by |users|·|types| regardless of event volume — then expand
+    # the deduped rows. countDistinct(user_id) per pair is unchanged, so
+    # u_true/n_true are value-identical (duplicates never counted).
+    type_users = events.select("event_type", "user_id").distinct()
     exact_union = (
-        events.join(F.broadcast(member), "event_type")
+        type_users.join(F.broadcast(member), "event_type")
         .groupBy("a", "b")
         .agg(F.countDistinct("user_id").alias("u_true"))
     )
-    exact_type = events.groupBy("event_type").agg(
+    exact_type = type_users.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_true")
     )
     exact = (
