@@ -88,6 +88,14 @@ def test_lost_checkpoint_blocks_rebuild_instead_of_erroring(spark, tmp_path):
     for jrdd in jmap.values():
         jrdd.unpersist(True)
 
+    # r9: liveness verdicts are TTL-cached (models._PROBE_TTL_S; see
+    # test_models_r3.py::test_probe_ttl_caches_liveness for the TTL
+    # semantics themselves). This test pins the RETRAIN-NOT-CRASH
+    # contract at probe time, so expire the cached verdict as a TTL
+    # lapse would.
+    for k in list(models._PROBED):
+        models._PROBED[k] = -1e9
+
     a2 = models.published(src, "sumv", (), build)
     assert len(calls) == 2, "a dead hit must retrain, not serve a corpse"
     assert a2.first()["s"] == 14
