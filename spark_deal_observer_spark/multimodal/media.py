@@ -372,12 +372,11 @@ def phash_band_keys(bm: DataFrame, n_bits: int = PHASH_BUCKETS) -> DataFrame:
 def _phash_pairs(bands: DataFrame) -> DataFrame:
     """Banded candidates → Hamming verify over a published band-key
     table (the 1-D byte hash and the 2-D grid hash share this tail)."""
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("key_b")
-    )
+    # (Projections/aggregates as parsed SQL strings — the r9 py4j-chatter
+    # rule; identical analyzed trees. The join condition keeps Column form
+    # for the ambiguous `band` disambiguation.)
+    a = bands.selectExpr("doc_id AS doc_a", "band", "bkey AS key_a")
+    b = bands.selectExpr("doc_id AS doc_b", "band", "bkey AS key_b")
     cand = (
         a.join(
             b,
@@ -388,26 +387,22 @@ def _phash_pairs(bands: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ka = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("bkey").alias("key_a")
-    )
-    kb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("bkey").alias("key_b")
-    )
+    ka = bands.selectExpr("doc_id AS doc_a", "band", "bkey AS key_a")
+    kb = bands.selectExpr("doc_id AS doc_b", "band", "bkey AS key_b")
     return (
         cand.join(ka, "doc_a")
         .join(kb, ["doc_b", "band"])
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum(F.expr("bit_count(key_a ^ key_b)"))
-            .cast("bigint")
-            .alias("hamming")
+            F.expr("CAST(sum(bit_count(key_a ^ key_b)) AS BIGINT)").alias(
+                "hamming"
+            )
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
             "hamming",
-            (F.col("hamming") <= PHASH_HAM_MAX).alias("is_dup"),
+            f"hamming <= {PHASH_HAM_MAX} AS is_dup",
         )
     )
 

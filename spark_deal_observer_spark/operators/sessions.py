@@ -97,27 +97,28 @@ def funnel_conversion(
     per-user row — per-user state never exceeds one timestamp per rung, no
     window over the raw stream, no event-level self-join. Interval math is
     wall-clock NTZ, same discipline as sessionize."""
+    # (Predicates/aggregates as parsed SQL strings — the r9 py4j-chatter
+    # rule; identical analyzed trees.)
     prev = None
     counts = []
     for i, step in enumerate(steps):
-        ev = events.where(F.col("event_type") == step).select("user_id", "ts")
+        ev = events.where(f"event_type = '{step}'").select("user_id", "ts")
         if prev is None:
-            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+            cur = ev.groupBy("user_id").agg(F.expr("min(ts)").alias("t"))
         else:
             cur = (
-                ev.join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                ev.join(prev.selectExpr("user_id", "t AS t_prev"), "user_id")
                 .where(
-                    (F.col("ts") > F.col("t_prev"))
-                    & F.expr(f"ts <= t_prev + INTERVAL {window_hours} HOUR")
+                    f"ts > t_prev AND ts <= t_prev + INTERVAL {window_hours} HOUR"
                 )
                 .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
+                .agg(F.expr("min(ts)").alias("t"))
             )
         counts.append(
             cur.agg(
-                F.lit(i + 1).alias("step_n"),
-                F.lit(step).alias("step"),
-                F.count("*").cast("bigint").alias("n_users"),
+                F.expr(f"{i + 1}").alias("step_n"),
+                F.expr(f"'{step}'").alias("step"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
             )
         )
         prev = cur
