@@ -230,6 +230,76 @@ def media_features_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# JVM fast paths for the fake/text codec (optimization r9, guide §4.1)
+# ---------------------------------------------------------------------------
+# The fake codec's decode is the identity, so every byte the three feature
+# kernels touch is `encode(text, 'utf-8')` — expressible entirely with
+# codegen'd built-ins (md5 / substring-on-binary / length / sequence).
+# The registered fake-codec queries use these; the generic mapInPandas
+# kernels above stay as the REAL-codec path (PNG/WAV/GIF tests and the
+# published band/mean builds), and bit-equality of the two implementations
+# is pinned by tests/test_media_jvm.py. No spread_cpu here: with no Python
+# CPU to parallelize there is nothing to spread — the narrow scan stays a
+# plain file-split scan (fewer tasks, one less exchange).
+
+_FAKE_PAYLOAD = "encode(text, 'utf-8')"
+
+
+def media_features_fake_jvm(docs: DataFrame) -> DataFrame:
+    """JVM twin of extract_features(attach_media(docs)): length, first
+    byte (byte semantics, matching Python payload[0], -1 when empty) and
+    md5 over the identical utf-8 bytes."""
+    return docs.selectExpr(
+        "doc_id", f"{_FAKE_PAYLOAD} AS payload"
+    ).selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS INT) AS num_bytes",
+        "CAST(CASE WHEN length(payload) = 0 THEN -1 "
+        "ELSE conv(hex(substring(payload, 1, 1)), 16, 10) END AS INT) "
+        "AS first_byte",
+        "md5(payload) AS content_md5",
+    )
+
+
+def media_resize_fake_jvm(docs: DataFrame, target_bytes: int) -> DataFrame:
+    """JVM twin of resize_media(attach_media(docs), target_bytes): the
+    fake-codec "resize" is a deterministic byte truncation."""
+    return docs.selectExpr(
+        "doc_id", f"substring({_FAKE_PAYLOAD}, 1, {target_bytes}) AS payload"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "CAST(length(payload) AS INT) AS num_bytes",
+        "md5(payload) AS content_md5",
+    )
+
+
+def media_frames_fake_jvm(
+    docs: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """JVM twin of sample_frames(attach_media(docs), frame_bytes, every_k):
+    1:N fixed-size frame slices, every k-th kept (last frame may be short;
+    empty payloads emit no rows — same as the kernel's range(0, 0))."""
+    n_frames = f"CAST((length(payload) + {frame_bytes - 1}) DIV {frame_bytes} AS INT)"
+    return (
+        docs.selectExpr("doc_id", f"{_FAKE_PAYLOAD} AS payload")
+        .selectExpr(
+            "doc_id",
+            "payload",
+            f"CASE WHEN length(payload) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE sequence(0, {n_frames} - 1, {every_k}) END AS frame_idxs",
+        )
+        .selectExpr("doc_id", "payload", "explode(frame_idxs) AS frame_idx")
+        .selectExpr(
+            "doc_id",
+            "CAST(frame_idx AS INT) AS frame_idx",
+            f"md5(substring(payload, frame_idx * {frame_bytes} + 1, "
+            f"{frame_bytes})) AS frame_md5",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # perceptual near-dup (dHash over decoded content bytes)
 # ---------------------------------------------------------------------------
 

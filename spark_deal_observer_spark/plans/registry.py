@@ -1999,7 +1999,10 @@ from ..functions.text import (  # noqa: E402
 from ..multimodal.media import (  # noqa: E402
     attach_media,
     extract_features,
+    media_features_fake_jvm,
     media_features_oracle,
+    media_frames_fake_jvm,
+    media_resize_fake_jvm,
     phash_dedup_oracle,
     phash_dedup_pairs,
     resize_media,
@@ -2364,11 +2367,12 @@ def q_cbor_decode_pipeline(spark, sf_dir):
 
 @register("multimodal_features", media_features_oracle())
 def q_multimodal_features(spark, sf_dir):
-    """Binary media payloads → Arrow-batched mapInPandas feature extraction.
-
-    The only Python-side query in the catalog — deliberately, to exercise
-    the pandas/Arrow boundary the multimodal path needs."""
-    return extract_features(attach_media(_t(spark, sf_dir, "documents")))
+    """Binary media payloads → per-doc byte features (length, first byte,
+    md5). r9: the fake codec's decode is the identity, so the whole kernel
+    is JVM built-ins over encode(text) — the mapInPandas form
+    (media.extract_features) remains the REAL-codec path, pinned
+    bit-equal by tests/test_media_jvm.py (guide §4.1: prefer built-ins)."""
+    return media_features_fake_jvm(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2634,11 +2638,12 @@ def q_approx_distinct_users(spark, sf_dir):
     """,
 )
 def q_multimodal_resize(spark, sf_dir):
-    """Multimodal resize pass: binary payload → decode → downscale → binary,
-    1:1 rows through mapInPandas. Fake codec resize = byte truncation, so the
-    oracle recomputes it with substr (ASCII corpus: chars == bytes)."""
+    """Multimodal resize pass: payload → deterministic byte truncation →
+    (length, md5). r9: JVM built-ins (substring on binary + md5) replace
+    the mapInPandas identity-decode kernel; media.resize_media remains the
+    real-codec path (bit-equality pinned in tests/test_media_jvm.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return resize_media(attach_media(docs), 256).select("doc_id", "num_bytes", "content_md5")
+    return media_resize_fake_jvm(docs, 256).select("doc_id", "num_bytes", "content_md5")
 
 
 @register(
@@ -2655,9 +2660,11 @@ def q_multimodal_resize(spark, sf_dir):
 )
 def q_multimodal_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: payload → fixed-size frames → every 4th,
-    a row-expanding (1:N) mapInPandas — the video-keyframe extraction shape."""
+    the row-expanding (1:N) keyframe shape. r9: sequence+explode+md5 in
+    JVM replace the identity-decode kernel; media.sample_frames remains
+    the real-codec path (bit-equality pinned in tests/test_media_jvm.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return sample_frames(attach_media(docs), frame_bytes=64, every_k=4)
+    return media_frames_fake_jvm(docs, frame_bytes=64, every_k=4)
 
 
 @register(

@@ -17,10 +17,10 @@ from spark_deal_observer_spark.plans.registry import REGISTRY
 # codec; multimodal media ops). Everything else must stay JVM-side.
 PYTHON_OK = {
     "cbor_decode_pipeline",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_suite",  # gate melt of the media kernels above
+    # r9: multimodal_features/resize/frame_sample moved to JVM built-ins
+    # (identity fake codec — test_media_jvm.py pins kernel bit-equality)
+    # and no longer need the Python whitelist.
+    "multimodal_suite",  # gate melt still carries the real-codec kernels
     "multimodal_phash_dedup",  # bucket means cross Arrow; hashing is JVM
     "multimodal_audio_features",  # WAV decode + feature kernel is Arrow by design
     "multimodal_video_features",  # GIF decode + feature kernel is Arrow by design

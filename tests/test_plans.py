@@ -102,14 +102,28 @@ def test_hot_paths_have_no_python(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["cbor_decode_pipeline", "multimodal_features", "multimodal_frame_sample"]
+    "name", ["cbor_decode_pipeline", "multimodal_audio_features"]
 )
 def test_python_stages_are_parallel(spark, name):
     """The declared-Python pipelines must not funnel through one partition:
-    the mapInPandas input must carry the full-parallelism repartition."""
+    the mapInPandas input must carry the full-parallelism repartition.
+    (r9: multimodal_features/frame_sample left this list — their fake-codec
+    identity decode moved to JVM built-ins, pinned bit-equal to the kernels
+    in test_media_jvm.py; the REAL-codec Arrow pipelines stand in here.)"""
     p = plan(q(spark, name))
     assert "MapInPandas" in p, p
     assert "REPARTITION_BY_NUM" in p or "RoundRobinPartitioning" in p, p
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_features", "multimodal_resize", "multimodal_frame_sample"]
+)
+def test_fake_codec_media_queries_are_jvm(spark, name):
+    """r9: the fake-codec media feature queries run as codegen'd built-ins
+    (md5/substring/sequence over encode(text)) — no Python boundary."""
+    p = plan(q(spark, name))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, f"{marker} in {name} plan:\n{p}"
 
 
 def test_simhash_pairs_block_on_band_prefix(spark):
