@@ -1006,6 +1006,143 @@ VIDEO_FEATURE_SCHEMA = StructType(
 )
 
 
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("nf", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_idx", LongType()),
+        StructField("checksum", LongType()),
+        StructField("diff_next", LongType()),
+    ]
+)
+
+
+def video_frame_stats_kernel(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_no, nf, w, h, sum_idx, checksum, diff_next): the
+    EXACT per-frame integer moments every downstream video query folds —
+    sum_idx = Σ_p idx, checksum = Σ_p (p+1)·idx, diff_next =
+    Σ_p |idx_{f+1}(p) − idx_f(p)| (0 on the last frame). ONE GIF decode
+    emits them all; features and frame-sample become JVM aggregates over
+    this table (r9, guide §2.4/§4.1 — decode once, store frame stats
+    columnar; the production shape for a 100 TB video corpus)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import decode_gif
+
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_no", "nf", "width", "height",
+                    "sum_idx", "checksum", "diff_next",
+                )
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw, w, h, nf = decode_gif(bytes(p))
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(nf, w * h).astype(
+                    np.int64
+                )
+                weights = np.arange(1, w * h + 1, dtype=np.int64)
+                dif = np.abs(px[1:] - px[:-1]).sum(axis=1)
+                for f in range(nf):
+                    cols["doc_id"].append(d)
+                    cols["frame_no"].append(f)
+                    cols["nf"].append(nf)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["sum_idx"].append(int(px[f].sum()))
+                    cols["checksum"].append(int((px[f] * weights).sum()))
+                    cols["diff_next"].append(int(dif[f]) if f < nf - 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "frame_no": pd.Series(cols["frame_no"], dtype="int32"),
+                    "nf": pd.Series(cols["nf"], dtype="int32"),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "sum_idx": pd.Series(cols["sum_idx"], dtype="int64"),
+                    "checksum": pd.Series(cols["checksum"], dtype="int64"),
+                    "diff_next": pd.Series(cols["diff_next"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
+
+
+def published_video_frame_stats(docs: DataFrame) -> DataFrame:
+    """The per-frame stats table, decoded ONCE per corpus and published
+    (disk_checkpoint — corpus-linear rows). Shared dominant compute:
+    multimodal_video_features, multimodal_video_frames and the suite melt
+    all fold it; the GIF synth+decode runs once per registry generation
+    instead of once per consumer per run."""
+    from ..operators.models import disk_checkpoint, published
+
+    def build() -> DataFrame:
+        return disk_checkpoint(
+            video_frame_stats_kernel(attach_video(docs)), "video_frame_stats"
+        )
+
+    return published(docs, "video_frame_stats", (), build)
+
+
+def _round6_ratio_sql(num: str, den: str) -> str:
+    """ROUND(num/den, 6) with HALF-UP ties in EXACT integer arithmetic —
+    the codegen'd twin of `_round6_ratio` for NONNEGATIVE integer
+    expressions: q = num·10⁶ div den (+1 on 2r ≥ den), emitted as q/1e6
+    (the identical IEEE double division the Python kernel performs)."""
+    scaled = f"(CAST(({num}) AS BIGINT) * 1000000)"
+    return (
+        f"(CAST({scaled} DIV ({den}) + (CASE WHEN 2 * ({scaled} % ({den})) "
+        f">= ({den}) THEN 1 ELSE 0 END) AS DOUBLE) / 1.0E6)"
+    )
+
+
+def extract_video_features_from_stats(stats: DataFrame) -> DataFrame:
+    """JVM fold of the published frame-stats table — value-identical to
+    extract_video_features(attach_video(docs)) (pinned in
+    tests/test_video_stats.py): per doc, mean over nf·w·h pixels and mean
+    absolute inter-frame delta over (nf−1)·w·h, both exact-integer
+    half-up at 6 dp."""
+    return stats.groupBy("doc_id").agg(
+        F.expr("CAST(max(nf) AS INT)").alias("n_frames"),
+        F.expr("CAST(max(width) AS INT)").alias("width"),
+        F.expr("CAST(max(height) AS INT)").alias("height"),
+        F.expr(
+            _round6_ratio_sql(
+                "sum(sum_idx)", "CAST(max(nf) AS BIGINT) * max(width) * max(height)"
+            )
+        ).alias("mean_idx"),
+        F.expr(
+            _round6_ratio_sql(
+                "sum(diff_next)",
+                "CAST(max(nf) - 1 AS BIGINT) * max(width) * max(height)",
+            )
+        ).alias("motion"),
+    )
+
+
+def video_frame_sample_from_stats(stats: DataFrame) -> DataFrame:
+    """JVM filter+project of the published frame-stats table —
+    value-identical to video_frame_sample(attach_video(docs)): every
+    stride-th frame, stride = max(1, nf // target); per-frame mean is the
+    same exact half-up 6-dp ratio the kernel computes."""
+    return stats.where(
+        f"frame_no % GREATEST(1, nf DIV {VIDEO_SAMPLE_TARGET}) = 0"
+    ).selectExpr(
+        "doc_id",
+        "CAST(frame_no AS INT) AS frame_no",
+        "checksum",
+        f"{_round6_ratio_sql('sum_idx', 'CAST(width AS BIGINT) * height')} "
+        "AS mean_idx",
+    )
+
+
 def _round6_ratio(num: int, den: int) -> float:
     """ROUND(num/den, 6) with HALF-UP tie behavior in EXACT integer
     arithmetic. Python's round() is banker's (half-even), and frame

@@ -3241,8 +3241,11 @@ def q_multimodal_audio_dedup(spark, sf_dir):
 from ..multimodal.media import (  # noqa: E402
     attach_video,
     extract_video_features,
+    extract_video_features_from_stats,
+    published_video_frame_stats,
     video_features_oracle,
     video_frame_sample,
+    video_frame_sample_from_stats,
     video_frame_sample_oracle,
     video_phash_dedup_oracle,
 )
@@ -3256,16 +3259,29 @@ def q_multimodal_video_features(spark, sf_dir):
     palette index / inter-frame motion per clip. The oracle recomputes
     from the synthesis arithmetic and never parses a GIF — value parity
     proves the LZW round-trip and (for the third of docs carrying an
-    injected application extension) container invariance."""
-    return extract_video_features(attach_video(_t(spark, sf_dir, "documents")))
+    injected application extension) container invariance.
+
+    r9: folds the published per-frame stats table (ONE decode pass shared
+    with multimodal_video_frames and the suite melt); the fold is exact
+    integer arithmetic, pinned bit-equal to the direct kernel in
+    tests/test_video_stats.py. Plan-shape tests point at
+    media.video_frame_stats_kernel (the published builder)."""
+    return extract_video_features_from_stats(
+        published_video_frame_stats(_t(spark, sf_dir, "documents"))
+    )
 
 
 @register("multimodal_video_frames", video_frame_sample_oracle())
 def q_multimodal_video_frames(spark, sf_dir):
     """1:N frame sampling over a REAL container: every stride-th decoded
     GIF frame with an exact per-frame checksum — the video twin of the
-    fake-codec `multimodal_frame_sample` byte split."""
-    return video_frame_sample(attach_video(_t(spark, sf_dir, "documents")))
+    fake-codec `multimodal_frame_sample` byte split. r9: filters the
+    published per-frame stats table (decode shared with
+    multimodal_video_features; bit-equality pinned in
+    tests/test_video_stats.py)."""
+    return video_frame_sample_from_stats(
+        published_video_frame_stats(_t(spark, sf_dir, "documents"))
+    )
 
 
 @register("multimodal_video_dedup", video_phash_dedup_oracle())

@@ -23,8 +23,9 @@ PYTHON_OK = {
     "multimodal_suite",  # gate melt still carries the real-codec kernels
     "multimodal_phash_dedup",  # bucket means cross Arrow; hashing is JVM
     "multimodal_audio_features",  # WAV decode + feature kernel is Arrow by design
-    "multimodal_video_features",  # GIF decode + feature kernel is Arrow by design
-    "multimodal_video_frames",  # 1:N frame sampling over the GIF decode kernel
+    # r9: multimodal_video_features/frames fold the published per-frame
+    # stats table (one Arrow GIF decode inside the published builder;
+    # registered plans are JVM scans — test_video_stats.py pins equality).
     "multimodal_cross_codec_dedup",  # PNG + QOI encode/decode kernels are Arrow
     "resolve_state_tick",  # enrichment seam is mapInPandas by design
     "enrich_cached_peer",  # executor-local LRU cache lives in the Python worker
