@@ -54,7 +54,17 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         "doc_id", F.explode(F.expr(tokens_sql("spark", "text"))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # r9 (guide §2.4, the column-pruning reuse breaker): consumed bare,
+    # dfreq's copy of the tf subtree gets its `tf` aggregate PRUNED
+    # (df only counts rows), so the two tf exchanges no longer
+    # canonicalize equal and the corpus tokenize+count pass ran TWICE per
+    # execution. The always-true `tf >= 1` filter (count(*) of an
+    # existing group is ≥ 1) references the aggregate output, keeping
+    # both subtrees identical — ONE tokenize pass, ReusedExchange pinned
+    # in tests/test_plans.py::test_rankers_reuse_one_tokenize_pass.
+    dfreq = tf.where(F.col("tf") >= 1).groupBy("token").agg(
+        F.count("*").alias("df")
+    )
     n = docs.agg(F.count("*").alias("n"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -122,7 +132,14 @@ def bm25_scores(
         "doc_id", F.explode(F.expr(toks_e)).alias("token")
     ).where(F.col("token").isin(*terms))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # r9 (guide §2.4): df used to be a second aggregate over tf joined
+    # back — a duplicate of the tf subtree that Catalyst's asymmetric
+    # isnotnull inference (from the lens join) kept from ever reusing, so
+    # the term-filtered corpus pass shuffled twice per run. df = number
+    # of tf rows per token IS a window count over tf: same value, zero
+    # extra subtree, one tiny |terms|-keyed exchange instead of an
+    # aggregate + broadcast join.
+    tf_df = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
     scal = docs.agg(F.count("*").alias("n")).crossJoin(
         lens.agg(F.avg("dl").alias("avgdl"))
     )
@@ -134,8 +151,7 @@ def bm25_scores(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     per_term = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
+        tf_df.join(lens, "doc_id")
         .crossJoin(F.broadcast(scal))
         .select("doc_id", (idf * tf_part).alias("term_score"))
     )

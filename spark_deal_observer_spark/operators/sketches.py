@@ -101,8 +101,21 @@ def cms_token_counts(docs: DataFrame) -> DataFrame:
     sketch = cms_cells(docs)
     spark = docs.sparkSession
     est = cms_probe_estimates(sketch, spark)
-    true = tok_counts.where(F.col("token").isin(*CMS_PROBES)).select(
-        "token", F.col("cnt").alias("true_cnt")
+    # r9 (guide §2.4; the DSIR exchange-reuse finding recurring here): the
+    # probe filter is on tok_counts' GROUPING KEY, so Catalyst pushes it
+    # below the aggregate — the subtree then no longer canonically matches
+    # cms_cells' tok_counts and the corpus tokenize+count pass ran TWICE
+    # per execution. The documented barrier form (nondeterministic column
+    # in a projection, referenced by the filter — an inline conjunct does
+    # NOT work, Catalyst splits the predicate and pushes the deterministic
+    # half anyway) pins the filter above the aggregate, restoring exchange
+    # reuse: ONE tokenize pass feeds sketch and truth. Values unchanged —
+    # the filter is on a group key, above or below (ReusedExchange pinned
+    # in tests/test_plans.py::test_cms_reuses_one_tokenize_pass).
+    true = (
+        tok_counts.withColumn("_barrier", F.monotonically_increasing_id())
+        .where(F.col("token").isin(*CMS_PROBES) & (F.col("_barrier") >= 0))
+        .select("token", F.col("cnt").alias("true_cnt"))
     )
     return (
         est.join(true, "token", "left")

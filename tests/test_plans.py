@@ -126,6 +126,54 @@ def test_fake_codec_media_queries_are_jvm(spark, name):
         assert marker not in p, f"{marker} in {name} plan:\n{p}"
 
 
+def test_cms_reuses_one_tokenize_pass(spark):
+    """r9: cms_token_counts' truth side filters tok_counts on its grouping
+    key; without the barrier projection the pushed filter re-derives the
+    corpus tokenize+count aggregate a second time per run. The executed
+    plan must reuse the exchange (ONE tokenize pass feeds sketch + truth).
+    Runs the query (AQE reuse only shows in the final plan)."""
+    import contextlib
+    import io
+
+    df = q(spark, "cms_token_counts")
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "isFinalPlan=true" in p, p
+    assert "Reused" in p, f"tokenize aggregate re-derived (no exchange reuse):\n{p}"
+
+
+def test_rankers_tokenize_once(spark):
+    """r9: both rankers used to re-derive their tf subtree for df — the
+    count column was pruned from the copy (tfidf) or asymmetric isnotnull
+    inference broke canonical equality (bm25), so the tokenize pass
+    shuffled twice per run. tfidf must now REUSE the tf exchange (the
+    always-true `tf >= 1` guard keeps the subtrees identical); bm25
+    computes df as a window count over tf — no second subtree at all."""
+    import contextlib
+    import io
+
+    def final_plan(name):
+        df = q(spark, name)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, p
+        return p
+
+    p = final_plan("tfidf_top_terms")
+    assert "Reused" in p, f"tfidf: tf subtree re-derived (no exchange reuse):\n{p}"
+    p = final_plan("bm25_scores")
+    assert "Window" in p, p
+    # 2 formatted-output mentions per scan; 6 scans (toks, lens, n, and
+    # their detail entries) — the pre-r9 duplicated-tf form showed 15+
+    assert p.count("Scan parquet") <= 12, f"bm25: extra corpus pass:\n{p}"
+
+
 def test_simhash_pairs_block_on_band_prefix(spark):
     """The simhash pair stage must be an EQUI-join on the bounded
     (band, key) bucket — never an all-pairs or unbounded product join.
