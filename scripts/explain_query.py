@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for registered queries → plans/r09/.
+"""Capture .explain("formatted") for registered queries → plans/$SPARK_GRAFT_PLANS_ROUND/ (default r10).
 
 Usage: python scripts/explain_query.py <suffix> <query> [<query> ...]
-Writes plans/r09/<query>_<suffix>.txt for each query. Plans are built on
+Writes plans/<round>/<query>_<suffix>.txt for each query. Plans are built on
 the bench session (get_spark) at $SPARK_GRAFT_SF_DIR with a cleared
 artifact registry, so published-artifact queries capture the plan the
 bench's cold run executes (their warm plan is a scan of the published
@@ -30,7 +30,7 @@ def main() -> None:
 
     spark = get_spark("explain")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = REPO / "plans" / "r09"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         models.clear()
@@ -45,7 +45,7 @@ def main() -> None:
             f"-- (their warm bench plan scans the published checkpoint).\n"
         )
         (out_dir / f"{name}_{suffix}.txt").write_text(header + plan)
-        print(f"wrote plans/r09/{name}_{suffix}.txt", flush=True)
+        print(f"wrote {out_dir.relative_to(REPO)}/{name}_{suffix}.txt", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 ARGS = sys.argv[1:]
-SF_DIR = ARGS[0] if ARGS and "/" in ARGS[0] else "/root/testdata/sf0.001"
+# The data directory may appear anywhere on the command line (ADVICE r9):
+# take the one argument containing '/', everything else is a query name.
+_DIRS = [a for a in ARGS if "/" in a]
+if len(_DIRS) > 1:
+    raise SystemExit(f"multiple directory-like args: {_DIRS}")
+SF_DIR = _DIRS[0] if _DIRS else "/root/testdata/sf0.001"
 ONLY = [a for a in ARGS if "/" not in a]
 
 
@@ -53,18 +58,25 @@ def main() -> int:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             p = buf.getvalue()
-            final = "isFinalPlan=true" in p
-            reused = p.count("ReusedExchange") + p.count("ReusedSubquery")
-            # per-table scan counts from the operator list (header lines only)
-            scans: dict[str, int] = {}
-            for m in re.finditer(r"Scan parquet\s*\[?([A-Za-z0-9_./-]*)", p):
-                key = m.group(1) or "?"
-                scans[key] = scans.get(key, 0) + 1
-            # formatted output mentions each scan twice (tree + detail):
-            # halve on the tree side by counting "(N) Scan parquet" entries
+            final = "isFinalPlan=true" in p or "== Final Plan ==" in p
+            # Spark 4's post-execution formatted explain prints the FINAL
+            # plan tree, then an "== Initial Plan ==" tree, then ONE
+            # details section keyed by node id shared across both trees.
+            # Count nodes from the final TREE only (the initial tree would
+            # double-count pre-reuse scans — ADVICE r9 / r10), resolving
+            # each scan's table from its detail block's Location line.
+            tree = p.split("== Initial Plan ==")[0]
+            reused = len(re.findall(r"Reused(?:Exchange|Subquery) ?[\w ]*\((\d+)\)", tree))
             tree_scans: dict[str, int] = {}
-            for m in re.finditer(r"\(\d+\) Scan parquet ?([^\n ]*)", p):
-                key = m.group(1) or "?"
+            for m in re.finditer(r"Scan parquet ?([^\n ]*?) +\((\d+)\)", tree):
+                key, nid = m.group(1), m.group(2)
+                if not key:
+                    det = re.search(
+                        rf"\({nid}\) Scan parquet[^\n]*\n(?:[^\n]*\n){{0,8}}?"
+                        rf"Location: \w+ \[([^\]]*)\]",
+                        p,
+                    )
+                    key = det.group(1).rstrip("/").rsplit("/", 1)[-1] if det else "?"
                 tree_scans[key] = tree_scans.get(key, 0) + 1
             dup_tables = {k: v for k, v in tree_scans.items() if v >= 2}
             out[name] = {

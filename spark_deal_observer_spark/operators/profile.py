@@ -197,8 +197,22 @@ def source_drift_psi(docs: DataFrame, baseline_source: str = "src0") -> DataFram
             ]
         ).alias("p"),
     )
-    base = dist.where(F.col("source") == baseline_source).select(
-        F.col("p").alias("q")
+    # r10 (guide §2.4; the cms/DSIR exchange-reuse breaker recurring): the
+    # baseline filter is on dist's GROUPING KEY, so Catalyst pushes it
+    # below the aggregate — the baseline branch became its own full
+    # binned-aggregate scan of the corpus and the two (source) exchanges
+    # never reused. The documented barrier-COLUMN form (nondeterministic
+    # projected column referenced by the filter; an inline conjunct gets
+    # split and pushed anyway) holds the filter above the aggregate:
+    # ONE binning pass feeds both sides (ReusedExchange pinned in
+    # tests/test_plans.py). Values unchanged — the filter is on a group
+    # key, above or below the aggregate.
+    base = (
+        dist.withColumn("_barrier", F.monotonically_increasing_id())
+        .where(
+            (F.col("source") == baseline_source) & (F.col("_barrier") >= 0)
+        )
+        .select(F.col("p").alias("q"))
     )
     fold = F.expr(
         "ROUND(aggregate(zip_with(p, q, (pv, qv) -> (pv - qv) * ln(pv / qv)), "

@@ -127,11 +127,28 @@ def bm25_scores(
     engines' last-ulp differences).
     """
     toks_e = tokens_sql("spark", "text")
-    lens = docs.select("doc_id", F.expr(f"size({toks_e})").cast("double").alias("dl"))
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(toks_e)).alias("token")
-    ).where(F.col("token").isin(*terms))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # r10 (guide §2.3/§2.4): the doc-length normalizer used to come from a
+    # separate `lens` scan JOINED back onto tf — a corpus-sized join (at
+    # 100 TB that join shuffles/broadcasts every document's length), plus
+    # TWO more full scans for the corpus scalars (count in one, avg(dl)
+    # in another). dl is a per-document constant, so it rides the tf
+    # aggregate for free (min of a constant within the (doc_id, token)
+    # group — exact), and both scalars fold into ONE aggregate over the
+    # same length projection. documents passes: 4 → 2, the corpus-scale
+    # length join: gone. Values identical: same dl double, same n/avgdl
+    # over the same rows, same downstream arithmetic (oracle re-verified
+    # at sf0.01 + sf0.1).
+    base = docs.select(
+        "doc_id", F.expr(toks_e).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS DOUBLE)").alias("dl"),
+        F.explode("toks").alias("token"),
+    )
+    toks = base.where(F.col("token").isin(*terms))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
     # r9 (guide §2.4): df used to be a second aggregate over tf joined
     # back — a duplicate of the tf subtree that Catalyst's asymmetric
     # isnotnull inference (from the lens join) kept from ever reusing, so
@@ -140,9 +157,9 @@ def bm25_scores(
     # extra subtree, one tiny |terms|-keyed exchange instead of an
     # aggregate + broadcast join.
     tf_df = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
-    scal = docs.agg(F.count("*").alias("n")).crossJoin(
-        lens.agg(F.avg("dl").alias("avgdl"))
-    )
+    scal = docs.select(
+        F.expr(f"CAST(size({toks_e}) AS DOUBLE)").alias("dl")
+    ).agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -151,8 +168,7 @@ def bm25_scores(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     per_term = (
-        tf_df.join(lens, "doc_id")
-        .crossJoin(F.broadcast(scal))
+        tf_df.crossJoin(F.broadcast(scal))
         .select("doc_id", (idf * tf_part).alias("term_score"))
     )
     scored = per_term.groupBy("doc_id").agg(

@@ -324,9 +324,27 @@ def histogram_quantile_audit(events: DataFrame) -> DataFrame:
         F.count("value").alias("n"),
         F.expr(f"percentile(value, array({probe_arr}))").alias("qs"),
     )
+    # r10 (guide §2.4; the tfidf column-pruning reuse breaker): the
+    # broadcast copy of `bounds` only consumes (event_type, lo, hi), so
+    # ColumnPruning rewrote its aggregate without n/qs — the two bounds
+    # subtrees stopped canonicalizing equal and the (event_type) bounds
+    # aggregate scanned events TWICE per run (once more with the exact
+    # `percentile` dropped, once with it). The always-true guard
+    # (`n >= 1`: every group has ≥1 non-null value by the filter below;
+    # `size(qs) >= 0`: percentile of a non-empty group is a non-null
+    # 13-element array) references n and qs, keeping the aggregate output
+    # identical on both branches — ONE bounds pass, ReusedExchange pinned
+    # in tests/test_plans.py. Values unchanged (the guard filters nothing).
     binned = (
         events.where(F.col("value").isNotNull())
-        .join(F.broadcast(bounds.select("event_type", "lo", "hi")), "event_type")
+        .join(
+            F.broadcast(
+                bounds.where("n >= 1 AND size(qs) >= 0").select(
+                    "event_type", "lo", "hi"
+                )
+            ),
+            "event_type",
+        )
         .selectExpr(
             "event_type",
             f"CASE WHEN hi = lo THEN 0 ELSE "

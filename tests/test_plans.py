@@ -169,9 +169,43 @@ def test_rankers_tokenize_once(spark):
     assert "Reused" in p, f"tfidf: tf subtree re-derived (no exchange reuse):\n{p}"
     p = final_plan("bm25_scores")
     assert "Window" in p, p
-    # 2 formatted-output mentions per scan; 6 scans (toks, lens, n, and
-    # their detail entries) — the pre-r9 duplicated-tf form showed 15+
-    assert p.count("Scan parquet") <= 12, f"bm25: extra corpus pass:\n{p}"
+    # r10: dl rides the tf aggregate and n/avgdl fold into ONE scalar
+    # aggregate — the corpus-sized lens join is gone and documents is
+    # scanned exactly TWICE (term-filtered tf pass + scalar pass). The
+    # final tree names each scan once; details add one mention each, and
+    # the initial-plan tree up to two more — 8 total mentions max (the
+    # pre-r10 lens-join form showed 4 scans; pre-r9 duplicated-tf 15+).
+    assert p.count("Scan parquet") <= 8, f"bm25: extra corpus pass:\n{p}"
+
+
+def test_psi_and_histogram_reuse_shared_aggregate(spark):
+    """r10 (guide §2.4): source_drift_psi's baseline branch must REUSE the
+    per-source binned-distribution exchange (the filter on the grouping
+    key used to push below the aggregate — barrier-column form holds it
+    up), and histogram_quantile_audit's broadcast (lo, hi) branch must
+    REUSE the per-type bounds exchange (ColumnPruning used to drop n/qs
+    from the copy — the always-true n/qs guard keeps the aggregates
+    identical). Executed-plan (AQE-final) assertions; initial plans are
+    blind to reuse."""
+    import contextlib
+    import io
+
+    def final_plan(name):
+        df = q(spark, name)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, p
+        return p.split("== Initial Plan ==")[0]
+
+    p = final_plan("source_drift_psi")
+    assert "ReusedExchange" in p, f"psi: baseline re-derives the binned aggregate:\n{p}"
+    assert p.count("Scan parquet") == 1, f"psi: more than one corpus pass:\n{p}"
+    p = final_plan("histogram_quantile_audit")
+    assert "ReusedExchange" in p, f"hqa: bounds aggregate re-derived:\n{p}"
+    assert p.count("Scan parquet") == 2, f"hqa: expected bounds+binned passes only:\n{p}"
 
 
 def test_simhash_pairs_block_on_band_prefix(spark):
