@@ -8,6 +8,8 @@ not silently return under a Spark upgrade)."""
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_SMALL
 from pyspark.sql import functions as F
 
@@ -18,6 +20,7 @@ def _splits(events, n=3):
     return [events.where(F.col("event_id") % n == i) for i in range(n)]
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_cardinality_same_batch_id_redelivery(spark, tmp_path):
     """Restart replay redelivers the LAST delivered batch under its OWN
     id: the sink resumes with _last_snapshot == batch_id, and a

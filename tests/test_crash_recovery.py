@@ -9,6 +9,10 @@ vanished RESTORED, never deleted)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # r10 test tier: see pytest.ini
+
 import os
 import shutil
 

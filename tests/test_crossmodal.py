@@ -12,6 +12,8 @@ aggregates), so the pin has no flake margin, only a scale-drift margin.
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_ORACLE
 
 from spark_deal_observer_spark.plans.registry import REGISTRY
@@ -21,6 +23,7 @@ def _rows(spark):
     return REGISTRY["crossmodal_retrieval"].fn(spark, SF_ORACLE).collect()
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_recall_floor_self_retrieval(spark):
     rows = _rows(spark)
     queries = {r.query_doc for r in rows}

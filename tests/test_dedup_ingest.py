@@ -65,6 +65,7 @@ def test_store_carries_bands_only_for_admitted_docs(spark, sink):
     assert store_ids == {5, 7}
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_streaming_wiring_end_to_end(spark, sink, tmp_path):
     """Drive the sink through a REAL Structured Streaming query: file
     source → foreachBatch(process_batch), two arrivals, near-dups across

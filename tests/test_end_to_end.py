@@ -5,6 +5,8 @@ guarantees (deal-observer-backend.js:165-173)."""
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_SMALL
 
 from pyspark.sql import functions as F
@@ -23,6 +25,7 @@ from spark_deal_observer_spark.streaming.ingest import start_ingest
 from spark_deal_observer_spark.streaming.sink import DealTableSink
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_three_loops_end_to_end(spark, tmp_path):
     source, table, ckpt = (str(tmp_path / d) for d in ("source", "table", "ckpt"))
 
@@ -113,6 +116,7 @@ def test_three_loops_end_to_end(spark, tmp_path):
     assert res2["submitted"] == 0
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_three_loops_concurrent_soak(spark, tmp_path):
     """VERDICT r8 #6: the reference runs ingest, enrichment and egress
     SIMULTANEOUSLY against one table (Promise.all,

@@ -9,6 +9,10 @@ same-batch-id replay (max-merge + strictly-below reads)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # r10 test tier: see pytest.ini
+
 import os
 
 from pyspark.sql import functions as F

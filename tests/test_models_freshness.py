@@ -6,6 +6,8 @@ inputs (the registry's whole point is train-once)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_deal_observer_spark.operators import models
@@ -22,6 +24,7 @@ def _sum_artifact(src):
     return src.agg(F.sum("v").alias("s")).localCheckpoint(eager=True)
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_changed_files_behind_same_path_retrain(spark, tmp_path):
     models.clear()
     path = str(tmp_path / "corpus")

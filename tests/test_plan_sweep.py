@@ -9,6 +9,8 @@ family that is documented JVM-only.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # r10 test tier: see pytest.ini
 from conftest import SF_SMALL
 
 from spark_deal_observer_spark.plans.registry import REGISTRY

@@ -366,6 +366,7 @@ def test_trained_assign_is_aggregate_not_window(spark):
         assert "partial_min" in p, f"{name}: no map-side combine\n{p}"
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_no_registered_query_emits_non_atomic_columns(spark):
     """Driver-canonicalizer contract: the driver gate sorts/hashes results
     with pandas, which cannot sort list-valued cells (r3: kmeans_cells red

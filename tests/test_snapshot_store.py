@@ -8,6 +8,10 @@ chaos tests in test_crash_recovery.py stay as end-to-end coverage."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # r10 test tier: see pytest.ini
+
 import json
 import os
 import shutil

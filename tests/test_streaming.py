@@ -459,6 +459,7 @@ def test_streaming_session_windows_merge_finalize_drop_late(spark, tmp_path):
     assert c["n_events"] == 1 and c["total_value"] == 10.0
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_stream_stream_join_attribution(spark, tmp_path):
     """Stream-stream left-outer join with dual watermarks + time-range
     condition: matches emit as clicks arrive; an unmatched view emits its

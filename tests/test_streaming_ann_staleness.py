@@ -22,6 +22,8 @@ ivf_pq family's published floor (mixed-metric ADC-L2 vs cosine truth).
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from conftest import SF_SMALL
 from pyspark.sql import functions as F
@@ -53,6 +55,7 @@ def _drifted(df, a: float):
     )
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_staleness_sla_recall_floor_until_retrain_trigger(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     emb = hashed_doc_embeddings(docs).selectExpr(

@@ -6,6 +6,8 @@ and cross-batch merges must relabel prior components."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # r10 test tier: see pytest.ini
 from conftest import SF_SMALL
 
 from spark_deal_observer_spark.operators import dedup as dd

@@ -9,6 +9,8 @@ Replay-idempotence and restart recovery follow the house sink contract.
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_SMALL
 
 from spark_deal_observer_spark.sources.tables import load_table
@@ -19,6 +21,7 @@ def _w_of(df):
     return {(r.i, r.j): r.w6 for r in df.collect()}
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_streamed_map_equals_batch(spark, tmp_path):
     from spark_deal_observer_spark.multimodal.crossmodal import crossmodal_projection
 

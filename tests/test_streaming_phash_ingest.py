@@ -5,6 +5,8 @@ the shared replay/restart semantics (strictly-below store reads)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F  # noqa: F401
 
 from spark_deal_observer_spark.multimodal.png import encode_png
@@ -49,6 +51,7 @@ def test_in_batch_near_dups_collapse_to_min_id(spark, tmp_path):
     assert {r["doc_id"] for r in sink.read_admitted().collect()} == {1, 3}
 
 
+@pytest.mark.slow  # r10 test tier: see pytest.ini
 def test_replay_is_bit_identical_and_restart_recovers(spark, tmp_path):
     w, h, png_a, png_a2, png_b = _images()
     sink = PerceptualDedupIngestSink(spark, str(tmp_path / "p"))
