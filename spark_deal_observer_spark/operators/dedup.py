@@ -1502,6 +1502,14 @@ def setsim_prefix_pairs(
             .where(F.col("rn") <= F.col("plen"))
             .select("doc_id", "n", "tok", "rn")
         )
+        # r10 negative result (recorded): widening this self-join with an
+        # explicit (tok) repartition (the probe's AQE-fan-out fix) made
+        # total CPU 2x WORSE (320 -> 656 s at sf0.1): at 12 AQE-coalesced
+        # tasks the fused partial positional-aggregate compacts the
+        # ~60 M-row fan-out to 66 MB of shuffle, but at 128 partitions
+        # the per-task pair maps stop absorbing duplicates and ~2.9 GB
+        # of raw pair rows shuffle to the final aggregate instead. The
+        # narrow coalesce IS the efficient shape here; left alone.
         a = pref.select(
             F.col("doc_id").alias("doc_a"),
             F.col("n").alias("na"),
@@ -1673,6 +1681,25 @@ def setsim_probe(
         .na.fill({"df": 0})
         .select("doc_id", "n", "tok", rn.alias("rn"), plen.alias("plen"))
         .where(F.col("rn") <= F.col("plen"))
+    )
+    # r10 (the AQE fan-out hazard, measured): the prefix rows leaving the
+    # window filter are ~1 MB of shuffle output, so AQE coalesced the
+    # downstream stage to ONE task — which then ran the postings join's
+    # 25 M-row fan-out AND the positional filter's partial aggregate
+    # single-threaded (8.45 s of the probe's 12.6 s cold wall, task
+    # summary via the UI REST API). The width pin must be KEYED BY THE
+    # PROBE DOC: a round-robin spread scatters each (batch_doc,
+    # match_doc) pair's token rows across tasks, so the fused partial
+    # aggregate stops compacting and ~0.5 GB of raw pair rows shuffle to
+    # the final aggregate (measured — recorded negative). Partitioned by
+    # doc_id, the broadcast postings join keeps the partitioning, every
+    # pair's rows stay inside one task, and the partial aggregate
+    # compacts the 25 M-row fan-out before the exchange exactly as the
+    # single-task plan did — just on the whole cluster. ×4 keeps
+    # per-task pair-map state small (§5; ×1 GC-thrashed a default-heap
+    # session at sf0.1). An explicit count is not AQE-coalescible.
+    pref = pref.repartition(
+        pref.sparkSession.sparkContext.defaultParallelism * 4, "doc_id"
     )
     joined = pref.select(
         F.col("doc_id").alias("batch_doc"),

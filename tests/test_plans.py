@@ -208,6 +208,37 @@ def test_psi_and_histogram_reuse_shared_aggregate(spark):
     assert p.count("Scan parquet") == 2, f"hqa: expected bounds+binned passes only:\n{p}"
 
 
+def test_setsim_probe_fan_out_stage_is_pinned_wide(spark):
+    """r10 (the AQE fan-out hazard): the probe's prefix rows are ~1 MB of
+    shuffle bytes, so AQE coalesced the postings-join stage — the 25 M-row
+    fan-out plus the positional partial aggregate ran on ONE task (8.45 s
+    of the 12.6 s cold probe at sf0.1). The plan must carry the explicit
+    doc_id-keyed REPARTITION_BY_NUM (user counts are not AQE-coalescible;
+    doc_id keying keeps every pair inside one task so the partial
+    aggregate still compacts the fan-out before the exchange — the
+    round-robin form lost that and shuffled ~0.5 GB of raw pair rows)."""
+    from spark_deal_observer_spark.operators import dedup as dd
+    from spark_deal_observer_spark.operators import models
+    from spark_deal_observer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sets = dd._setsim_sets(docs)
+    postings, df_, csets = dd.setsim_corpus_index(
+        sets.where(F.col("doc_id") % 10 != 0), dd.SETSIM_THRESHOLD
+    )
+    probe = dd.setsim_probe(
+        sets.where(F.col("doc_id") % 10 == 0), postings, df_, csets,
+        dd.SETSIM_THRESHOLD,
+    )
+    p = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", p), (
+        f"probe fan-out width pin missing:\n{p}"
+    )
+
+
 def test_simhash_pairs_block_on_band_prefix(spark):
     """The simhash pair stage must be an EQUI-join on the bounded
     (band, key) bucket — never an all-pairs or unbounded product join.
